@@ -1,0 +1,11 @@
+"""Named query inventory (SURVEY.md §7.2) → driver contract.
+
+Importing this package populates :data:`REGISTRY` with every
+implemented query.
+"""
+
+from week4_musemotion_spark.queries.registry import REGISTRY, QuerySpec, query  # noqa: F401
+
+# Registration side-effects — order mirrors SURVEY.md §7.3 build plan.
+from week4_musemotion_spark.queries import relational  # noqa: E402,F401
+from week4_musemotion_spark.queries import cleaning  # noqa: E402,F401

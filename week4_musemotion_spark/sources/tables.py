@@ -1,0 +1,39 @@
+"""Parquet loaders for the driver testdata star schema (TESTDATA.md)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from week4_musemotion_spark.schemas import TESTDATA_TABLES
+from week4_musemotion_spark.session import ensure_runtime_conf
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one testdata table.
+
+    Plain ``spark.read.parquet`` so Catalyst keeps full pushdown /
+    pruning freedom — callers express filters and projections
+    declaratively and the scan narrows itself.  Runtime-settable
+    semantic configs are ensured first so the engine behaves the same
+    on a SparkSession it did not build (see session.RUNTIME_CONF).
+    """
+    ensure_runtime_conf(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names or TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register testdata tables as temp views for the SQL entry path.
+
+    ``createOrReplaceTempView`` is metadata-only: each view is a lazy
+    plan over the parquet scan, not a materialization.
+    """
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
