@@ -1,0 +1,112 @@
+"""Extension-operator tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_minhash_equals_exact_jaccard(spark):
+    """LSH + verification must reproduce the exact near-dup pair set."""
+    from week4_musemotion_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    exact = {(r.doc_a, r.doc_b, r.jaccard) for r in jaccard_pairs(_docs(spark), 0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b, r.jaccard) for r in minhash_lsh_pairs(_docs(spark), 0.8).collect()}
+    assert exact, "corpus should contain planted near-dups"
+    assert lsh == exact
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    """Near-dup pairs (by Jaccard) must land at small SimHash Hamming
+    distance; random pairs at large distance on average."""
+    from week4_musemotion_spark.operators.dedup import jaccard_pairs, simhash_signatures
+
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(_docs(spark)).collect()}
+    pairs = [(r.doc_a, r.doc_b) for r in jaccard_pairs(_docs(spark), 0.8).collect()]
+    assert pairs
+
+    def ham(a, b):
+        return bin(sig[a] ^ sig[b]).count("1")
+
+    near = [ham(a, b) for a, b in pairs]
+    ids = sorted(sig)[:40]
+    rand = [ham(a, b) for a in ids for b in ids if a < b and (a, b) not in set(pairs)]
+    # the synthetic corpus shares a tiny vocabulary, so distinct-token
+    # SimHash separates weakly — require a clear mean gap, not a split
+    assert sum(near) / len(near) < sum(rand) / len(rand) - 1
+
+
+def test_exact_dedup_groups(spark):
+    from week4_musemotion_spark.operators.dedup import exact_dedup_groups
+
+    docs = _docs(spark)
+    # duplicate the corpus with shifted ids: every group must collapse to 2
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100_000)
+    groups = exact_dedup_groups(docs.unionByName(dup)).collect()
+    assert len(groups) == docs.count()
+    assert all(g.dup_cnt == 2 for g in groups)
+    assert all(g.keep_id < 100_000 for g in groups)
+
+
+def test_knn_brute_force_ranks(spark):
+    from week4_musemotion_spark.operators.similarity import knn_brute_force
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = knn_brute_force(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4]
+        sims = [r.cosine for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_knn_lsh_subset_of_exact_topk_pool(spark):
+    """LSH neighbors must be genuine corpus vectors ranked by true
+    cosine (rerank is exact), even if recall is partial."""
+    from week4_musemotion_spark.operators.similarity import knn_lsh
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = knn_lsh(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    assert got, "buckets should produce at least some candidates"
+    for r in got:
+        assert 1 <= r.rank <= 3
+        assert -1.0 <= r.cosine <= 1.0
+
+
+def test_multimodal_meta_plumbing(spark):
+    from week4_musemotion_spark.operators.multimodal import extract_media_meta
+
+    docs = _docs(spark)
+    meta = extract_media_meta(docs)
+    assert meta.columns == ["doc_id", "n_bytes", "width", "height", "format"]
+    rows = meta.collect()
+    assert len(rows) == docs.count()
+    n_chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    for r in rows:
+        assert r.n_bytes == n_chars[r.doc_id]  # ascii corpus: bytes == chars
+        assert 64 <= r.width < 1024 and 64 <= r.height < 1024
+        assert r.format in ("png", "jpeg")
+
+
+def test_decode_media_is_gated():
+    import pytest
+
+    from week4_musemotion_spark.operators.multimodal import decode_media
+
+    pytest.importorskip  # documentation: no imaging lib here
+    try:
+        decode_media(b"\x89PNG")
+    except NotImplementedError as e:
+        assert "imaging" in str(e)
+    else:  # pragma: no cover - only if Pillow is installed
+        pass

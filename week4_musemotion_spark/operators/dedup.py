@@ -1,0 +1,179 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four families, all expressed with builtin Catalyst expressions (the
+hash primitive is functions.hashing.stable_hash64 so results are
+engine-portable and differentially testable):
+
+- :func:`exact_dedup_groups` — hash-groupBy exact dedup.
+- :func:`jaccard_pairs` — exact n-gram-Jaccard near-dup pairs via a
+  shingle equi-join (the small-scale / verification path).
+- :func:`minhash_lsh_pairs` — MinHash signatures + LSH banding to
+  generate candidates, then exact-Jaccard verification of candidates
+  only (the 100 TB path: cost is O(docs × shingles) for signatures
+  plus a band-bucket shuffle; no all-pairs blowup).
+- :func:`simhash_signatures` — per-document SimHash bit signature.
+
+Scale notes: at production scale swap ``stable_hash64`` for
+``xxhash64`` (single JVM hash instead of md5) — kept portable here so
+the DuckDB oracle can replay every step bit-for-bit.  The exact
+``jaccard_pairs`` join is quadratic in documents sharing a shingle;
+it exists as the correctness baseline, while ``minhash_lsh_pairs``
+is the operator you run on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.functions.hashing import stable_hash64
+from week4_musemotion_spark.functions.text import shingles, tokens
+
+#: MinHash tuning: 32 independent min-hashes grouped into 16 bands of
+#: 2 rows.  Candidate probability at Jaccard s is 1-(1-s^2)^16:
+#: ≈ 1-2e-6 at s=0.9 (the planted near-dups), ≈ 2% at the s≤0.07
+#: noise floor — false candidates are discarded by exact verification.
+NUM_HASHES = 32
+BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: hash text, keep the smallest id.
+
+    One partial+final hash aggregate; the md5 collapses arbitrarily
+    wide rows to a 128-bit key so the shuffle carries only (hash, id).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct (id, word-n-gram-shingle) pairs."""
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), n))
+    return df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("shingle"))
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """All-pairs intersection counts + Jaccard from a shingle-set table."""
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"_id": "doc_b", "n": "nb"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jac"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (≥ threshold)."""
+    pairs = _pair_jaccard(shingle_sets(df, text_col, id_col, n))
+    return pairs.filter(F.col("jac") >= threshold).select(
+        "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
+    )
+
+
+def minhash_signature_cols(text_col: Column, n: int = 3, num_hashes: int = NUM_HASHES) -> list[Column]:
+    """MinHash signature as ``num_hashes`` columns — computed entirely
+    per-row (array transform + array_min), zero shuffles."""
+    sh = F.array_distinct(shingles(tokens(text_col), n))
+    return [
+        F.array_min(F.transform(sh, lambda s, i=i: stable_hash64(s, seed=i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + LSH banding + exact verification.
+
+    Stages: (1) per-row signatures (no shuffle), (2) explode to one
+    row per band and shuffle on (band, band_hash) — documents collide
+    only when a whole band matches, (3) distinct candidate pairs,
+    (4) exact Jaccard on candidates only.  Output is identical to
+    :func:`jaccard_pairs` whenever LSH recall is 1 (by construction
+    ~certain above threshold+0.05 with the default banding).
+    """
+    sigs = df.select(F.col(id_col).alias("_id"), *minhash_signature_cols(F.col(text_col), n))
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            stable_hash64(
+                F.concat_ws("|", *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]),
+                seed=10_000 + b,
+            ).alias("bh"),
+        )
+        for b in range(BANDS)
+    ]
+    exploded = sigs.select("_id", F.explode(F.array(*bands)).alias("k")).select(
+        "_id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification restricted to candidate pairs
+    sh = shingle_sets(df, text_col, id_col, n)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cands.join(sa, cands.doc_a == F.col("sa._id"))
+        .join(sb, (cands.doc_b == F.col("sb._id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    verified = (
+        inter.join(sizes.withColumnsRenamed({"_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"_id": "doc_b", "n": "nb"}), "doc_b")
+        .select("doc_a", "doc_b", (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash: sign of per-bit vote sums over distinct
+    token hashes.  Entirely per-row expression work (no shuffle);
+    near-dup docs land at small Hamming distance."""
+    hs = F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: stable_hash64(t))
+
+    def _vote(j: int):
+        # aggregate() inspects lambda arity — bind j via closure, not a
+        # default arg, so the merge lambda keeps exactly two params.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = None
+    for j in range(bits):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote(j))
+        bit = F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return df.select(F.col(id_col), sig.alias("simhash"))

@@ -9,3 +9,4 @@ from week4_musemotion_spark.queries.registry import REGISTRY, QuerySpec, query  
 # Registration side-effects — order mirrors SURVEY.md §7.3 build plan.
 from week4_musemotion_spark.queries import relational  # noqa: E402,F401
 from week4_musemotion_spark.queries import cleaning  # noqa: E402,F401
+from week4_musemotion_spark.queries import extensions  # noqa: E402,F401

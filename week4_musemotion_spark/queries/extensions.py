@@ -1,0 +1,345 @@
+"""North-star extension queries: dedup, similarity search, text
+analysis, multimodal metadata — the training-data-pipeline operators
+(BASELINE.json), over the ``documents`` and ``embeddings`` tables.
+
+Oracle strategy: every deterministic operator carries a full DuckDB
+oracle, including MinHash (whose *verified* output equals the exact
+n-gram-Jaccard pairs whenever LSH recall is 1 — guaranteed by the
+banding margin on this corpus, where planted near-dups sit at
+Jaccard ≥ 0.9 and noise at ≤ 0.07).  The hyperplane-ANN query is
+genuinely approximate → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.functions.hashing import stable_hash64_sql
+from week4_musemotion_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from week4_musemotion_spark.operators.multimodal import extract_media_meta
+from week4_musemotion_spark.operators.similarity import cosine_pairs, knn_brute_force, knn_lsh
+from week4_musemotion_spark.operators.textstats import (
+    LANG_MARKERS,
+    QUALITY_STOPWORDS,
+    fingerprints,
+    lang_id,
+    quality_stats,
+    token_counts,
+)
+from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (kept adjacent to the Spark ops so they can't drift)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_expr(n: int) -> str:
+    """DuckDB expression for word n-gram shingles of token list ``ts``."""
+    parts = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len(ts) - {n - 2}), i -> {parts})"
+
+
+def _jaccard_sql(threshold: float, n: int = 3) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    raw AS (SELECT doc_id, unnest({_shingle_expr(n)}) AS shingle FROM tok WHERE len(ts) >= {n}),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM raw),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+    """
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = stable_hash64_sql("w")
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, hv -> CASE WHEN (hv >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text, ' ')), w -> {h}) AS hs
+        FROM documents
+    )
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
+    """
+
+
+_COSINE_SQL_FRAG = """
+    list_sum(list_transform(range(1, len({a}) + 1),
+             i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+#: Cosine threshold for embedding near-dup pairs: this corpus has no
+#: planted embedding duplicates (max pairwise cosine ≈ 0.51), so the
+#: threshold sits below the top pairs to exercise the operator on
+#: real rows while staying far from any float boundary.
+EMBED_DUP_THRESHOLD = 0.45
+
+#: Jaccard threshold for text near-dup: planted pairs ≥ 0.9, noise
+#: ≤ 0.07 — 0.8 splits with a huge margin.
+JACCARD_THRESHOLD = 0.8
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    covers=("X-DEDUP-EXACT",),
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (keep smallest id per group)."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query("q_dedup_ngram_jaccard", covers=("X-DEDUP-NGRAM",), oracle=_jaccard_sql(JACCARD_THRESHOLD))
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (≥ 0.8) via a
+    shingle equi-join — the correctness baseline for near-dedup."""
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+@query("q_dedup_minhash", covers=("X-DEDUP-MINHASH",), oracle=_jaccard_sql(JACCARD_THRESHOLD))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(16 bands × 2 rows) candidates, exact-Jaccard
+    verified — the scale path.  Oracle is the brute-force Jaccard SQL:
+    outputs are identical because verification removes LSH false
+    positives and the banding margin makes false negatives vanish."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+@query("q_dedup_simhash", covers=("X-DEDUP-SIMHASH",), oracle=_simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (near-dups land at small
+    Hamming distance); per-row expression work only."""
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_embedding",
+    covers=("X-DEDUP-EMBED",),
+    oracle=f"""
+    WITH p AS (
+        SELECT a.vec_id AS vec_id_a, a.embedding AS va,
+               b.vec_id AS vec_id_b, b.embedding AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    s AS (
+        SELECT vec_id_a, vec_id_b,
+               {_COSINE_SQL_FRAG.format(a="va", b="vb")} AS cos
+        FROM p
+    )
+    SELECT vec_id_a, vec_id_b, round(cos, 6) AS cosine
+    FROM s WHERE cos >= {EMBED_DUP_THRESHOLD}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (all-pairs baseline)."""
+    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_knn_cosine",
+    covers=("X-KNN-BRUTE",),
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_COSINE_SQL_FRAG.format(a="qv", b="cv")} AS cos
+        FROM c CROSS JOIN q
+        WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for query vectors vec_id<5
+    — broadcast query set, single streaming pass over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_brute_force(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@query("q_knn_cosine_lsh", covers=("X-KNN-LSH",), oracle=None)
+def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (8 sign bits → bucket join → exact
+    rerank).  Approximate by construction (bucket recall < 1), hence
+    rows-only check; determinism still holds run-to-run because the
+    hyperplanes derive from md5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPLIST = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+
+@query(
+    "q_text_quality",
+    covers=("X-TEXT-QUALITY",),
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, length(text) AS n_chars_txt,
+               string_split(text, ' ') AS ts
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_chars_txt,
+               len(ts) AS n_tokens,
+               len(list_distinct(ts)) AS n_uniq_tokens,
+               len(list_filter(ts, w -> w IN ({_STOPLIST}))) AS stop_cnt
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_chars_txt AS BIGINT) AS n_chars_txt,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_uniq_tokens AS BIGINT) AS n_uniq_tokens,
+           round(CAST(stop_cnt AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+           round(least(1.0, n_tokens / 200.0) * (1 - CAST(stop_cnt AS DOUBLE) / n_tokens), 4) AS quality
+    FROM s
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token counts, stopword ratio, length-damped
+    quality score — per-row expression work at scan speed."""
+    return quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    score = {
+        lang: f"len(list_intersect(uniq, [{', '.join(repr(m) for m in markers)}]))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = langs[i + 1 :]
+        rest_expr = f"greatest({', '.join('s_' + l for l in rest)})" if len(rest) > 1 else f"s_{rest[0]}"
+        cases.append(f"WHEN s_{lang} >= {rest_expr} THEN '{lang}'")
+    all_scores = ", ".join("s_" + l for l in langs)
+    return f"""
+    WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS uniq FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())}
+        FROM t
+    )
+    SELECT doc_id, lang AS declared_lang,
+           CASE WHEN greatest({all_scores}) = 0 THEN 'und'
+                {" ".join(cases)}
+                ELSE '{langs[-1]}' END AS lang_pred,
+           CAST(greatest({all_scores}) AS BIGINT) AS marker_hits
+    FROM s
+    """
+
+
+@query("q_lang_id", covers=("X-TEXT-LANGID",), oracle=_lang_id_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with deterministic tie-break."""
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_token_count",
+    covers=("X-TEXT-TOKENS",),
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _fingerprint_sql(n: int = 5) -> str:
+    h = stable_hash64_sql("s")
+    return f"""
+    WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+    SELECT doc_id, md5(text) AS content_hash,
+           list_aggregate(list_transform({_shingle_expr(n)}, s -> {h}), 'min')
+               AS shingle_fingerprint
+    FROM tok
+    """
+
+
+@query("q_doc_fingerprint", covers=("X-TEXT-FINGERPRINT",), oracle=_fingerprint_sql())
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content hash + min-5-gram-shingle
+    hash (winnowing-style)."""
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    covers=("X-MULTIMODAL",),
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, strlen(text) AS n_bytes,
+               {stable_hash64_sql("('dim:' || text)")} AS hv
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(64 + hv % 960 AS BIGINT) AS width,
+           CAST(64 + (hv // 960) % 960 AS BIGINT) AS height,
+           CASE WHEN hv % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    FROM h
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction through the Arrow-batched
+    ``mapInPandas`` path (deterministic stub decode — the real codec
+    is gated; the distributed plumbing is what's under test)."""
+    return extract_media_meta(load_table(spark, sf_dir, "documents"))
