@@ -1,0 +1,58 @@
+"""Benchmark harness: runs every registered query end-to-end at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution is forced with the noop sink (full computation, zero
+collect/serialization cost on the driver), so timings measure the
+distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from week4_musemotion_spark.queries import REGISTRY
+    from week4_musemotion_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warm up the JVM / codegen / parquet footer caches off the clock
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""MuseMotion ETL parity: the cleaning pipeline against the
+reference's own data, checked against its published dashboard KPIs
+(BASELINE.md golden outputs — SURVEY.md §5 item 2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+REFERENCE_CSV = "/root/reference/musemotion_databse.csv"
+
+
+@pytest.fixture(scope="module")
+def cleaned(spark):
+    if not os.path.exists(REFERENCE_CSV):
+        pytest.skip("reference CSV not available")
+    from week4_musemotion_spark.operators.etl import clean_musemotion
+    from week4_musemotion_spark.sources.csv import read_headerless_csv
+
+    return clean_musemotion(read_headerless_csv(spark, REFERENCE_CSV)).cache()
+
+
+def test_width_guard_truncates_junk_fields(spark):
+    """The raw CSV carries 15 fields; imposing 11 names naively shifts
+    every column by 4 (the reference's own loader bug, SURVEY.md
+    §2.10).  The guard must keep first-11 alignment."""
+    from week4_musemotion_spark.sources.csv import read_headerless_csv
+
+    raw = read_headerless_csv(spark, REFERENCE_CSV)
+    assert len(raw.columns) == 11
+    # vin values look like VINs (alnum, len 10), not models
+    sample = [r.vin for r in raw.select("vin").limit(20).collect()]
+    assert all(v and len(v) >= 8 for v in sample)
+
+
+def test_narrow_csv_is_refused(spark, tmp_path):
+    from week4_musemotion_spark.sources.csv import read_headerless_csv
+
+    p = tmp_path / "narrow.csv"
+    p.write_text("a,b,c\n1,2,3\n")
+    with pytest.raises(ValueError, match="refusing to mis-align"):
+        read_headerless_csv(spark, str(p))
+
+
+def test_golden_kpis(cleaned):
+    """Dashboard KPIs from the reference screenshots: total 1,498
+    (one row lost to empty city), avg year 2021.1, avg electric
+    range ≈ 61.85-61.88."""
+    from week4_musemotion_spark.operators.etl import kpi_summary
+
+    kpi = kpi_summary(cleaned).collect()[0]
+    assert kpi.total_vehicles == 1498
+    assert kpi.avg_year == 2021.1
+    assert 61.80 <= kpi.avg_electric_range <= 61.90
+
+
+def test_golden_group_stats(cleaned):
+    """Recomputed reference stats: 36 makes, top = TESLA with 605."""
+    from week4_musemotion_spark.operators.etl import group_size
+
+    top = group_size(cleaned, "make").collect()
+    assert len(top) == 36
+    assert top[0]["make"] == "TESLA" and top[0]["count"] == 605
+
+
+def test_latlon_extraction_rate(cleaned):
+    """Most rows carry a valid WKT point; latitudes are positive
+    (US), longitudes negative — catches a lat/lon swap (the data
+    includes out-of-state registrations, so ranges are wide)."""
+    stats = cleaned.agg(
+        F.count("latitude").alias("n"),
+        F.min("latitude").alias("lat_min"),
+        F.max("latitude").alias("lat_max"),
+        F.max("longitude").alias("lon_max"),
+    ).collect()[0]
+    assert stats.n > 1400
+    assert 25.0 <= stats.lat_min and stats.lat_max <= 50.0
+    assert stats.lon_max < -60.0
+
+
+def test_explode_utilities(cleaned):
+    from week4_musemotion_spark.operators.etl import explode_utilities
+
+    exploded = explode_utilities(cleaned)
+    assert exploded.count() > cleaned.count()  # 948/1499 rows are multi-valued
+    bad = exploded.filter(F.col("utility").contains("|")).count()
+    assert bad == 0
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    from week4_musemotion_spark.operators.upsert import upsert_parquet_snapshot
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [("v1", "seattle", 2020), ("v2", "tacoma", 2021)], ["vin", "city", "year"]
+    )
+    upsert_parquet_snapshot(spark, path, base, keys=["vin"])
+    updates = spark.createDataFrame(
+        [("v2", "olympia", 2022), ("v3", "spokane", 2023)], ["vin", "city", "year"]
+    )
+    upsert_parquet_snapshot(spark, path, updates, keys=["vin"])
+    got = {r.vin: (r.city, r.year) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        "v1": ("seattle", 2020),  # untouched
+        "v2": ("olympia", 2022),  # updated
+        "v3": ("spokane", 2023),  # inserted
+    }
+
+
+def test_excel_auto_header(spark, tmp_path):
+    pd = pytest.importorskip("pandas")
+    pytest.importorskip("openpyxl")
+    from week4_musemotion_spark.sources.excel import read_excel_auto_header
+
+    # header at row 3, perturbed spellings, stray extra column
+    df = pd.DataFrame(
+        [["junk"] * 12] * 3
+        + [
+            [" VIN ", "City", "Year", "Make", "Model", "Vehicle Type", "Eligibility",
+             "Electric Range", "Vehicle ID", "Location", "Utility", "Column1"],
+            ["ABC123", "Seattle", "2021", "TESLA", "MODEL Y", "BEV", "Eligible",
+             "300", "1", "POINT (-122.3 47.6)", "PSE", ""],
+        ]
+    )
+    p = tmp_path / "mm.xlsx"
+    df.to_excel(p, header=False, index=False)
+    got = read_excel_auto_header(spark, str(p))
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0]["vin"] == "ABC123" and rows[0]["vehicle_type"] == "BEV"
+
+
+def test_fuzzy_map_and_required_gate():
+    from week4_musemotion_spark.catalog import fuzzy_map_columns, require_columns
+
+    mapping = fuzzy_map_columns(["VIN ", "Vehicle Typ", "Yr of Make"], ["vin", "vehicle_type"])
+    assert mapping["vin"] == "VIN "
+    assert mapping["vehicle_type"] == "Vehicle Typ"
+    with pytest.raises(ValueError, match="missing required"):
+        require_columns(mapping, ["vin", "model"])

@@ -23,7 +23,7 @@ is the operator you run on a cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.hashing import stable_hash64
@@ -52,20 +52,38 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct (id, word-n-gram-shingle) pairs."""
+    """Distinct (id, shingle-hash) pairs.
+
+    Shingles are carried as 64-bit ``xxhash64`` keys, not strings:
+    the self-join/shuffle then moves 8-byte keys instead of ~20-byte
+    strings and compares longs.  Collisions are negligible for
+    set-intersection counting (birthday bound ≈ n²/2⁶⁵: ~10⁻⁸ even
+    at a billion distinct shingles).
+    """
     sh = F.array_distinct(shingles(tokens(F.col(text_col)), n))
-    return df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("shingle"))
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))  # hash before explode: generators can't nest in expressions
+    return df.select(F.col(id_col).alias("_id"), F.explode(hashed).alias("shingle"))
 
 
-def _pair_jaccard(sh: DataFrame) -> DataFrame:
-    """All-pairs intersection counts + Jaccard from a shingle-set table."""
+def _intersections(pairs_or_none: DataFrame | None, sh: DataFrame) -> DataFrame:
+    """Pairwise intersection counts + Jaccard from a shingle-set
+    table; restricted to candidate ``(doc_a, doc_b)`` pairs when
+    given, else all pairs sharing ≥1 shingle."""
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
-    )
+    if pairs_or_none is None:
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        inter = (
+            pairs_or_none.join(a, pairs_or_none.doc_a == F.col("a._id"))
+            .join(b, (pairs_or_none.doc_b == F.col("b._id")) & (F.col("a.shingle") == F.col("b.shingle")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
     return (
         inter.join(sizes.withColumnsRenamed({"_id": "doc_a", "n": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({"_id": "doc_b", "n": "nb"}), "doc_b")
@@ -85,20 +103,30 @@ def jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (≥ threshold)."""
-    pairs = _pair_jaccard(shingle_sets(df, text_col, id_col, n))
+    pairs = _intersections(None, shingle_sets(df, text_col, id_col, n))
     return pairs.filter(F.col("jac") >= threshold).select(
         "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
     )
 
 
-def minhash_signature_cols(text_col: Column, n: int = 3, num_hashes: int = NUM_HASHES) -> list[Column]:
-    """MinHash signature as ``num_hashes`` columns — computed entirely
-    per-row (array transform + array_min), zero shuffles."""
-    sh = F.array_distinct(shingles(tokens(text_col), n))
-    return [
-        F.array_min(F.transform(sh, lambda s, i=i: stable_hash64(s, seed=i))).alias(f"mh_{i}")
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """MinHash signatures from a (id, shingle-hash) table: one hash
+    aggregate computing all ``num_hashes`` mins in a single shuffle.
+
+    The hash family is ``xxhash64(i, shingle)`` — seeded re-hashing of
+    the 64-bit shingle key, evaluated once per (shingle, i) on the
+    already-exploded rows.  (An earlier formulation re-computed the
+    full tokenize→shingle→md5 expression tree per signature column —
+    ~60× slower; never nest heavy expression trees N times when an
+    explode + groupBy evaluates them once.)
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    return sh.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -110,20 +138,22 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding + exact verification.
 
-    Stages: (1) per-row signatures (no shuffle), (2) explode to one
-    row per band and shuffle on (band, band_hash) — documents collide
-    only when a whole band matches, (3) distinct candidate pairs,
-    (4) exact Jaccard on candidates only.  Output is identical to
+    Stages: (1) explode shingle sets (computed once, 8-byte keys),
+    (2) one aggregate → 32-column signatures, (3) explode to one row
+    per band, shuffle on (band, band_hash) — documents collide only
+    when a whole band matches, (4) distinct candidate pairs,
+    (5) exact Jaccard on candidates only.  Output is identical to
     :func:`jaccard_pairs` whenever LSH recall is 1 (by construction
     ~certain above threshold+0.05 with the default banding).
     """
-    sigs = df.select(F.col(id_col).alias("_id"), *minhash_signature_cols(F.col(text_col), n))
+    sh = shingle_sets(df, text_col, id_col, n)
+    sigs = minhash_signatures(sh)
     bands = [
         F.struct(
             F.lit(b).alias("band"),
-            stable_hash64(
-                F.concat_ws("|", *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]),
-                seed=10_000 + b,
+            F.xxhash64(
+                F.lit(10_000 + b),
+                *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
             ).alias("bh"),
         )
         for b in range(BANDS)
@@ -137,22 +167,7 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
     )
-    # exact verification restricted to candidate pairs
-    sh = shingle_sets(df, text_col, id_col, n)
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cands.join(sa, cands.doc_a == F.col("sa._id"))
-        .join(sb, (cands.doc_b == F.col("sb._id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    verified = (
-        inter.join(sizes.withColumnsRenamed({"_id": "doc_a", "n": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"_id": "doc_b", "n": "nb"}), "doc_b")
-        .select("doc_a", "doc_b", (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jac"))
-        .filter(F.col("jac") >= threshold)
-    )
+    verified = _intersections(cands, sh).filter(F.col("jac") >= threshold)
     return verified.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
 
 

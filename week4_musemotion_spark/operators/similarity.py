@@ -1,34 +1,113 @@
 """Similarity search over embedding columns (``array<float>``).
 
-- :func:`knn_brute_force` — exact top-k cosine neighbors.  The
-  correctness baseline: a broadcast of the (small) query set against
-  the full embedding table, so the big side streams through one stage
-  with no shuffle; per-row math is builtin higher-order functions
-  (JVM-side, no Python).
+- :func:`knn_brute_force` — exact top-k cosine neighbors: the query
+  matrix is broadcast, the corpus streams through ``mapInPandas``
+  (Arrow batches → numpy block math), each batch pre-prunes to its
+  local top-k, and a final window takes the global top-k.  Shuffle
+  volume is O(batches × queries × k), never O(corpus).
 - :func:`cosine_pairs` — all-pairs near-duplicate detection above a
-  cosine threshold (embedding-space analogue of Jaccard dedup).
+  cosine threshold; same block-math pattern with the (small) right
+  side broadcast.  All-pairs is inherently quadratic — at real scale
+  use :func:`knn_lsh`-style bucketing first.
 - :func:`knn_lsh` — the scale path: random-hyperplane LSH buckets
   (sign-bit sketch), candidates from bucket collisions, exact rerank
-  of candidates only.  Hyperplanes are derived deterministically from
-  md5 so runs are reproducible; approximate by nature (bucket recall
-  < 1), so it carries a rows-only check rather than a SQL oracle.
+  of candidates only.  Approximate by nature (bucket recall < 1), so
+  it carries a rows-only check rather than a SQL oracle.
 
-At 100 TB the brute-force path is O(queries × corpus) — fine for a
-broadcastable query set, impossible for all-pairs; the LSH path's
-bucket join shuffles each side once on the sketch key.
+Numeric contract: vector math accumulates in float64 **sequentially
+over the dimension axis** (``_seq_matmul``), which is bit-identical
+to a left-to-right fold — the same result as Spark's ``aggregate``
+higher-order function and DuckDB's ``list_sum``, so differential
+oracles hold exactly.  (BLAS ``A @ B.T`` uses pairwise/SIMD summation
+and drifts in the last ulp; an earlier pure-expression version was
+bit-exact but ~100× slower — interpreted lambda folds per pair.)
 """
 
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from week4_musemotion_spark.functions.vector import cosine_similarity
 
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ]
+)
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+_DUP_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id_a", T.LongType()),
+        T.StructField("vec_id_b", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ]
+)
+
+
+def _seq_matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``a @ b.T`` with sequential float64 accumulation over the
+    dimension axis (vectorized over pairs) — bit-identical to a
+    per-pair left-to-right fold."""
+    out = np.zeros((a.shape[0], b.shape[0]))
+    for k in range(a.shape[1]):
+        out += a[:, k, None] * b[None, :, k]
+    return out
+
+
+def _seq_norm(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(a.shape[0])
+    for k in range(a.shape[1]):
+        out += a[:, k] * a[:, k]
+    return np.sqrt(out)
+
+
+def _to_matrix(col: pd.Series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    pdf = df.select(id_col, vec_col).toPandas()
+    return pdf[id_col].to_numpy(dtype=np.int64), _to_matrix(pdf[vec_col])
+
+
+def knn_brute_force(
+    emb: DataFrame, queries: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each (broadcastable) query set."""
+    spark = emb.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    q_norm = _seq_norm(q_mat)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q, norm_q = bq.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = _to_matrix(pdf[vec_col])
+            cos = _seq_matmul(c_mat, mat_q) / (_seq_norm(c_mat)[:, None] * norm_q[None, :])
+            out = []
+            for j, qid in enumerate(ids_q):
+                col = cos[:, j]
+                mask = c_ids != qid
+                # local top-k pre-prune: global top-k ⊆ union of batch top-k
+                cand = np.nonzero(mask)[0]
+                if len(cand) > k:
+                    cand = cand[np.argsort(-col[cand], kind="stable")[:k]]
+                out.append(
+                    pd.DataFrame({"query_id": qid, "neighbor_id": c_ids[cand], "cos": col[cand]})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(_score, schema=_PAIR_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -42,32 +121,32 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def knn_brute_force(
-    emb: DataFrame, queries: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Exact top-k cosine neighbors of each query vector."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_similarity("qv", "cv"))
-        .select("query_id", "neighbor_id", "cos")
-    )
-    return _rank_topk(scored, k)
-
-
 def cosine_pairs(
     emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding near-dup)."""
-    a = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .withColumn("cos", cosine_similarity("va", "vb"))
-        .filter(F.col("cos") >= threshold)
-        .select("vec_id_a", "vec_id_b", F.round("cos", 6).alias("cosine"))
-    )
+    """All pairs with cosine ≥ threshold (embedding near-dup).
+
+    The full (id-ordered) right side is broadcast; each partition of
+    the left side emits only pairs above threshold with id_a < id_b.
+    """
+    spark = emb.sparkSession
+    b_ids, b_mat = _collect_matrix(emb, id_col, vec_col)
+    b_norm = _seq_norm(b_mat)
+    bb = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, norm_b = bb.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = _to_matrix(pdf[vec_col])
+            cos = _seq_matmul(a_mat, mat_b) / (_seq_norm(a_mat)[:, None] * norm_b[None, :])
+            ii, jj = np.nonzero((cos >= threshold) & (a_ids[:, None] < ids_b[None, :]))
+            yield pd.DataFrame(
+                {"vec_id_a": a_ids[ii], "vec_id_b": ids_b[jj], "cos": cos[ii, jj]}
+            )
+
+    pairs = emb.select(id_col, vec_col).mapInPandas(_pairs, schema=_DUP_SCHEMA)
+    return pairs.select("vec_id_a", "vec_id_b", F.round("cos", 6).alias("cosine"))
 
 
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -125,4 +204,14 @@ def knn_lsh(
         .withColumn("cos", cosine_similarity("qv", "cv"))
         .select("query_id", "neighbor_id", "cos")
     )
-    return _rank_topk(scored, k)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

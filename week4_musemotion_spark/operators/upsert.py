@@ -1,0 +1,67 @@
+"""Upsert (merge) semantics on immutable columnar storage.
+
+The reference upserts via a temp table + ``ON DUPLICATE KEY UPDATE``
+(load_musemotion_to_db.py:91-143).  Spark+Parquet has no in-place
+update, so the engine implements merge as *last-write-wins dedup over
+the union of snapshot and updates*, then snapshot replacement — the
+standard pattern underneath table formats' MERGE INTO (SURVEY.md §4
+custom-work item 1; Delta Lake would provide this transactionally and
+is a drop-in upgrade).
+
+Cost model at scale: one shuffle on the merge key over
+snapshot+updates.  With the snapshot bucketed/partitioned by key,
+only touched partitions need rewriting (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def last_wins(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
+    """Keep one row per key: highest ``order_by`` wins.
+
+    ``order_by`` must be a total order within a key group (append a
+    unique id as tie-break) or the winner is nondeterministic.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() if isinstance(c, str) else c for c in order_by])
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def merge_upsert(snapshot: DataFrame | None, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE: update rows matching on ``keys``, insert the rest.
+
+    Updates take priority over snapshot rows; within each source,
+    input order is not semantically meaningful (matching the
+    reference, whose chunked INSERT makes the last chunk win).
+    """
+    tagged_updates = updates.withColumn("_src", F.lit(1))
+    if snapshot is None:
+        merged = tagged_updates
+    else:
+        merged = snapshot.withColumn("_src", F.lit(0)).unionByName(tagged_updates)
+    return last_wins(merged, keys, [F.col("_src").desc()]).drop("_src")
+
+
+def upsert_parquet_snapshot(
+    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+) -> None:
+    """Merge ``updates`` into the parquet snapshot at ``path``.
+
+    Write-audit-publish: the merge materializes into a staging dir,
+    then atomically (rename) replaces the snapshot — never overwrite
+    a path you are lazily reading.  Local-FS rename here; on an
+    object store this is the table-format/commit-protocol layer.
+    """
+    snapshot = spark.read.parquet(path) if os.path.exists(path) else None
+    merged = merge_upsert(snapshot, updates, keys)
+    staging = path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)

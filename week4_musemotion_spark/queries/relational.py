@@ -418,6 +418,27 @@ def q_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_counts",
+    covers=("X-STREAM-WINDOW",),
+    oracle="""
+    SELECT (epoch_ns(ts) // 3600000000000) AS hour_bucket,
+           event_type, count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts per event type — the batch
+    equivalent of streaming.windowed_event_counts (same grouping
+    keys), bucketed with exact integer division on epoch nanos
+    (float division would lose precision above 2^53)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.expr("ts div 3600000000000").alias("hour_bucket"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+
+
+@query(
     "q_upsert_lastwins",
     covers=("K4",),
     oracle="""

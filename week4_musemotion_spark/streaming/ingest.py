@@ -1,0 +1,89 @@
+"""Structured Streaming ingest of the events stream.
+
+Realizes the reference's aspirational "long-term tracking / alerts"
+(README.md:41-45 Future Improvements — no code exists there) as an
+idiomatic Structured Streaming pipeline: file source → event-time
+windowed aggregation with a watermark for late data.
+
+The events table stores TIMESTAMP(NANOS) (read as nanosecond BIGINT,
+see session.RUNTIME_CONF); event time is derived with integer
+division — never float math, which loses precision above 2^53 ns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from week4_musemotion_spark.session import ensure_runtime_conf
+
+#: Schema of the events stream (ts = epoch nanos; file streams
+#: require an explicit schema — inference needs a listing pass that
+#: an unbounded source can't do).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet (path may be a file,
+    directory, or glob — new files are discovered incrementally).
+
+    The streaming file source derives its basePath from the input
+    path and requires a directory or glob — a bare file path fails
+    with "Option 'basePath' must be a directory".  A single file is
+    therefore rewritten into a self-matching glob (last char becomes
+    a character class), which makes the source anchor basePath at the
+    parent directory.
+    """
+    ensure_runtime_conf(spark)
+    import os
+
+    if os.path.isfile(path):
+        path = f"{path[:-1]}[{path[-1]}]"
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """epoch-nanos BIGINT → TIMESTAMP event time (exact integer µs)."""
+    return df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window counts per event type, late data bounded by the
+    watermark (state for closed windows is dropped — unbounded state
+    is the classic streaming OOM at scale)."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def run_to_memory_sink(spark: SparkSession, path: str, table_name: str = "stream_counts") -> None:
+    """Drain the stream once (availableNow) into an in-memory table —
+    the test/demo harness; production writes to parquet/Kafka with a
+    checkpoint location."""
+    q = (
+        windowed_event_counts(read_events_stream(spark, path))
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
