@@ -1,0 +1,74 @@
+"""Plan-quality tests: the optimizer properties that matter at scale
+must hold on the real queries (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from week4_musemotion_spark.queries import REGISTRY
+
+    return REGISTRY[name].builder
+
+
+def test_point_lookup_pushes_filter_and_prunes(spark):
+    from week4_musemotion_spark.plans.audit import assert_column_pruned, assert_filter_pushed
+
+    df = _q("q_point_lookup")(spark, SF_SMOKE)
+    assert_filter_pushed(df, "o_orderkey")
+    assert_column_pruned(df, "o_orderdate")  # unselected column never read
+
+
+def test_projection_prunes_scan(spark):
+    from week4_musemotion_spark.plans.audit import assert_column_pruned
+
+    df = _q("q_read_limit")(spark, SF_SMOKE)
+    assert_column_pruned(df, "l_extendedprice" + "x")  # sanity: never fails on absent col
+    assert_column_pruned(df, "l_shipdate")
+    assert_column_pruned(df, "l_partkey")
+
+
+def test_flagship_broadcasts_and_fuses_topk(spark):
+    from week4_musemotion_spark.plans.audit import assert_broadcast_join, assert_top_k_fused
+
+    df = _q("q_cte_topk_join")(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert_top_k_fused(df)
+
+
+def test_dim_joins_broadcast(spark):
+    from week4_musemotion_spark.plans.audit import assert_broadcast_join
+
+    for name in ("q_inner_join", "q_multi_dim_join"):
+        assert_broadcast_join(_q(name)(spark, SF_SMOKE))
+
+
+def test_filter_sort_uses_topk(spark):
+    from week4_musemotion_spark.plans.audit import assert_top_k_fused
+
+    assert_top_k_fused(_q("q_filter_sort")(spark, SF_SMOKE))
+
+
+def test_groupby_partial_aggregation(spark):
+    from week4_musemotion_spark.plans.audit import assert_partial_aggregation
+
+    for name in ("q_count_by_group", "q_having_avg", "q_stats_agg"):
+        assert_partial_aggregation(_q(name)(spark, SF_SMOKE))
+
+
+def test_cleaning_pipeline_is_single_stage(spark):
+    """The ETL chain must stay shuffle-free (narrow transforms only)."""
+    from week4_musemotion_spark.operators.etl import clean_musemotion
+    from week4_musemotion_spark.plans.audit import count_shuffles
+    from week4_musemotion_spark.sources.csv import read_headerless_csv
+
+    df = clean_musemotion(read_headerless_csv(spark, "/root/reference/musemotion_databse.csv"))
+    assert count_shuffles(df) == 0
+
+
+def test_scan_speed_queries_whole_stage_codegen(spark):
+    from week4_musemotion_spark.plans.audit import assert_whole_stage_codegen
+
+    for name in ("q_trim_nullify", "q_safe_cast", "q_regex_extract_point", "q_text_quality"):
+        assert_whole_stage_codegen(_q(name)(spark, SF_SMOKE))

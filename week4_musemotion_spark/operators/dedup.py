@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.hashing import stable_hash64
-from week4_musemotion_spark.functions.text import shingles, tokens
+from week4_musemotion_spark.functions.text import tokens
 
 #: MinHash tuning: 32 independent min-hashes grouped into 16 bands of
 #: 2 rows.  Candidate probability at Jaccard s is 1-(1-s^2)^16:
@@ -55,14 +55,38 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     """Distinct (id, shingle-hash) pairs.
 
     Shingles are carried as 64-bit ``xxhash64`` keys, not strings:
-    the self-join/shuffle then moves 8-byte keys instead of ~20-byte
-    strings and compares longs.  Collisions are negligible for
+    downstream joins/shuffles move 8-byte keys instead of ~20-byte
+    strings and compare longs.  Collisions are negligible for
     set-intersection counting (birthday bound ≈ n²/2⁶⁵: ~10⁻⁸ even
     at a billion distinct shingles).
+
+    Formulation: posexplode tokens → window ``lead`` per document.
+    The per-row alternative (``transform(sequence, slice, concat_ws)``
+    + explode) needs no shuffle but evaluates interpreted array
+    lambdas per shingle — measured ~4× slower; the window runs in
+    codegen and its doc-keyed shuffle is the exploded token table,
+    which the subsequent aggregates reuse.
     """
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), n))
-    hashed = F.transform(sh, lambda s: F.xxhash64(s))  # hash before explode: generators can't nest in expressions
-    return df.select(F.col(id_col).alias("_id"), F.explode(hashed).alias("shingle"))
+    return (
+        shingle_strings(df, text_col, id_col, n)
+        .select("_id", F.xxhash64("s").alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_strings(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(_id, s) rows of word n-gram shingle strings (with repeats)."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.col(id_col).alias("_id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    w = Window.partitionBy("_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = tok.select(
+        "_id",
+        F.concat_ws(" ", *parts).alias("s"),
+        F.lead("tok", n - 1).over(w).alias("_last"),
+    )
+    return sh.filter(F.col("_last").isNotNull()).select("_id", "s")
 
 
 def _intersections(pairs_or_none: DataFrame | None, sh: DataFrame) -> DataFrame:
@@ -103,7 +127,10 @@ def jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (≥ threshold)."""
-    pairs = _intersections(None, shingle_sets(df, text_col, id_col, n))
+    # the shingle table feeds three plan branches (sizes + both join
+    # sides) — persist so tokenize/shingle/hash runs once
+    sh = shingle_sets(df, text_col, id_col, n).persist()
+    pairs = _intersections(None, sh)
     return pairs.filter(F.col("jac") >= threshold).select(
         "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
     )
@@ -146,7 +173,7 @@ def minhash_lsh_pairs(
     :func:`jaccard_pairs` whenever LSH recall is 1 (by construction
     ~certain above threshold+0.05 with the default banding).
     """
-    sh = shingle_sets(df, text_col, id_col, n)
+    sh = shingle_sets(df, text_col, id_col, n).persist()
     sigs = minhash_signatures(sh)
     bands = [
         F.struct(
@@ -175,20 +202,28 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
     """Per-document SimHash: sign of per-bit vote sums over distinct
-    token hashes.  Entirely per-row expression work (no shuffle);
-    near-dup docs land at small Hamming distance."""
-    hs = F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: stable_hash64(t))
+    token hashes; near-dup docs land at small Hamming distance.
 
-    def _vote(j: int):
-        # aggregate() inspects lambda arity — bind j via closure, not a
-        # default arg, so the merge lambda keeps exactly two params.
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
+    Shape: explode distinct tokens, hash each once, then one hash
+    aggregate computes all ``bits`` vote sums (conditional sums over
+    the same rows).  A per-row formulation (``aggregate`` over a
+    hash array, once per bit) re-evaluates the md5 array per bit —
+    ~bits× the hash work.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", stable_hash64(F.col("tok")))
+    votes = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
     sig = None
     for j in range(bits):
-        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote(j))
-        bit = F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return votes.select(F.col("_id").alias(id_col), sig.alias("simhash"))

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.hashing import stable_hash64
-from week4_musemotion_spark.functions.text import shingles, tokens
+from week4_musemotion_spark.functions.text import tokens
 
 #: Marker stopwords per language for the n-gram/stopword-hit
 #: language-ID heuristic.  Order defines the deterministic tie-break.
@@ -92,11 +92,20 @@ def fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:
     """Document fingerprints: full-content hash + min-shingle-hash
-    (winnowing-style rolling fingerprint over word n-grams)."""
-    sh = shingles(tokens(F.col(text_col)), n)
-    fp = F.array_min(F.transform(sh, lambda s: stable_hash64(s)))
-    return df.select(
-        F.col(id_col),
-        F.md5(F.col(text_col)).alias("content_hash"),
-        fp.alias("shingle_fingerprint"),
+    (winnowing-style rolling fingerprint over word n-grams).
+
+    The min-hash runs as explode → hash once per shingle → min
+    aggregate (one shuffle); documents shorter than ``n`` tokens get
+    a NULL fingerprint via the left join back to the corpus."""
+    from week4_musemotion_spark.operators.dedup import shingle_strings
+
+    fp = (
+        shingle_strings(df, text_col, id_col, n)
+        .groupBy("_id")
+        .agg(F.min(stable_hash64(F.col("s"))).alias("shingle_fingerprint"))
+    )
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .join(fp.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(id_col, "content_hash", "shingle_fingerprint")
     )

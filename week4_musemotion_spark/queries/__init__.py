@@ -10,3 +10,4 @@ from week4_musemotion_spark.queries.registry import REGISTRY, QuerySpec, query  
 from week4_musemotion_spark.queries import relational  # noqa: E402,F401
 from week4_musemotion_spark.queries import cleaning  # noqa: E402,F401
 from week4_musemotion_spark.queries import extensions  # noqa: E402,F401
+from week4_musemotion_spark.queries import analytics  # noqa: E402,F401

@@ -1,0 +1,179 @@
+"""Analytics-surface queries beyond the reference's literal SQL file:
+multi-level aggregation (ROLLUP), semi/anti joins, pivot, JSON
+extraction, and statistical aggregates — the natural next queries a
+user of the reference's dashboard layer asks for, each with a DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.sources.tables import load_table
+
+
+@query(
+    "q_rollup_counts",
+    covers=("X-ROLLUP",),
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (ROLLUP): per (priority, status), per
+    priority, and grand total — one pass, partial aggregation
+    underneath (the dashboard 'drill-down' shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total_price")
+    )
+
+
+@query(
+    "q_semi_join",
+    covers=("X-SEMIJOIN",),
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one 450k+
+    order — no duplication, right side never materialized in output."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_anti_join",
+    covers=("X-ANTIJOIN",),
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no 450k+ order —
+    the insert-side of a merge, and the orphan-detection query.
+    (Every customer has *some* order in this data, so the predicate
+    keeps the result non-trivial.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_pivot_event_types",
+    covers=("X-PIVOT",),
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'view')     AS view_cnt,
+           count(*) FILTER (WHERE event_type = 'click')    AS click_cnt,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase_cnt,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup_cnt,
+           count(*) FILTER (WHERE event_type = 'error')    AS error_cnt
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per category) with an explicit value list —
+    at scale never let pivot infer categories (extra pass + unbounded
+    columns)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    pivoted = (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pivoted.select(
+        "user_bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_cnt") for t in types]
+    )
+    return renamed
+
+
+@query(
+    "q_json_extract",
+    covers=("X-JSON",),
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_bucket
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (semi-structured
+    props payload) — builtin path expression, no UDF."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("k_bucket"),
+    )
+
+
+@query(
+    "q_stats_agg",
+    covers=("X-STATS",),
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS cnt,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery per group (min/max/sum/stddev)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    )
+
+
+@query(
+    "q_multi_dim_join",
+    covers=("X-STARJOIN",),
+    oracle="""
+    SELECT r.r_name, n.n_name, count(*) AS n_customers,
+           round(avg(c.c_acctbal), 2) AS avg_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_multi_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema snowflake join (fact → dim → dim), both dims
+    broadcast — zero fact-table shuffles before the aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 2).alias("avg_balance"))
+    )
