@@ -25,7 +25,12 @@ def main() -> None:
     spark = get_spark("bench")
 
     # warm up the JVM / codegen / parquet footer caches off the clock
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # (scan every table once so the first timed query isn't charged
+    # for file-listing and codegen warmup)
+    from week4_musemotion_spark.schemas import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():

@@ -29,10 +29,18 @@ NULL_LITERALS = ("nan", "None", "")
 WKT_POINT_PATTERN = r"POINT\s*\(\s*(-?[\d\.]+)\s+(-?[\d\.]+)\s*\)"
 
 
+def strip_whitespace(col: Column | str) -> Column:
+    """Strip leading/trailing whitespace — ALL whitespace, matching
+    pandas ``.str.strip()`` (the reference's semantics).  Spark's
+    builtin ``trim()`` removes only ASCII spaces, so ``'\\t42'``
+    would survive it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def trim_nullify(col: Column | str) -> Column:
     """Trim whitespace and normalize 'nan'/'None'/'' to NULL."""
-    c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
+    t = strip_whitespace(col)
     return F.when(t.isin(*NULL_LITERALS), F.lit(None).cast("string")).otherwise(t)
 
 
@@ -41,10 +49,9 @@ def safe_cast(col: Column | str, dtype: str) -> Column:
 
     ``try_cast`` keeps the semantics correct even if a session runs
     with ANSI mode on; under ANSI-off it is equivalent to ``cast``.
-    Whitespace is trimmed first so ' 42 ' parses.
+    Whitespace (including tabs) is stripped first so ' 42 ' parses.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.trim(c).try_cast(dtype)
+    return strip_whitespace(col).try_cast(dtype)
 
 
 def extract_point_latlon(col: Column | str) -> tuple[Column, Column]:
