@@ -35,6 +35,22 @@ def test_width_guard_truncates_junk_fields(spark):
     assert all(v and len(v) >= 8 for v in sample)
 
 
+def test_multi_file_glob_union(spark, tmp_path):
+    """S2: a directory of CSV shards reads as one table (the
+    reference's blob-list + concat loop, pipeline.py:126-150)."""
+    from week4_musemotion_spark.operators.etl import clean_musemotion, kpi_summary
+    from week4_musemotion_spark.sources.csv import read_headerless_csv
+
+    lines = open(REFERENCE_CSV, encoding="utf-8", errors="replace").read().splitlines(True)
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    (shard_dir / "a.csv").write_text("".join(lines[: len(lines) // 2]))
+    (shard_dir / "b.csv").write_text("".join(lines[len(lines) // 2 :]))
+    kpi = kpi_summary(clean_musemotion(read_headerless_csv(spark, str(shard_dir)))).collect()[0]
+    assert kpi.total_vehicles == 1498
+    assert kpi.avg_year == 2021.1
+
+
 def test_narrow_csv_is_refused(spark, tmp_path):
     from week4_musemotion_spark.sources.csv import read_headerless_csv
 

@@ -163,34 +163,50 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def _with_sketch(
-    df: DataFrame, planes: list[list[float]], id_col: str, vec_col: str, out_ids: tuple[str, str]
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    out_ids: tuple[str, str],
+    n_tables: int = 1,
 ) -> DataFrame:
-    """(id, vec, bucket) with the sign-bit sketch computed in one
-    Arrow-batched numpy pass: bit p = (v · plane_p) > 0.  (A per-plane
-    higher-order-function formulation re-folds the vector once per
-    plane, interpreted — ~10× slower.)"""
+    """(id, vec, table, bucket) rows — the multi-table sign-bit
+    sketch in one Arrow-batched numpy pass: table t's bucket packs
+    bits ``(v · plane_p) > 0`` for its own slice of the plane family;
+    each vector emits ``n_tables`` rows.  (A per-plane higher-order-
+    function formulation re-folds the vector once per plane,
+    interpreted — ~10× slower.)"""
     id_out, vec_out = out_ids
-    pm = np.array(planes, dtype=np.float64)  # (P, dim)
+    pm = np.array(planes, dtype=np.float64)  # (L*P, dim)
+    per_table = pm.shape[0] // n_tables
     schema = T.StructType(
         [
             T.StructField(id_out, T.LongType()),
             T.StructField(vec_out, T.ArrayType(T.FloatType())),
+            T.StructField("table", T.IntegerType()),
             T.StructField("bucket", T.LongType()),
         ]
     )
 
     def _sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = 1 << np.arange(pm.shape[0], dtype=np.int64)
+        weights = 1 << np.arange(per_table, dtype=np.int64)
         for pdf in batches:
             mat = _to_matrix(pdf[vec_col])
-            bits = (mat @ pm.T) > 0
-            yield pd.DataFrame(
-                {
-                    id_out: pdf[id_col].to_numpy(dtype=np.int64),
-                    vec_out: pdf[vec_col],
-                    "bucket": bits @ weights,
-                }
-            )
+            bits = (mat @ pm.T) > 0  # (n, L*P)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out = []
+            for t in range(n_tables):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_out: ids,
+                            vec_out: pdf[vec_col],
+                            "table": t,
+                            "bucket": bits[:, t * per_table : (t + 1) * per_table] @ weights,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
 
     return df.select(id_col, vec_col).mapInPandas(_sketch, schema=schema)
 
@@ -199,23 +215,36 @@ def knn_lsh(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    n_planes: int = 8,
+    n_tables: int = 16,
+    n_planes: int = 6,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH bucket join + exact rerank.
+    """Approximate top-k: multi-table hyperplane-LSH + exact rerank.
 
-    Each side is sketched per-row (no shuffle), then candidates are
-    generated by an equi-join on the bucket key — the only shuffle,
-    and it scales with bucket collision counts, not corpus².
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits
+    each; a corpus vector is a candidate if it shares a bucket with
+    the query in ANY table (the standard recall amplification:
+    single-table sign-LSH recall collapses on high-entropy
+    embeddings).  Both sides sketch per-row (no shuffle); candidates
+    come from an equi-join on (table, bucket) + distinct — work
+    scales with L × bucket occupancy, not corpus².  Recall/cost is
+    tuned by (n_tables, n_planes): more planes → smaller buckets,
+    more tables → higher recall.
     """
-    planes = _hyperplanes(n_planes, dim)
-    q = _with_sketch(queries, planes, id_col, vec_col, ("query_id", "qv"))
-    c = _with_sketch(emb, planes, id_col, vec_col, ("neighbor_id", "cv"))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    planes = _hyperplanes(n_tables * n_planes, dim)
+    q = _with_sketch(queries, planes, id_col, vec_col, ("query_id", "qv"), n_tables)
+    c = _with_sketch(emb, planes, id_col, vec_col, ("neighbor_id", "cv"), n_tables)
+    cands = (
+        c.join(F.broadcast(q.drop(vec_col, "qv")), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cands.join(F.broadcast(q_vecs), "query_id")
         .withColumn("cos", cosine_similarity("qv", "cv"))
         .select("query_id", "neighbor_id", "cos")
     )

@@ -154,6 +154,29 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_supplier_nation_agg",
+    covers=("X-SUPPLIER",),
+    oracle="""
+    SELECT n.n_name, count(*) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_balance
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_supplier_nation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier rollup per nation (completes coverage: every testdata
+    table is exercised by at least one oracle query)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("total_balance"))
+    )
+
+
+@query(
     "q_multi_dim_join",
     covers=("X-STARJOIN",),
     oracle="""

@@ -74,6 +74,20 @@ def windowed_event_counts(
     )
 
 
+def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key streaming dedup: drop repeated event_ids
+    within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds state: an event_id seen
+    again after the watermark expires would re-emit, which is the
+    explicit contract (bounded state beats unbounded exactness at
+    scale — the batch upsert reconciles stragglers downstream).
+    """
+    return with_event_time(stream).withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory_sink(spark: SparkSession, path: str, table_name: str = "stream_counts") -> None:
     """Drain the stream once (availableNow) into an in-memory table —
     the test/demo harness; production writes to parquet/Kafka with a
