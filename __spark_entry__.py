@@ -11,11 +11,19 @@ module only adapts its query registry to the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from week4_musemotion_spark.queries import REGISTRY
+# the driver may import this module by file path from any CWD — make
+# sure the package that lives next to it is importable
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from week4_musemotion_spark.queries import REGISTRY  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

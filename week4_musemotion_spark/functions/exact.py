@@ -1,0 +1,88 @@
+"""Exact cross-engine arithmetic for money-like doubles.
+
+``round(avg(double_col), 2)`` is NOT reproducible across engines, for
+two stacked reasons observed in differential testing:
+
+1. partial-aggregation sum order differs → last-ulp drift;
+2. even on bit-identical doubles, Spark's ``round`` rounds the
+   *shortest decimal string* (4201.315 → 4201.32) while DuckDB
+   rounds the *binary value* (4201.31499999999987… → 4201.31).
+
+The testdata's monetary columns carry 2-decimal values, so money
+aggregates are computed — and emitted — in exact integer cents:
+BIGINT in, BIGINT out, no doubles anywhere near the result.  Paired
+Spark/SQL builders live together so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of a 2-decimal double column.  (The *100
+    lands within 1e-10 of an integer for 2-dp data, so the
+    double-round here is engine-stable.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def cents_sql(expr: str) -> str:
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
+def sum_money(col: Column | str) -> Column:
+    """Exact sum in cents (BIGINT)."""
+    return F.sum(cents(col))
+
+
+def sum_money_sql(expr: str) -> str:
+    return f"CAST(sum({cents_sql(expr)}) AS BIGINT)"
+
+
+def avg_money(col: Column | str) -> Column:
+    """Average in cents, rounded half-away-from-zero to the nearest
+    cent with pure integer arithmetic (BIGINT): |p|/q rounds as
+    (2|p| + q) div 2q — truncating division agrees across engines for
+    non-negative operands."""
+    p = F.sum(cents(col))
+    q = F.count(F.lit(1))
+    num = (2 * F.abs(p) + q).cast("long")
+    den = (2 * q).cast("long")
+    # exact integer division: strip the remainder first, then the
+    # double division of exactly-divisible longs (< 2^53) is exact
+    mag = ((num - F.pmod(num, den)) / den).cast("long")
+    return F.when(p >= 0, mag).otherwise(-mag)
+
+
+def avg_money_sql(expr: str) -> str:
+    c = cents_sql(expr)
+    return (
+        f"CAST(CASE WHEN sum({c}) >= 0 "
+        f"THEN (2 * sum({c}) + count(*)) // (2 * count(*)) "
+        f"ELSE -((2 * -sum({c}) + count(*)) // (2 * count(*))) END AS BIGINT)"
+    )
+
+
+def stddev_money(col: Column | str) -> Column:
+    """Sample stddev in ten-thousandths of a cent-unit (BIGINT):
+    computed from exact integer moments (sum, sum-of-squares in
+    decimal128) so partition order cannot perturb it, then scaled
+    ×10⁴ and rounded to an integer.  The builtin ``stddev_samp``
+    accumulates doubles in partition order and is not reproducible."""
+    c = cents(col)
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum(c).cast("double")
+    s2 = F.sum((c * c).cast("decimal(38,0)")).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return F.round(F.sqrt(var) * 100).cast("long")  # cents*1e2 = dollars*1e4
+
+
+def stddev_money_sql(expr: str) -> str:
+    c = cents_sql(expr)
+    return (
+        f"CAST(round(sqrt((CAST(sum(CAST({c} AS HUGEINT) * {c}) AS DOUBLE)"
+        f" - CAST(sum({c}) AS DOUBLE) * CAST(sum({c}) AS DOUBLE) / count(*))"
+        f" / (count(*) - 1.0)) * 100) AS BIGINT)"
+    )

@@ -10,6 +10,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from week4_musemotion_spark.functions.exact import (
+    avg_money,
+    avg_money_sql,
+    stddev_money,
+    stddev_money_sql,
+    sum_money,
+    sum_money_sql,
+)
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
 
@@ -17,9 +25,9 @@ from week4_musemotion_spark.sources.tables import load_table
 @query(
     "q_rollup_counts",
     covers=("X-ROLLUP",),
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, o_orderstatus,
-           count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price
+           count(*) AS cnt, {sum_money_sql("o_totalprice")} AS total_price_cents
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -30,7 +38,7 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     underneath (the dashboard 'drill-down' shape)."""
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total_price")
+        F.count("*").alias("cnt"), sum_money("o_totalprice").alias("total_price_cents")
     )
 
 
@@ -130,13 +138,13 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stats_agg",
     covers=("X-STATS",),
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            count(*) AS cnt,
            round(min(l_extendedprice), 2) AS min_price,
            round(max(l_extendedprice), 2) AS max_price,
-           round(sum(l_extendedprice), 2) AS sum_price,
-           round(stddev_samp(l_extendedprice), 4) AS sd_price
+           {sum_money_sql("l_extendedprice")} AS sum_price_cents,
+           {stddev_money_sql("l_extendedprice")} AS sd_price_e4
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -148,17 +156,17 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        sum_money("l_extendedprice").alias("sum_price_cents"),
+        stddev_money("l_extendedprice").alias("sd_price_e4"),
     )
 
 
 @query(
     "q_supplier_nation_agg",
     covers=("X-SUPPLIER",),
-    oracle="""
+    oracle=f"""
     SELECT n.n_name, count(*) AS n_suppliers,
-           round(sum(s.s_acctbal), 2) AS total_balance
+           {sum_money_sql("s.s_acctbal")} AS total_balance_cents
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
@@ -172,16 +180,16 @@ def q_supplier_nation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.count("*").alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("total_balance"))
+        .agg(F.count("*").alias("n_suppliers"), sum_money("s_acctbal").alias("total_balance_cents"))
     )
 
 
 @query(
     "q_multi_dim_join",
     covers=("X-STARJOIN",),
-    oracle="""
+    oracle=f"""
     SELECT r.r_name, n.n_name, count(*) AS n_customers,
-           round(avg(c.c_acctbal), 2) AS avg_balance
+           {avg_money_sql("c.c_acctbal")} AS avg_balance_cents
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -198,5 +206,5 @@ def q_multi_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 2).alias("avg_balance"))
+        .agg(F.count("*").alias("n_customers"), avg_money("c_acctbal").alias("avg_balance_cents"))
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from week4_musemotion_spark.functions.exact import avg_money, avg_money_sql
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
 
@@ -159,11 +160,11 @@ def q_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("A2", "F6", "O3"),
     oracle="""
     SELECT o_orderpriority, count(*) AS cnt,
-           round(avg(o_totalprice), 2) AS avg_price
+           CAST(CASE WHEN sum(CAST(round((o_totalprice) * 100) AS BIGINT)) >= 0 THEN (2 * sum(CAST(round((o_totalprice) * 100) AS BIGINT)) + count(*)) // (2 * count(*)) ELSE -((2 * -sum(CAST(round((o_totalprice) * 100) AS BIGINT)) + count(*)) // (2 * count(*))) END AS BIGINT) AS avg_price_cents
     FROM orders
     GROUP BY o_orderpriority
     HAVING count(*) > 10
-    ORDER BY avg_price DESC, o_orderpriority ASC
+    ORDER BY avg_price_cents DESC, o_orderpriority ASC
     """,
 )
 def q_having_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,9 +172,9 @@ def q_having_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("cnt"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .agg(F.count("*").alias("cnt"), avg_money("o_totalprice").alias("avg_price_cents"))
         .filter(F.col("cnt") > 10)
-        .orderBy(F.col("avg_price").desc(), F.col("o_orderpriority").asc())
+        .orderBy(F.col("avg_price_cents").desc(), F.col("o_orderpriority").asc())
     )
 
 
@@ -182,7 +183,7 @@ def q_having_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("P8", "A4", "F9"),
     oracle="""
     SELECT count(*) AS n_events,
-           round(avg(value), 2) AS avg_value,
+           CAST(CASE WHEN sum(CAST(round((value) * 100) AS BIGINT)) >= 0 THEN (2 * sum(CAST(round((value) * 100) AS BIGINT)) + count(*)) // (2 * count(*)) ELSE -((2 * -sum(CAST(round((value) * 100) AS BIGINT)) + count(*)) // (2 * count(*))) END AS BIGINT) AS avg_value_cents,
            count(DISTINCT user_id) AS n_users
     FROM events
     WHERE event_type IN ('view', 'click')
@@ -194,7 +195,7 @@ def q_isin_filter_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.filter(F.col("event_type").isin("view", "click")).agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 2).alias("avg_value"),
+        avg_money("value").alias("avg_value_cents"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -221,7 +222,8 @@ def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice
     FROM lineitem
-    WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
+    WHERE CAST(round(l_extendedprice * 100) AS BIGINT) * (SELECT count(*) FROM lineitem)
+          > (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM lineitem)
     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
     LIMIT 50
     """,
@@ -235,7 +237,8 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem
-        WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
+        WHERE CAST(round(l_extendedprice * 100) AS BIGINT) * (SELECT count(*) FROM lineitem)
+          > (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM lineitem)
         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         LIMIT 50
         """
