@@ -15,8 +15,8 @@ def test_minhash_equals_exact_jaccard(spark):
     """LSH + verification must reproduce the exact near-dup pair set."""
     from week4_musemotion_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
 
-    exact = {(r.doc_a, r.doc_b, r.jaccard) for r in jaccard_pairs(_docs(spark), 0.8).collect()}
-    lsh = {(r.doc_a, r.doc_b, r.jaccard) for r in minhash_lsh_pairs(_docs(spark), 0.8).collect()}
+    exact = {(r.doc_a, r.doc_b, r.jaccard_e4) for r in jaccard_pairs(_docs(spark), 0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b, r.jaccard_e4) for r in minhash_lsh_pairs(_docs(spark), 0.8).collect()}
     assert exact, "corpus should contain planted near-dups"
     assert lsh == exact
 

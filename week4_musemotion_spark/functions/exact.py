@@ -65,6 +65,33 @@ def avg_money_sql(expr: str) -> str:
     )
 
 
+def int_div_round(p: Column, q: Column) -> Column:
+    """round-half-away-from-zero of p/q for non-negative integer
+    columns, in pure integer arithmetic: (2p + q) div 2q."""
+    num = (2 * p + q).cast("long")
+    den = (2 * q).cast("long")
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def int_div_round_sql(p: str, q: str) -> str:
+    return f"CAST((2 * ({p}) + ({q})) // (2 * ({q})) AS BIGINT)"
+
+
+def ratio_e4(num: Column, den: Column) -> Column:
+    """p/q as ten-thousandths (BIGINT), exactly rounded.
+
+    ``round(p/q, 4)`` on doubles is engine-divergent whenever the
+    rational's shortest decimal repr ends in a half at the 5th place
+    (e.g. 3/160 = 0.01875: Spark string-rounds up, DuckDB
+    binary-rounds the slightly-low double down) — integer arithmetic
+    sidesteps the whole class."""
+    return int_div_round(num * 10_000, den)
+
+
+def ratio_e4_sql(num: str, den: str) -> str:
+    return int_div_round_sql(f"({num}) * 10000", den)
+
+
 def stddev_money(col: Column | str) -> Column:
     """Sample stddev in ten-thousandths of a cent-unit (BIGINT):
     computed from exact integer moments (sum, sum-of-squares in

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from week4_musemotion_spark.functions.exact import ratio_e4
 from week4_musemotion_spark.functions.hashing import stable_hash64
 from week4_musemotion_spark.functions.text import tokens
 
@@ -108,15 +109,23 @@ def _intersections(pairs_or_none: DataFrame | None, sh: DataFrame) -> DataFrame:
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("i"))
         )
+    union_size = F.col("na") + F.col("nb") - F.col("i")
     return (
         inter.join(sizes.withColumnsRenamed({"_id": "doc_a", "n": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({"_id": "doc_b", "n": "nb"}), "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jac"),
+            (F.col("i") / union_size).alias("jac"),
+            # exact ten-thousandths for the emitted value: round(x, 4)
+            # on doubles diverges between engines at half boundaries
+            ratio_e4(F.col("i").cast("long"), union_size.cast("long")).alias("jaccard_e4"),
         )
     )
+
+
+def _jaccard_e4():
+    return F.col("jaccard_e4")
 
 
 def jaccard_pairs(
@@ -131,9 +140,7 @@ def jaccard_pairs(
     # sides) — persist so tokenize/shingle/hash runs once
     sh = shingle_sets(df, text_col, id_col, n).persist()
     pairs = _intersections(None, sh)
-    return pairs.filter(F.col("jac") >= threshold).select(
-        "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
-    )
+    return pairs.filter(F.col("jac") >= threshold).select("doc_a", "doc_b", _jaccard_e4())
 
 
 def minhash_signatures(
@@ -195,7 +202,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     verified = _intersections(cands, sh).filter(F.col("jac") >= threshold)
-    return verified.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+    return verified.select("doc_a", "doc_b", _jaccard_e4())
 
 
 def simhash_signatures(

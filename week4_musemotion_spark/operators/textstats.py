@@ -32,20 +32,27 @@ BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length / token / stopword-ratio quality features + score."""
+    """Length / token / stopword-ratio quality features + score.
+
+    Ratios are emitted as exact ten-thousandths (BIGINT): the
+    length-damped quality score ``min(1, n/200) · (1 − stop/n)``
+    scaled ×10⁴ reduces to ``50·min(n,200)·(n−stop) / n`` — pure
+    integer arithmetic, reproducible across engines (see
+    functions.exact)."""
+    from week4_musemotion_spark.functions.exact import int_div_round, ratio_e4
+
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks).cast("long")
     n_uniq = F.size(F.array_distinct(toks)).cast("long")
     stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS))).cast("long")
-    stop_ratio = F.round(stop_cnt / n_tokens, 4)
-    quality = F.round(F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * (1 - stop_cnt / n_tokens), 4)
+    damp = F.least(n_tokens, F.lit(200).cast("long"))
     return df.select(
         F.col(id_col),
         F.length(text_col).cast("long").alias("n_chars_txt"),
         n_tokens.alias("n_tokens"),
         n_uniq.alias("n_uniq_tokens"),
-        stop_ratio.alias("stop_ratio"),
-        quality.alias("quality"),
+        ratio_e4(stop_cnt, n_tokens).alias("stop_ratio_e4"),
+        int_div_round(50 * damp * (n_tokens - stop_cnt), n_tokens).alias("quality_e4"),
     )
 
 
@@ -77,14 +84,17 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace and BPE-ish regex token counts + chars/token."""
+    """Whitespace and BPE-ish regex token counts + chars/token
+    (exact ten-thousandths, BIGINT — see functions.exact)."""
+    from week4_musemotion_spark.functions.exact import ratio_e4
+
     ws = F.size(tokens(F.col(text_col))).cast("long")
     bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)).cast("long")
     return df.select(
         F.col(id_col),
         ws.alias("n_ws_tokens"),
         bpe.alias("n_bpe_tokens"),
-        F.round(F.col("n_chars") / ws, 4).alias("chars_per_token"),
+        ratio_e4(F.col("n_chars").cast("long"), ws).alias("chars_per_token_e4"),
     )
 
 

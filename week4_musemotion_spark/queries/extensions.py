@@ -58,7 +58,8 @@ def _jaccard_sql(threshold: float, n: int = 3) -> str:
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+           CAST((2 * i * 10000 + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i)) AS BIGINT)
+               AS jaccard_e4
     FROM inter
     JOIN sz sa ON doc_a = sa.doc_id
     JOIN sz sb ON doc_b = sb.doc_id
@@ -237,8 +238,9 @@ _STOPLIST = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
            CAST(n_chars_txt AS BIGINT) AS n_chars_txt,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(n_uniq_tokens AS BIGINT) AS n_uniq_tokens,
-           round(CAST(stop_cnt AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-           round(least(1.0, n_tokens / 200.0) * (1 - CAST(stop_cnt AS DOUBLE) / n_tokens), 4) AS quality
+           CAST((2 * stop_cnt * 10000 + n_tokens) // (2 * n_tokens) AS BIGINT) AS stop_ratio_e4,
+           CAST((2 * 50 * least(n_tokens, 200) * (n_tokens - stop_cnt) + n_tokens)
+                // (2 * n_tokens) AS BIGINT) AS quality_e4
     FROM s
     """,
 )
@@ -290,7 +292,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
                AS n_bpe_tokens,
-           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token
+           CAST((2 * n_chars * 10000 + len(string_split(text, ' ')))
+                // (2 * len(string_split(text, ' '))) AS BIGINT) AS chars_per_token_e4
     FROM documents
     """,
 )
