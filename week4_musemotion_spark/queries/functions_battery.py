@@ -1,0 +1,152 @@
+"""Scalar/array function batteries — breadth coverage for the engine
+surface beyond the reference's own functions (string ops, date parts,
+null handling, array sort/contains, CUBE, multi-value explode), each
+differentially checked.  The multi-value explode is the ArrayType
+seam the reference's pipe-delimited ``utility`` column implies but
+never exploits (SURVEY.md §1.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.functions.text import tokens
+from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.sources.tables import load_table
+
+
+@query(
+    "q_string_funcs",
+    covers=("X-STRFUNC",),
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           substr(p_name, 1, 5) AS prefix,
+           replace(p_type, ' ', '_') AS type_u,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar battery: case, substring, replace, length,
+    edit distance — all builtin, codegen'd."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+    )
+
+
+@query(
+    "q_date_parts",
+    covers=("X-DATEPARTS",),
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d
+    FROM orders
+    """,
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal field extraction (year/quarter/month/day-of-month).
+    Day-of-week is deliberately excluded: Spark numbers Sunday=1,
+    DuckDB Sunday=0 — a classic silent cross-engine trap."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+    )
+
+
+@query(
+    "q_null_funcs",
+    covers=("X-NULLFUNC",),
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg_or_default,
+           CAST(nullif(c_mktsegment, 'BUILDING') IS NULL AS INT) AS was_building,
+           greatest(c_acctbal, 0.0) AS bal_floor0
+    FROM customer
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling battery: nullif/coalesce/IS NULL/greatest —
+    the null-normalization algebra underlying the cleaning layer."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg, F.lit("(none)")).alias("seg_or_default"),
+        seg.isNull().cast("int").alias("was_building"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+    )
+
+
+@query(
+    "q_token_sort",
+    covers=("X-ARRAYFUNC",),
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(string_split(text, ' ')), ' ') AS sorted_text,
+           CAST(list_contains(string_split(text, ' '), 'spark') AS INT) AS has_spark
+    FROM documents
+    """,
+)
+def q_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery: sort + join round-trip (binary collation agrees
+    across engines for ascii tokens) and membership test."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(toks), " ").alias("sorted_text"),
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+    )
+
+
+@query(
+    "q_cube_counts",
+    covers=("X-CUBE",),
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one pass (the
+    dashboard's every-slice precomputation)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "q_explode_multivalue",
+    covers=("X-EXPLODE",),
+    oracle="""
+    WITH mv AS (
+        SELECT event_id,
+               event_type || '|u' || CAST(user_id % 5 AS VARCHAR) AS packed
+        FROM events
+    )
+    SELECT event_id, unnest(string_split(packed, '|')) AS val
+    FROM mv
+    """,
+)
+def q_explode_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-delimited multi-value column → one row per value (split +
+    explode) — the reference's ``utility`` column seam, done the
+    ArrayType way."""
+    e = load_table(spark, sf_dir, "events")
+    packed = F.concat(F.col("event_type"), F.lit("|u"), (F.col("user_id") % 5).cast("string"))
+    return e.select("event_id", F.explode(F.split(packed, r"\|")).alias("val"))
