@@ -1,0 +1,51 @@
+"""Sketch operators: approximations must land within their error
+contracts against exact computations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_approx_distinct_within_rsd(spark):
+    from week4_musemotion_spark.operators.sketches import approx_distinct_by
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    approx = {
+        r.l_returnflag: r.approx_distinct
+        for r in approx_distinct_by(li, ["l_returnflag"], "l_orderkey", rsd=0.02).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / exact[k]
+        assert rel_err < 0.06, (k, approx[k], exact[k])  # 3x rsd
+
+
+def test_approx_quantiles_bracket_exact(spark):
+    from week4_musemotion_spark.operators.sketches import approx_quantiles
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    got = approx_quantiles(o, "o_totalprice", [0.1, 0.5, 0.9]).collect()[0].quantiles
+    vals = sorted(r.o_totalprice for r in o.select("o_totalprice").collect())
+    n = len(vals)
+    for p, q in zip([0.1, 0.5, 0.9], got):
+        lo = vals[max(0, int(n * (p - 0.02)) - 1)]
+        hi = vals[min(n - 1, int(n * (p + 0.02)))]
+        assert lo <= q <= hi, (p, q, lo, hi)
+    assert list(got) == sorted(got)
+
+
+def test_frequent_values_support(spark):
+    from week4_musemotion_spark.operators.sketches import frequent_values
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    hh = frequent_values(e, "event_type", min_support=0.05).collect()
+    assert {r.event_type for r in hh} == {"view", "click", "purchase", "signup", "error"}
+    assert all(r.cnt >= 0.05 * 1000 for r in hh)
+    # raising support prunes
+    assert frequent_values(e, "event_type", min_support=0.9).count() == 0
