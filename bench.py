@@ -24,13 +24,14 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # warm up the JVM / codegen / parquet footer caches off the clock
-    # (scan every table once so the first timed query isn't charged
-    # for file-listing and codegen warmup)
-    from week4_musemotion_spark.schemas import TESTDATA_TABLES
-
-    for t in TESTDATA_TABLES:
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    # warm-up pass: run every query once untimed so the timed pass
+    # measures steady-state execution (whole-stage codegen compiles,
+    # parquet footer caches, python worker pools), not JIT warmup —
+    # per-query numbers then reflect the plan, not JVM startup.
+    t_wall = time.perf_counter()
+    for spec in REGISTRY.values():
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    warm_sec = round(time.perf_counter() - t_wall, 3)
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
@@ -53,6 +54,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "cold_pass_sec": warm_sec,
             }
         )
     )
