@@ -62,3 +62,56 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from week4_musemotion_spark.operators.skew import salted_join
+
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    n = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(c, n, on="c_nationkey", how="full")
+
+
+def test_last_wins_accepts_string_order_cols(spark):
+    from week4_musemotion_spark.operators.upsert import last_wins
+
+    df = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 2, "new"), ("b", 5, "only")], ["k", "ver", "val"]
+    )
+    got = {r.k: r.val for r in last_wins(df, ["k"], ["ver"]).collect()}
+    assert got == {"a": "new", "b": "only"}
+
+
+def test_knn_handles_zero_norm_and_ties(spark):
+    from pyspark.sql import Row
+
+    from week4_musemotion_spark.operators.similarity import cosine_pairs, knn_brute_force
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),       # query
+        Row(vec_id=1, embedding=[2.0, 0.0]),       # cos 1 (tie)
+        Row(vec_id=2, embedding=[3.0, 0.0]),       # cos 1 (tie)
+        Row(vec_id=3, embedding=[4.0, 0.0]),       # cos 1 (tie)
+        Row(vec_id=4, embedding=[0.0, 0.0]),       # zero norm: must not rank
+        Row(vec_id=5, embedding=[0.0, 1.0]),       # cos 0
+    ]
+    emb = spark.createDataFrame(rows)
+    got = knn_brute_force(emb, emb.filter("vec_id = 0"), k=3).collect()
+    # ties broken by neighbor_id asc; zero vector excluded entirely
+    assert [(r.neighbor_id, r.rank) for r in got] == [(1, 1), (2, 2), (3, 3)]
+    pairs = cosine_pairs(emb, threshold=0.5).collect()
+    assert all(4 not in (r.vec_id_a, r.vec_id_b) for r in pairs)
+
+
+def test_frequent_values_ceil_threshold(spark):
+    from week4_musemotion_spark.operators.sketches import frequent_values
+
+    df = spark.createDataFrame([("x",)] * 2 + [("y",)] * 248, ["v"])
+    # 250 rows, 1% support -> ceil(2.5)=3: 'x' (count 2, 0.8%) must NOT qualify
+    got = {r.v for r in frequent_values(df, "v", min_support=0.01).collect()}
+    assert got == {"y"}

@@ -45,9 +45,11 @@ def avg_money(col: Column | str) -> Column:
     """Average in cents, rounded half-away-from-zero to the nearest
     cent with pure integer arithmetic (BIGINT): |p|/q rounds as
     (2|p| + q) div 2q — truncating division agrees across engines for
-    non-negative operands."""
-    p = F.sum(cents(col))
-    q = F.count(F.lit(1))
+    non-negative operands.  Divides by the NON-NULL count (SQL AVG
+    semantics), not count(*)."""
+    c = cents(col)
+    p = F.sum(c)
+    q = F.count(c)
     num = (2 * F.abs(p) + q).cast("long")
     den = (2 * q).cast("long")
     # exact integer division: strip the remainder first, then the
@@ -58,10 +60,11 @@ def avg_money(col: Column | str) -> Column:
 
 def avg_money_sql(expr: str) -> str:
     c = cents_sql(expr)
+    n = f"count({c})"
     return (
         f"CAST(CASE WHEN sum({c}) >= 0 "
-        f"THEN (2 * sum({c}) + count(*)) // (2 * count(*)) "
-        f"ELSE -((2 * -sum({c}) + count(*)) // (2 * count(*))) END AS BIGINT)"
+        f"THEN (2 * sum({c}) + {n}) // (2 * {n}) "
+        f"ELSE -((2 * -sum({c}) + {n}) // (2 * {n})) END AS BIGINT)"
     )
 
 
@@ -99,17 +102,20 @@ def stddev_money(col: Column | str) -> Column:
     ×10⁴ and rounded to an integer.  The builtin ``stddev_samp``
     accumulates doubles in partition order and is not reproducible."""
     c = cents(col)
-    n = F.count(F.lit(1)).cast("double")
+    n = F.count(c).cast("double")
     s1 = F.sum(c).cast("double")
     s2 = F.sum((c * c).cast("decimal(38,0)")).cast("double")
-    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    # clamp: cancellation can drive the moment formula a hair negative
+    # for near-constant data, and sqrt(negative) is NaN/NULL
+    var = F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))
     return F.round(F.sqrt(var) * 100).cast("long")  # cents*1e2 = dollars*1e4
 
 
 def stddev_money_sql(expr: str) -> str:
     c = cents_sql(expr)
+    n = f"count({c})"
     return (
-        f"CAST(round(sqrt((CAST(sum(CAST({c} AS HUGEINT) * {c}) AS DOUBLE)"
-        f" - CAST(sum({c}) AS DOUBLE) * CAST(sum({c}) AS DOUBLE) / count(*))"
-        f" / (count(*) - 1.0)) * 100) AS BIGINT)"
+        f"CAST(round(sqrt(greatest((CAST(sum(CAST({c} AS HUGEINT) * {c}) AS DOUBLE)"
+        f" - CAST(sum({c}) AS DOUBLE) * CAST(sum({c}) AS DOUBLE) / {n})"
+        f" / ({n} - 1.0), 0.0)) * 100) AS BIGINT)"
     )

@@ -135,9 +135,13 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (≥ threshold)."""
-    # the shingle table feeds three plan branches (sizes + both join
-    # sides) — persist so tokenize/shingle/hash runs once
+    """Exact n-gram Jaccard near-dup pairs (≥ threshold).
+
+    The shingle table is persisted (it feeds three plan branches) and
+    stays cached until Spark's LRU evicts it — callers running many
+    dedup passes in one long session can reclaim eagerly with
+    ``spark.catalog.clearCache()``.
+    """
     sh = shingle_sets(df, text_col, id_col, n).persist()
     pairs = _intersections(None, sh)
     return pairs.filter(F.col("jac") >= threshold).select("doc_a", "doc_b", _jaccard_e4())

@@ -93,15 +93,24 @@ def knn_brute_force(
         for pdf in batches:
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = _to_matrix(pdf[vec_col])
-            cos = _seq_matmul(c_mat, mat_q) / (_seq_norm(c_mat)[:, None] * norm_q[None, :])
+            c_norm = _seq_norm(c_mat)
+            denom = c_norm[:, None] * norm_q[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _seq_matmul(c_mat, mat_q) / denom
+            # zero-norm vectors have no defined cosine: exclude (the
+            # HOF path returns NULL; NaN would sort ABOVE every real
+            # score under Spark's desc ordering)
+            valid = denom > 0
             out = []
             for j, qid in enumerate(ids_q):
                 col = cos[:, j]
-                mask = c_ids != qid
-                # local top-k pre-prune: global top-k ⊆ union of batch top-k
-                cand = np.nonzero(mask)[0]
+                cand = np.nonzero((c_ids != qid) & valid[:, j])[0]
                 if len(cand) > k:
-                    cand = cand[np.argsort(-col[cand], kind="stable")[:k]]
+                    # local top-k pre-prune: must use the SAME total
+                    # order as the global window (cos desc, id asc),
+                    # or tied-cosine neighbors get wrongly dropped
+                    order = np.lexsort((c_ids[cand], -col[cand]))
+                    cand = cand[order[:k]]
                 out.append(
                     pd.DataFrame({"query_id": qid, "neighbor_id": c_ids[cand], "cos": col[cand]})
                 )
@@ -139,8 +148,11 @@ def cosine_pairs(
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             a_mat = _to_matrix(pdf[vec_col])
-            cos = _seq_matmul(a_mat, mat_b) / (_seq_norm(a_mat)[:, None] * norm_b[None, :])
-            ii, jj = np.nonzero((cos >= threshold) & (a_ids[:, None] < ids_b[None, :]))
+            denom = _seq_norm(a_mat)[:, None] * norm_b[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _seq_matmul(a_mat, mat_b) / denom
+            # NaN (zero-norm) fails the >= threshold comparison — excluded
+            ii, jj = np.nonzero((denom > 0) & (cos >= threshold) & (a_ids[:, None] < ids_b[None, :]))
             yield pd.DataFrame(
                 {"vec_id_a": a_ids[ii], "vec_id_b": ids_b[jj], "cos": cos[ii, jj]}
             )
@@ -217,7 +229,7 @@ def knn_lsh(
     k: int = 3,
     n_tables: int = 16,
     n_planes: int = 6,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -233,6 +245,13 @@ def knn_lsh(
     tuned by (n_tables, n_planes): more planes → smaller buckets,
     more tables → higher recall.
     """
+    if dim is None:
+        # infer from the data (one tiny job) — a wrong hardcoded dim
+        # would only fail deep inside executors as a shape mismatch
+        first = emb.select(vec_col).first()
+        if first is None:
+            raise ValueError("empty embedding corpus")
+        dim = len(first[0])
     planes = _hyperplanes(n_tables * n_planes, dim)
     q = _with_sketch(queries, planes, id_col, vec_col, ("query_id", "qv"), n_tables)
     c = _with_sketch(emb, planes, id_col, vec_col, ("neighbor_id", "cv"), n_tables)

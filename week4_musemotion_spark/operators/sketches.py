@@ -49,8 +49,10 @@ def frequent_values(
     """Values of ``col`` appearing in at least ``min_support`` of all
     rows, with counts — heavy-hitter contract (exact implementation;
     swap a space-saving sketch behind the same signature at scale)."""
+    import math
+
     total = df.count()
-    threshold = int(total * min_support)
+    threshold = math.ceil(total * min_support)  # 'at least' contract: never truncate down
     return (
         df.groupBy(col)
         .agg(F.count("*").alias("cnt"))

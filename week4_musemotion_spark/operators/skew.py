@@ -36,7 +36,14 @@ def salted_join(
     key-derived salt would put the hot key back on one reducer).
     The small side is exploded ×``n_salts`` (keep it broadcast-small
     or ``n_salts`` modest: replication is the price of the spread).
+
+    Only inner and left joins are supported: under right/full outer,
+    an unmatched small-side key would survive once per salt replica
+    (``n_salts`` duplicate null-extended rows) — reverse the sides or
+    use AQE skew handling for outer-preserving-the-small-side joins.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     salted_big = big.withColumn(
         _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int")
     )

@@ -29,7 +29,9 @@ def last_wins(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
     ``order_by`` must be a total order within a key group (append a
     unique id as tie-break) or the winner is nondeterministic.
     """
-    w = Window.partitionBy(*keys).orderBy(*[c.desc() if isinstance(c, str) else c for c in order_by])
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() if isinstance(c, str) else c for c in order_by]
+    )
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
