@@ -220,25 +220,35 @@ def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_subquery",
     covers=("A7", "P10", "J5", "A3"),
     oracle="""
+    WITH t AS (
+        SELECT count(*) AS cnt,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s
+        FROM lineitem
+    )
     SELECT l_orderkey, l_linenumber, l_extendedprice
-    FROM lineitem
-    WHERE CAST(round(l_extendedprice * 100) AS BIGINT) * (SELECT count(*) FROM lineitem)
-          > (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM lineitem)
+    FROM lineitem, t
+    WHERE CAST(round(l_extendedprice * 100) AS BIGINT) * t.cnt > t.s
     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
     LIMIT 50
     """,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery (ref musemotion-queries.sql:69-74)
-    via the SQL entry path — Catalyst plans the subquery as a
-    broadcast exchange (one-row relation), no driver collect."""
+    via the SQL entry path.  Both needed scalars (count + sum) come
+    from ONE aggregate pass cross-joined back as a broadcast one-row
+    relation — two scans of the fact table, not three; the threshold
+    compare is exact integer cross-multiplication (no float avg)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
+        WITH t AS (
+            SELECT count(*) AS cnt,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s
+            FROM lineitem
+        )
         SELECT l_orderkey, l_linenumber, l_extendedprice
-        FROM lineitem
-        WHERE CAST(round(l_extendedprice * 100) AS BIGINT) * (SELECT count(*) FROM lineitem)
-          > (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM lineitem)
+        FROM lineitem, t
+        WHERE CAST(round(l_extendedprice * 100) AS BIGINT) * t.cnt > t.s
         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         LIMIT 50
         """
