@@ -110,3 +110,25 @@ def test_decode_media_is_gated():
         assert "imaging" in str(e)
     else:  # pragma: no cover - only if Pillow is installed
         pass
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from week4_musemotion_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain: one component, min 1
+         (10, 11), (11, 12), (10, 12),  # triangle: min 10
+         (20, 21)],                     # pair: min 20
+        ["doc_a", "doc_b"],
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster even without an A~C edge."""
+    from week4_musemotion_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame([(5, 9), (9, 2)], ["doc_a", "doc_b"])
+    got = {r.doc_id: r.keep_id for r in dedup_clusters(pairs).collect()}
+    assert got == {2: 2, 5: 2, 9: 2}

@@ -46,9 +46,10 @@ def _shingle_expr(n: int) -> str:
     return f"list_transform(range(1, len(ts) - {n - 2}), i -> {parts})"
 
 
-def _jaccard_sql(threshold: float, n: int = 3) -> str:
-    return f"""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+def _jaccard_ctes(threshold: float, n: int = 3) -> str:
+    """Shared CTE chain: documents → shingle sets → qualifying
+    near-dup pairs (``pairs(doc_a, doc_b, i, na, nb)``)."""
+    return f"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     raw AS (SELECT doc_id, unnest({_shingle_expr(n)}) AS shingle FROM tok WHERE len(ts) >= {n}),
     sh AS (SELECT DISTINCT doc_id, shingle FROM raw),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -56,14 +57,23 @@ def _jaccard_sql(threshold: float, n: int = 3) -> str:
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
+        FROM inter
+        JOIN sz sa ON doc_a = sa.doc_id
+        JOIN sz sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+    )"""
+
+
+def _jaccard_sql(threshold: float, n: int = 3) -> str:
+    return f"""
+    WITH {_jaccard_ctes(threshold, n)}
     SELECT doc_a, doc_b,
-           CAST((2 * i * 10000 + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i)) AS BIGINT)
+           CAST((2 * i * 10000 + (na + nb - i)) // (2 * (na + nb - i)) AS BIGINT)
                AS jaccard_e4
-    FROM inter
-    JOIN sz sa ON doc_a = sa.doc_id
-    JOIN sz sb ON doc_b = sb.doc_id
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+    FROM pairs
     """
 
 
@@ -165,6 +175,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (all-pairs baseline)."""
     return cosine_pairs(load_table(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD)
+
+
+def _clusters_sql(threshold: float, n: int = 3) -> str:
+    """Oracle for dedup clusters: transitive closure of the near-dup
+    pair graph via a recursive CTE, then min reachable id per node —
+    an independent (closure-based) formulation of the engine's
+    iterative label propagation."""
+    return f"""
+    WITH RECURSIVE {_jaccard_ctes(threshold, n)},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS keep_id
+    FROM reach
+    GROUP BY u
+    """
+
+
+@query("q_dedup_clusters", covers=("X-DEDUP-CLUSTERS",), oracle=_clusters_sql(JACCARD_THRESHOLD))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS via connected components
+    (iterative min-label propagation; A~B and B~C collapse to one
+    cluster even when A~C fell below threshold).  Oracle computes the
+    transitive closure with a recursive CTE — an algorithmically
+    independent implementation."""
+    from week4_musemotion_spark.operators.graph import dedup_clusters
+
+    pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+    return dedup_clusters(pairs)
 
 
 # ---------------------------------------------------------------------------
