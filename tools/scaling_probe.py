@@ -1,0 +1,83 @@
+"""Scaling probe: time core query shapes against N× amplified facts.
+
+Amplifies lineitem/orders by unioning key-shifted copies (scan cost
+× N with no new files) and times representative shapes at each
+factor.  Near-linear growth = the plan scales with data, not with
+plan pathology (quadratic joins, driver materialization).
+
+Usage: python tools/scaling_probe.py [sf_dir] [factors...]
+Emits one JSON line: {shape: {factor: sec}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import reduce
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.session import get_spark
+    from week4_musemotion_spark.sources.tables import load_table
+
+    spark = get_spark("scaling-probe")
+
+    def amplify(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
+        copies = []
+        for i in range(n):
+            c = df
+            for k in key_cols:
+                c = c.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
+            copies.append(c)
+        return reduce(DataFrame.unionByName, copies)
+
+    def run(df: DataFrame) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    li0 = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    results: dict[str, dict[int, float]] = {}
+    for n in factors:
+        li = amplify(li0, ["l_orderkey"], n)
+        li.count()  # warm the unioned scan
+
+        top = (
+            part.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p_brand")).limit(5)
+        )
+        flagship = (
+            li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+            .join(F.broadcast(top), "p_brand")
+            .select("l_orderkey", "l_linenumber", "p_brand", "cnt", "l_quantity")
+            .orderBy(F.col("cnt").desc(), "p_brand", "l_orderkey", "l_linenumber").limit(200)
+        )
+        agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sq"), F.count("*").alias("c")
+        )
+        win = li.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "l_orderkey"
+                ).orderBy("l_linenumber")
+            ),
+        )
+        for shape, df in [("flagship_topk_join", flagship), ("group_agg", agg), ("window_rank", win)]:
+            results.setdefault(shape, {})[n] = run(df)
+
+    rows = {n: li0.count() * n for n in factors}
+    print(json.dumps({"base_rows": li0.count(), "rows": rows, "timings_sec": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
