@@ -53,3 +53,89 @@ def test_stream_upsert_snapshot_converges(spark, tmp_path):
     assert got.count() == n_users  # one current row per key
     assert got.select("user_id").distinct().count() == n_users
     assert set(got.columns) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+
+
+def test_profile_decimal_and_tinyint_ranges(spark):
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.operators.profiling import profile
+
+    df = spark.range(3).select(
+        F.col("id").cast("decimal(10,2)").alias("dec"),
+        F.col("id").cast("tinyint").alias("tiny"),
+    )
+    got = {r.column: r for r in profile(df).collect()}
+    assert got["dec"].min_value == 0.0 and got["dec"].max_value == 2.0
+    assert got["tiny"].min_value == 0.0 and got["tiny"].max_value == 2.0
+
+
+def test_frequent_values_exact_support_boundary(spark):
+    from week4_musemotion_spark.operators.sketches import frequent_values
+
+    # 300 rows; 'x' at exactly 7% (21) must qualify at min_support=0.07
+    # despite 300*0.07 = 21.000000000000004 in float
+    df = spark.createDataFrame([("x",)] * 21 + [("y",)] * 279, ["v"])
+    got = {r.v for r in frequent_values(df, "v", min_support=0.07).collect()}
+    assert "x" in got
+
+
+def test_stateful_totals_skip_null_values(spark, tmp_path):
+    import pandas as pd
+
+    from week4_musemotion_spark.streaming.ingest import EVENTS_STREAM_SCHEMA
+    from week4_musemotion_spark.streaming.stateful import running_user_totals
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [10**18, 10**18 + 1, 10**18 + 2],
+            "user_id": [7, 7, 7],
+            "event_type": ["view", "view", "view"],
+            "value": [1.25, None, 2.75],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    spark.createDataFrame(pdf, schema=EVENTS_STREAM_SCHEMA).write.parquet(str(src / "b.parquet"))
+    # point at the parquet output dir itself: the file stream source
+    # does not recurse into nested directories
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(src / "b.parquet"))
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_null_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table("t_null_totals").collect()[-1]
+    assert row.n_events == 3 and row.total_value_cents == 400  # null skipped, rows counted
+
+
+def test_upsert_recovers_from_orphaned_old_snapshot(spark, tmp_path):
+    import os
+
+    from week4_musemotion_spark.operators.upsert import upsert_parquet_snapshot
+
+    path = str(tmp_path / "snap")
+    upsert_parquet_snapshot(spark, path, spark.createDataFrame([("a", 1)], ["k", "v"]), ["k"])
+    # simulate a crash after the live snapshot was renamed aside but
+    # before staging was promoted
+    os.rename(path, path + "._old")
+    upsert_parquet_snapshot(spark, path, spark.createDataFrame([("b", 2)], ["k", "v"]), ["k"])
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == [("a", 1), ("b", 2)]  # pre-crash data recovered, update merged
+    assert not os.path.exists(path + "._old")
+
+
+def test_sql_inserts_mysql_backslash_escapes(spark, tmp_path):
+    from week4_musemotion_spark.sources.sql_inserts import read_sql_inserts
+
+    p = tmp_path / "my.sql"
+    p.write_text(
+        "INSERT INTO t (a, b) VALUES ('O\\'Brien', 'back\\\\slash'), ('plain', 'x');\n"
+    )
+    rows = sorted(map(tuple, read_sql_inserts(spark, str(p), canonicalize=False).collect()))
+    assert rows == [("O'Brien", "back\\slash"), ("plain", "x")]

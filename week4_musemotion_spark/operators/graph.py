@@ -40,26 +40,34 @@ def connected_components(
     sym = sym.persist()
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
 
-    for _ in range(max_iterations):
-        labels = labels.persist()
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+    prev = None
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, sym.v == labels.node)
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("comp").alias("nbr_comp"))
             )
-        ).persist()
-        changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+            updated = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                    (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+                )
+            ).persist()
+            changed = updated.filter(F.col("_changed")).count()  # materializes `updated`
+            if prev is not None:
+                prev.unpersist()  # superseded round, safe now that `updated` is cached
+            prev = updated
+            labels = updated.drop("_changed")
+            if changed == 0:
+                # keep the final round cached for the caller; later
+                # eviction just recomputes through `sym`'s lineage
+                return labels
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+    finally:
+        sym.unpersist()
 
 
 def dedup_clusters(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:

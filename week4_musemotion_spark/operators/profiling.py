@@ -26,7 +26,10 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         aggs.append(F.count(F.lit(1)).alias(f"{c}__rows"))
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
         aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
-        if schema[c] in ("int", "bigint", "double", "float", "smallint", "decimal"):
+        numeric = schema[c] in ("int", "bigint", "double", "float", "smallint", "tinyint") or schema[
+            c
+        ].startswith("decimal")  # Spark renders decimals as 'decimal(p,s)'
+        if numeric:
             aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
             aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
         else:

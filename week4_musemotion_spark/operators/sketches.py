@@ -52,7 +52,10 @@ def frequent_values(
     import math
 
     total = df.count()
-    threshold = math.ceil(total * min_support)  # 'at least' contract: never truncate down
+    # 'at least' contract: ceil, but guard the float product landing a
+    # hair ABOVE the exact integer (300*0.07 = 21.000000000000004
+    # would wrongly exclude a value at exactly 7% support)
+    threshold = math.ceil(total * min_support - 1e-9)
     return (
         df.groupBy(col)
         .agg(F.count("*").alias("cnt"))

@@ -55,15 +55,32 @@ def upsert_parquet_snapshot(
 ) -> None:
     """Merge ``updates`` into the parquet snapshot at ``path``.
 
-    Write-audit-publish: the merge materializes into a staging dir,
-    then atomically (rename) replaces the snapshot — never overwrite
-    a path you are lazily reading.  Local-FS rename here; on an
-    object store this is the table-format/commit-protocol layer.
+    Write-audit-publish with crash-safe promotion: the merge
+    materializes into a staging dir, the live snapshot is renamed
+    aside (never deleted first), staging is renamed live, and only
+    then is the old snapshot removed.  A crash at any point leaves
+    either the old snapshot (at ``path`` or ``path._old``) or the new
+    one intact — a plain delete-then-rename has a window where ALL
+    prior data is gone.  ``path._old`` surviving a crash is the
+    recovery signal.  Local-FS renames here; on an object store this
+    is the table-format/commit-protocol layer.
     """
+    base = path.rstrip("/")
+    staging, old = base + "._staging", base + "._old"
+    # recover from a previous crash: promote an orphaned old snapshot,
+    # clear any half-written staging
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
     snapshot = spark.read.parquet(path) if os.path.exists(path) else None
     merged = merge_upsert(snapshot, updates, keys)
-    staging = path.rstrip("/") + "._staging"
     merged.write.mode("overwrite").parquet(staging)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
     os.rename(staging, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)

@@ -96,15 +96,22 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_sort",
     covers=("X-ARRAYFUNC",),
     oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS toks
+        FROM documents
+    )
     SELECT doc_id,
-           array_to_string(list_sort(string_split(text, ' ')), ' ') AS sorted_text,
-           CAST(list_contains(string_split(text, ' '), 'spark') AS INT) AS has_spark
-    FROM documents
+           array_to_string(list_sort(toks), ' ') AS sorted_text,
+           CAST(list_contains(toks, 'spark') AS INT) AS has_spark
+    FROM t
     """,
 )
 def q_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array battery: sort + join round-trip (binary collation agrees
-    across engines for ascii tokens) and membership test."""
+    across engines for ascii tokens) and membership test.  The oracle
+    tokenizes exactly like the engine (regex split, empties dropped)
+    so consecutive/leading whitespace cannot diverge the two sides."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     return d.select(

@@ -85,17 +85,22 @@ MUSEMOTION_SQL: dict[str, str] = {
         FROM musemotion m JOIN top_makes t ON m.make = t.make
         ORDER BY t.cnt DESC, m.year DESC LIMIT 200
     """,
-    # :97-101 inner join with utilities
+    # :97-101 inner join with utilities (tie-break on vin added: the
+    # reference's bare LIMIT returns an engine-chosen subset; a total
+    # order keeps runs and tests deterministic)
     "inner_join_utilities": """
         SELECT v.vin, v.city, u.utility_name, u.region
         FROM musemotion v INNER JOIN utilities u ON v.utility = u.utility_name
+        ORDER BY v.vin, u.utility_name
         LIMIT 50
     """,
-    # :103-108 left join
+    # :103-108 left join (vin tie-break for the same reason — year
+    # alone is non-unique, so the 100-row subset was plan-dependent)
     "left_join_utilities": """
         SELECT v.vin, v.year, u.utility_name, u.region
         FROM musemotion v LEFT JOIN utilities u ON v.utility = u.utility_name
-        ORDER BY v.year DESC LIMIT 100
+        ORDER BY v.year DESC, v.vin, u.utility_name
+        LIMIT 100
     """,
     # :110-113 right join
     "right_join_utilities": """

@@ -56,7 +56,12 @@ def _split_tuples(values_blob: str) -> list[list[str | None]]:
         if ch == ";" and not in_str and depth == 0:
             break  # end of this INSERT statement (in-string ';' is data)
         if in_str:
-            if ch == "'":
+            if ch == "\\" and i + 1 < n and values_blob[i + 1] in ("'", "\\"):
+                # MySQL-style backslash escapes (mysqldump default);
+                # SQL-standard '' doubling is handled below
+                field.append(values_blob[i + 1])
+                i += 1
+            elif ch == "'":
                 if i + 1 < n and values_blob[i + 1] == "'":
                     field.append("'")
                     i += 1

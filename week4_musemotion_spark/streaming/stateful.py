@@ -43,8 +43,11 @@ def _update_user_totals(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # exact integer cents (2-dp values): order-stable, overflow-safe
-        cents += int(sum(int(round(v * 100)) for v in pdf["value"]))
+        # exact integer cents (2-dp values): order-stable, overflow-safe;
+        # null values arrive as NaN in the float64 series — skip them
+        # (SQL SUM semantics) instead of crashing the streaming query
+        vals = pdf["value"].dropna()
+        cents += int(sum(int(round(v * 100)) for v in vals))
     state.update((n, cents))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]})
 
