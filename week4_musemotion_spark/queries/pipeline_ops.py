@@ -34,6 +34,62 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_term_stats",
+    covers=("X-TFIDF",),
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+    SELECT t.doc_id, t.term, t.tf, d.df
+    FROM tf t JOIN df d ON t.term = d.term
+    WHERE t.tf >= 5
+    """,
+)
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency / document frequency — the exact integer
+    sufficient statistics of TF-IDF (the idf log itself is left to
+    consumers: libm last-ulp differences make logs non-portable,
+    while tf/df are exact).  Two aggregates over one exploded token
+    table; the df side is a broadcast-sized term dictionary."""
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return tf.filter(F.col("tf") >= 5).join(F.broadcast(df_), "term").select(
+        "doc_id", "term", "tf", "df"
+    )
+
+
+@query(
+    "q_histogram",
+    covers=("X-HISTOGRAM",),
+    oracle="""
+    SELECT CAST(least(16, floor(o_totalprice / 30000.0)) AS BIGINT) AS bucket,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram with constant bounds (0..510k, 30k
+    buckets, top bucket clamped).  Constant bounds keep the bucket
+    function a pure per-row expression — a data-dependent min/max
+    would add a pre-pass; identical double division + floor on both
+    engines keeps it oracle-exact."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.lit(16), F.floor(F.col("o_totalprice") / 30000.0)).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("cnt"))
+
+
+@query(
     "q_profile",
     covers=("X-PROFILE",),
     oracle="""
