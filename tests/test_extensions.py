@@ -65,7 +65,7 @@ def test_knn_brute_force_ranks(spark):
     for rows in by_q.values():
         rows.sort(key=lambda r: r.rank)
         assert [r.rank for r in rows] == [1, 2, 3, 4]
-        sims = [r.cosine for r in rows]
+        sims = [r.cosine_e6 for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert all(r.neighbor_id != r.query_id for r in rows)
 
@@ -80,7 +80,7 @@ def test_knn_lsh_subset_of_exact_topk_pool(spark):
     assert got, "buckets should produce at least some candidates"
     for r in got:
         assert 1 <= r.rank <= 3
-        assert -1.0 <= r.cosine <= 1.0
+        assert -1_000_000 <= r.cosine_e6 <= 1_000_000
 
 
 def test_multimodal_meta_plumbing(spark):

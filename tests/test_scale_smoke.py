@@ -62,4 +62,4 @@ def test_knn_scales_with_broadcast_queries(spark):
     got = knn_brute_force(big, queries, k=5).collect()
     assert len(got) == 15
     # replicas of the query vector itself are perfect matches
-    assert all(r.cosine == 1.0 for r in got if r.neighbor_id % 10_000 == r.query_id)
+    assert all(r.cosine_e6 == 1_000_000 for r in got if r.neighbor_id % 10_000 == r.query_id)

@@ -104,18 +104,23 @@ def stddev_money(col: Column | str) -> Column:
     c = cents(col)
     n = F.count(c).cast("double")
     s1 = F.sum(c).cast("double")
-    s2 = F.sum((c * c).cast("decimal(38,0)")).cast("double")
+    # widen BEFORE multiplying: long c*c overflows silently at values
+    # >= ~$30M (the SQL side multiplies in HUGEINT — keep them equal)
+    s2 = F.sum(c.cast("decimal(38,0)") * c).cast("double")
     # clamp: cancellation can drive the moment formula a hair negative
     # for near-constant data, and sqrt(negative) is NaN/NULL
     var = F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))
-    return F.round(F.sqrt(var) * 100).cast("long")  # cents*1e2 = dollars*1e4
+    # single-row groups: sample stddev is undefined (NULL, matching
+    # stddev_samp; NaN would cast to 0 here but error in DuckDB)
+    return F.when(n > 1, F.round(F.sqrt(var) * 100).cast("long"))  # cents*1e2 = dollars*1e4
 
 
 def stddev_money_sql(expr: str) -> str:
     c = cents_sql(expr)
     n = f"count({c})"
-    return (
-        f"CAST(round(sqrt(greatest((CAST(sum(CAST({c} AS HUGEINT) * {c}) AS DOUBLE)"
+    body = (
+        f"round(sqrt(greatest((CAST(sum(CAST({c} AS HUGEINT) * {c}) AS DOUBLE)"
         f" - CAST(sum({c}) AS DOUBLE) * CAST(sum({c}) AS DOUBLE) / {n})"
-        f" / ({n} - 1.0), 0.0)) * 100) AS BIGINT)"
+        f" / ({n} - 1.0), 0.0)) * 100)"
     )
+    return f"CAST(CASE WHEN {n} > 1 THEN {body} ELSE NULL END AS BIGINT)"

@@ -1,0 +1,72 @@
+"""Data-quality expectations: declarative gates over a DataFrame.
+
+The pipeline-circuit-breaker pattern: declare per-column invariants
+(max null fraction, value ranges, uniqueness, accepted sets), get
+back a violations report — and optionally fail fast — before bad
+data reaches training.  All rules compile into ONE aggregate pass
+(never one job per rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One rule; ``kind`` ∈ {not_null, max_null_fraction, unique,
+    min, max, isin}."""
+
+    column: str
+    kind: str
+    value: object = None
+
+    def describe(self) -> str:
+        return f"{self.column} {self.kind}" + (f" {self.value!r}" if self.value is not None else "")
+
+
+def _violation_count(e: Expectation):
+    c = F.col(e.column)
+    if e.kind == "not_null":
+        return F.count(F.lit(1)) - F.count(c)
+    if e.kind == "max_null_fraction":
+        # when the fraction exceeds the bound, report the actual null
+        # count (not a bare flag) so the report is truthful
+        nulls = F.count(F.lit(1)) - F.count(c)
+        frac = nulls / F.count(F.lit(1))
+        return F.when(frac > F.lit(float(e.value)), nulls).otherwise(F.lit(0))
+    if e.kind == "unique":
+        return F.count(c) - F.countDistinct(c)
+    if e.kind == "min":
+        return F.sum(F.when(c < F.lit(e.value), 1).otherwise(0))
+    if e.kind == "max":
+        return F.sum(F.when(c > F.lit(e.value), 1).otherwise(0))
+    if e.kind == "isin":
+        return F.sum(F.when(~c.isin(*e.value) & c.isNotNull(), 1).otherwise(0))
+    raise ValueError(f"unknown expectation kind: {e.kind}")
+
+
+def check_expectations(
+    df: DataFrame, expectations: list[Expectation], fail_fast: bool = False
+) -> list[tuple[str, int]]:
+    """Evaluate all expectations in one aggregate; returns
+    ``[(rule description, violation count), ...]`` for violated rules
+    (empty = all good).  ``fail_fast`` raises instead."""
+    if not expectations:
+        return []
+    aggs = [
+        _violation_count(e).cast("long").alias(f"_e{i}") for i, e in enumerate(expectations)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    violations = [
+        (e.describe(), int(row[f"_e{i}"]))
+        for i, e in enumerate(expectations)
+        if (row[f"_e{i}"] or 0) > 0
+    ]
+    if violations and fail_fast:
+        detail = "; ".join(f"{d}: {n} violations" for d, n in violations)
+        raise ValueError(f"data-quality expectations failed: {detail}")
+    return violations

@@ -53,6 +53,39 @@ _DUP_SCHEMA = T.StructType(
 )
 
 
+def cosine_e6(c):
+    """Cosine encoded as millionths (BIGINT) with half-up rounding via
+    ``floor(x*1e6 + 0.5)`` — floor is a pure binary operation, so
+    identical doubles encode identically in every engine; ``round(x,
+    6)`` does NOT (Spark rounds the shortest decimal string, DuckDB
+    the binary value).  SQL twin: ``CAST(floor(cos * 1000000 + 0.5)
+    AS BIGINT)``."""
+    return F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")
+
+
+def _empty_result(spark, schema_src: str):
+    from pyspark.sql import types as T
+
+    if schema_src == "knn":
+        schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("rank", T.LongType()),
+                T.StructField("cosine_e6", T.LongType()),
+            ]
+        )
+    else:
+        schema = T.StructType(
+            [
+                T.StructField("vec_id_a", T.LongType()),
+                T.StructField("vec_id_b", T.LongType()),
+                T.StructField("cosine_e6", T.LongType()),
+            ]
+        )
+    return spark.createDataFrame([], schema)
+
+
 def _seq_matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """``a @ b.T`` with sequential float64 accumulation over the
     dimension axis (vectorized over pairs) — bit-identical to a
@@ -71,6 +104,8 @@ def _seq_norm(a: np.ndarray) -> np.ndarray:
 
 
 def _to_matrix(col: pd.Series) -> np.ndarray:
+    if len(col) == 0:
+        return np.zeros((0, 1))
     return np.array([np.asarray(v, dtype=np.float64) for v in col])
 
 
@@ -85,6 +120,8 @@ def knn_brute_force(
     """Exact top-k cosine neighbors of each (broadcastable) query set."""
     spark = emb.sparkSession
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    if q_ids.size == 0:
+        return _empty_result(spark, "knn")
     q_norm = _seq_norm(q_mat)
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
@@ -125,7 +162,7 @@ def knn_brute_force(
             "query_id",
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
-            F.round("cos", 6).alias("cosine"),
+            cosine_e6(F.col("cos")).alias("cosine_e6"),
         )
     )
 
@@ -140,6 +177,8 @@ def cosine_pairs(
     """
     spark = emb.sparkSession
     b_ids, b_mat = _collect_matrix(emb, id_col, vec_col)
+    if b_ids.size == 0:
+        return _empty_result(spark, "pairs")
     b_norm = _seq_norm(b_mat)
     bb = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
 
@@ -158,7 +197,7 @@ def cosine_pairs(
             )
 
     pairs = emb.select(id_col, vec_col).mapInPandas(_pairs, schema=_DUP_SCHEMA)
-    return pairs.select("vec_id_a", "vec_id_b", F.round("cos", 6).alias("cosine"))
+    return pairs.select("vec_id_a", "vec_id_b", cosine_e6(F.col("cos")).alias("cosine_e6"))
 
 
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -275,6 +314,6 @@ def knn_lsh(
             "query_id",
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
-            F.round("cos", 6).alias("cosine"),
+            cosine_e6(F.col("cos")).alias("cosine_e6"),
         )
     )

@@ -35,19 +35,30 @@ def last_wins(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def merge_upsert(snapshot: DataFrame | None, updates: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    snapshot: DataFrame | None,
+    updates: DataFrame,
+    keys: list[str],
+    order_by: list | None = None,
+) -> DataFrame:
     """MERGE: update rows matching on ``keys``, insert the rest.
 
-    Updates take priority over snapshot rows; within each source,
-    input order is not semantically meaningful (matching the
-    reference, whose chunked INSERT makes the last chunk win).
+    Updates take priority over snapshot rows.  Within a source,
+    duplicate keys need a total order or the winner is
+    shuffle-dependent: pass ``order_by`` (e.g. a version/timestamp
+    column) when one exists; otherwise a whole-row hash tie-break
+    makes the choice arbitrary-but-stable across runs.
     """
     tagged_updates = updates.withColumn("_src", F.lit(1))
     if snapshot is None:
         merged = tagged_updates
     else:
         merged = snapshot.withColumn("_src", F.lit(0)).unionByName(tagged_updates)
-    return last_wins(merged, keys, [F.col("_src").desc()]).drop("_src")
+    if order_by is None:
+        non_key = [c for c in updates.columns if c not in keys]
+        order_by = [F.xxhash64(*[F.col(c) for c in non_key]).desc()] if non_key else []
+    order = [F.col("_src").desc(), *[F.col(c).desc() if isinstance(c, str) else c for c in order_by]]
+    return last_wins(merged, keys, order).drop("_src")
 
 
 def upsert_parquet_snapshot(

@@ -49,7 +49,7 @@ def _shingle_expr(n: int) -> str:
 def _jaccard_ctes(threshold: float, n: int = 3) -> str:
     """Shared CTE chain: documents → shingle sets → qualifying
     near-dup pairs (``pairs(doc_a, doc_b, i, na, nb)``)."""
-    return f"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    return f"""tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents),
     raw AS (SELECT doc_id, unnest({_shingle_expr(n)}) AS shingle FROM tok WHERE len(ts) >= {n}),
     sh AS (SELECT DISTINCT doc_id, shingle FROM raw),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -87,7 +87,7 @@ def _simhash_sql(bits: int = 16) -> str:
     return f"""
     WITH t AS (
         SELECT doc_id,
-               list_transform(list_distinct(string_split(text, ' ')), w -> {h}) AS hs
+               list_transform(list_distinct(list_filter(string_split_regex(text, '\\s+'), w -> w != '')), w -> {h}) AS hs
         FROM documents
     )
     SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
@@ -168,7 +168,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_COSINE_SQL_FRAG.format(a="va", b="vb")} AS cos
         FROM p
     )
-    SELECT vec_id_a, vec_id_b, round(cos, 6) AS cosine
+    SELECT vec_id_a, vec_id_b,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cosine_e6
     FROM s WHERE cos >= {EMBED_DUP_THRESHOLD}
     """,
 )
@@ -236,7 +237,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY cos DESC, neighbor_id ASC) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cosine_e6
     FROM ranked WHERE rank <= 3
     """,
 )
@@ -249,10 +251,11 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_knn_cosine_lsh", covers=("X-KNN-LSH",), oracle=None)
 def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (8 sign bits → bucket join → exact
-    rerank).  Approximate by construction (bucket recall < 1), hence
-    rows-only check; determinism still holds run-to-run because the
-    hyperplanes derive from md5."""
+    """Multi-table hyperplane-LSH ANN (16 tables × 6 sign bits →
+    any-table bucket collision → exact rerank).  Approximate by
+    construction (bucket recall < 1), hence rows-only check;
+    determinism still holds run-to-run because the hyperplanes
+    derive from md5."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_lsh(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
@@ -270,7 +273,7 @@ _STOPLIST = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
     oracle=f"""
     WITH t AS (
         SELECT doc_id, length(text) AS n_chars_txt,
-               string_split(text, ' ') AS ts
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
         FROM documents
     ),
     s AS (
@@ -309,7 +312,7 @@ def _lang_id_sql() -> str:
         cases.append(f"WHEN s_{lang} >= {rest_expr} THEN '{lang}'")
     all_scores = ", ".join("s_" + l for l in langs)
     return f"""
-    WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS uniq FROM documents),
+    WITH t AS (SELECT doc_id, lang, list_distinct(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS uniq FROM documents),
     s AS (
         SELECT doc_id, lang,
                {", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())}
@@ -334,13 +337,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     covers=("X-TEXT-TOKENS",),
     oracle="""
+    WITH t AS (SELECT *, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ws_toks FROM documents)
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(ws_toks) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
                AS n_bpe_tokens,
-           CAST((2 * n_chars * 10000 + len(string_split(text, ' ')))
-                // (2 * len(string_split(text, ' '))) AS BIGINT) AS chars_per_token_e4
-    FROM documents
+           CAST((2 * n_chars * 10000 + len(ws_toks))
+                // (2 * len(ws_toks)) AS BIGINT) AS chars_per_token_e4
+    FROM t
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +355,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fingerprint_sql(n: int = 5) -> str:
     h = stable_hash64_sql("s")
     return f"""
-    WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+    WITH tok AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents)
     SELECT doc_id, md5(text) AS content_hash,
            list_aggregate(list_transform({_shingle_expr(n)}, s -> {h}), 'min')
                AS shingle_fingerprint

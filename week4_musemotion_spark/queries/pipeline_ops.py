@@ -38,7 +38,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("X-TFIDF",),
     oracle="""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS term FROM documents
     ),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
