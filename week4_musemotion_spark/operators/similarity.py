@@ -262,6 +262,22 @@ def _with_sketch(
     return df.select(id_col, vec_col).mapInPandas(_sketch, schema=schema)
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Common tail: (query_id, neighbor_id, cos) → deterministic
+    top-k with rank + cosine_e6 encoding."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            cosine_e6(F.col("cos")).alias("cosine_e6"),
+        )
+    )
+
+
 def knn_lsh(
     emb: DataFrame,
     queries: DataFrame,
@@ -306,14 +322,182 @@ def knn_lsh(
         .withColumn("cos", cosine_similarity("qv", "cv"))
         .select("query_id", "neighbor_id", "cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            cosine_e6(F.col("cos")).alias("cosine_e6"),
-        )
+    return _rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster probing
+# ---------------------------------------------------------------------------
+
+
+def _assign_clusters(
+    df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """(id, vec, cluster) rows: nearest-centroid assignment in one
+    Arrow-batched numpy pass (centroid matrix broadcast; argmin of
+    squared L2 via the expand ``|x|² − 2x·c + |c|²`` identity —
+    |x|² is constant per row and dropped)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    schema = T.StructType(
+        [
+            T.StructField(out_id, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.FloatType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
     )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value  # (k, dim)
+        cent_sq = (cent * cent).sum(axis=1)
+        for pdf in batches:
+            mat = _to_matrix(pdf[vec_col])
+            cluster = np.argmin(cent_sq[None, :] - 2.0 * (mat @ cent.T), axis=1)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy(dtype=np.int64),
+                    vec_col: pdf[vec_col],
+                    "cluster": cluster.astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_assign, schema=schema)
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means with deterministic seeding (the ``k`` smallest
+    ids), expressed Spark-first: assignment is an Arrow-batched map
+    over the corpus, the centroid update is ``posexplode`` → one hash
+    aggregate on (cluster, dim) — both linear scans, no all-pairs.
+    Only the (k × dim) centroid matrix ever reaches the driver."""
+    seeds = emb.select(id_col, vec_col).orderBy(id_col).limit(k)
+    _, cent = _collect_matrix(seeds, id_col, vec_col)
+    if cent.shape[0] == 0:
+        raise ValueError("empty embedding corpus")
+    for _ in range(iters):
+        assigned = _assign_clusters(emb, cent, id_col, vec_col, "_id")
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new_cent = cent.copy()  # empty clusters keep their centroid
+        for row in means:
+            new_cent[row["cluster"], row["pos"]] = row["m"]
+        cent = new_cent
+    return cent
+
+
+def knn_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: k-means coarse quantizer,
+    then each query probes its ``n_probe`` nearest clusters and
+    exactly reranks only those clusters' vectors.
+
+    The scale shape: the corpus is scanned once to assign clusters
+    (at production scale the assignment is written as a partitioned
+    table and reused across query batches); a query batch touches
+    ``n_probe / n_clusters`` of the corpus instead of all of it.
+    Candidate routing is a broadcast join on the tiny
+    (query, cluster) pair list.  Approximate by construction (a true
+    neighbor may live in an unprobed cluster) → rows-only check, like
+    the LSH variant; run-to-run deterministic because seeding is by
+    id and assignment ties are resolved by lowest cluster index.
+    """
+    cent = kmeans_fit(emb, n_clusters, iters, id_col, vec_col)
+    assigned = _assign_clusters(emb, cent, id_col, vec_col, "neighbor_id")
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    if q_ids.size == 0:
+        return _empty_result(emb.sparkSession, "knn")
+    cent_sq = (cent * cent).sum(axis=1)
+    d2 = cent_sq[None, :] - 2.0 * (q_mat @ cent.T)  # (q, k) up to |x|²
+    probe = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    pairs = [
+        (int(qid), int(c)) for qid, row in zip(q_ids, probe) for c in row
+    ]
+    spark = emb.sparkSession
+    routing = spark.createDataFrame(pairs, "query_id long, cluster int")
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        assigned.join(F.broadcast(routing), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("cos", cosine_similarity("qv", F.col(vec_col)))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8 symmetric)
+# ---------------------------------------------------------------------------
+
+
+def quantize_stats(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector scale, quantized
+    checksum moments, and total reconstruction error — the
+    storage-compression step of an embedding pipeline (4× smaller
+    vectors, with this operator quantifying the fidelity loss).
+
+    One Arrow-batched numpy pass, no shuffle.  Cross-engine
+    exactness: scale = 127/maxabs is a single IEEE division;
+    quantized values round via ``floor(x·scale + 0.5)`` (pure binary
+    elementwise ops); q_sum/q_sqsum are sums of exact small integers
+    (order-free); the error sum accumulates **sequentially over the
+    dimension axis**, bit-identical to a left-to-right fold and hence
+    to DuckDB's ``list_sum`` (BLAS-style pairwise summation drifts in
+    the last ulp — see the module docstring).  Emitted as exact
+    integer encodings.  Zero vectors are excluded (no defined scale).
+    """
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("dim", T.LongType()),
+            T.StructField("scale_e9", T.LongType()),
+            T.StructField("q_sum", T.LongType()),
+            T.StructField("q_sqsum", T.LongType()),
+            T.StructField("err_e6", T.LongType()),
+        ]
+    )
+
+    def _quant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = _to_matrix(pdf[vec_col])  # float64, exact from float32
+            n, d = mat.shape
+            maxabs = np.abs(mat).max(axis=1) if d else np.zeros(n)
+            keep = maxabs > 0
+            mat, maxabs = mat[keep], maxabs[keep]
+            scale = 127.0 / maxabs
+            q = np.floor(mat * scale[:, None] + 0.5)
+            err = np.zeros(len(mat))
+            for k in range(d):  # sequential fold over dims: bit-exact
+                err += np.abs(mat[:, k] - q[:, k] / scale)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64)[keep],
+                    "dim": np.full(len(mat), d, dtype=np.int64),
+                    "scale_e9": np.floor(scale * 1e9 + 0.5).astype(np.int64),
+                    "q_sum": q.sum(axis=1).astype(np.int64),
+                    "q_sqsum": (q * q).sum(axis=1).astype(np.int64),
+                    "err_e6": np.floor(err * 1e6 + 0.5).astype(np.int64),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(_quant, schema=schema)

@@ -1,0 +1,333 @@
+"""Corpus-curation queries: PII scrubbing, repetition quality
+signals, stratified sampling, train/eval contamination, embedding
+quantization, and IVF ANN — the curation layer of a training-data
+pipeline (extends the reference's pandas cleaning pass,
+`/root/reference/pipeline.py:81-123`, to LLM-corpus hygiene).
+
+The documents corpus contains no real PII, so the PII query
+synthesizes a dirty column deterministically from ``doc_id`` —
+identically on both engines — and scrubs that (same pattern as the
+WKT-extraction parity query, which synthesizes POINT strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.functions.exact import ratio_e4_sql
+from week4_musemotion_spark.functions.hashing import stable_hash64_sql
+from week4_musemotion_spark.operators.curation import (
+    contamination_overlap,
+    repetition_stats,
+    scrub_pii,
+    scrub_pii_sql,
+    stratified_hash_sample,
+)
+from week4_musemotion_spark.operators.sampling import GRANULARITY
+from week4_musemotion_spark.operators.similarity import knn_ivf, quantize_stats
+from week4_musemotion_spark.queries.extensions import _shingle_expr
+from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+_PII_EXPRS = scrub_pii_sql("t")
+
+
+@query(
+    "q_pii_scrub",
+    covers=("X-PII",),
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com via https://ex' || CAST(doc_id % 10 AS VARCHAR)
+               || '.org/p/' || CAST(doc_id AS VARCHAR)
+               || ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+               || CASE WHEN doc_id % 3 = 0 THEN ' admin@ops.example.net' ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           {_PII_EXPRS["n_urls"]} AS n_urls,
+           {_PII_EXPRS["n_emails"]} AS n_emails,
+           {_PII_EXPRS["n_ips"]} AS n_ips,
+           {_PII_EXPRS["redacted"]} AS redacted
+    FROM dirty
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (URLs, then emails, then IPv4s) over a
+    deterministically synthesized dirty column — per-row regexp
+    expressions only, scan-speed at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    extra = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(" admin@ops.example.net")
+    ).otherwise(F.lit(""))
+    dirty = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact user"),
+        did,
+        F.lit("@mail.example.com via https://ex"),
+        F.pmod(F.col("doc_id"), F.lit(10)).cast("string"),
+        F.lit(".org/p/"),
+        did,
+        F.lit(" node 10."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".0.7"),
+        extra,
+    )
+    return scrub_pii(d.select("doc_id", dirty.alias("dirty")), text_col="dirty")
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality signals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_repetition",
+    covers=("X-REPETITION",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    u AS (SELECT doc_id, unnest(ts) AS tok FROM tok),
+    tot AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_uniq FROM u GROUP BY 1),
+    uc AS (SELECT doc_id, tok, count(*) AS cnt FROM u GROUP BY 1, 2),
+    t1 AS (
+        SELECT doc_id, tok, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rn
+        FROM uc
+    ),
+    bgl AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+        FROM tok WHERE len(ts) >= 2
+    ),
+    bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bgl GROUP BY 1, 2),
+    t2 AS (
+        SELECT doc_id, bg, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn
+        FROM bc
+    )
+    SELECT tot.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_uniq AS BIGINT) AS n_uniq_tokens,
+           {ratio_e4_sql("n_uniq", "n_tokens")} AS distinct_ratio_e4,
+           t1.tok AS top_token,
+           {ratio_e4_sql("t1.cnt", "n_tokens")} AS top_token_ratio_e4,
+           t2.bg AS top_bigram,
+           CASE WHEN n_tokens > 1
+                THEN {ratio_e4_sql("t2.cnt", "n_tokens - 1")} END AS top_bigram_ratio_e4
+    FROM tot
+    JOIN t1 ON tot.doc_id = t1.doc_id AND t1.rn = 1
+    LEFT JOIN t2 ON tot.doc_id = t2.doc_id AND t2.rn = 1
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: distinct-token ratio, top
+    token/bigram mass fractions (deterministic tie-breaks), from one
+    explode + keyed aggregates."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+#: Per-source keep rates: upsample src0, downsample the rest — the
+#: corpus-rebalancing shape (e.g. boost curated sources, cut crawl).
+STRATA_RATES = {"src0": 0.9, "src1": 0.5}
+STRATA_DEFAULT = 0.2
+
+_BUCKET_SQL = f"({stable_hash64_sql('CAST(doc_id AS VARCHAR)')} % {GRANULARITY})"
+
+
+@query(
+    "q_stratified_sample",
+    covers=("X-STRATIFIED",),
+    oracle=f"""
+    WITH b AS (SELECT doc_id, source, {_BUCKET_SQL} AS bucket FROM documents)
+    SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket
+    FROM b
+    WHERE bucket < CASE source
+                     WHEN 'src0' THEN {int(STRATA_RATES["src0"] * GRANULARITY)}
+                     WHEN 'src1' THEN {int(STRATA_RATES["src1"] * GRANULARITY)}
+                     ELSE {int(STRATA_DEFAULT * GRANULARITY)} END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic hash sample (rebalance sources with
+    leak-proof, re-run-stable membership) — a pure filter, no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_hash_sample(d, "doc_id", "source", STRATA_RATES, STRATA_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+@query(
+    "q_chunk_documents",
+    covers=("X-CHUNKING",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, ts, len(ts) AS n,
+               CASE WHEN len(ts) <= {_CHUNK_SIZE} THEN 1
+                    ELSE (len(ts) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE} + 1
+               END AS n_chunks
+        FROM tok WHERE len(ts) > 0
+    ),
+    u AS (SELECT doc_id, ts, n, unnest(range(0, n_chunks)) AS i FROM c)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(ts[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')
+               AS chunk_text,
+           CAST(least({_CHUNK_SIZE}, n - i * {_CHUNK_STRIDE}) AS BIGINT) AS chunk_tokens
+    FROM u
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (size 32, stride 24) — the
+    pre-tokenization windowing step; pure per-row HOFs + one explode,
+    zero shuffle."""
+    from week4_musemotion_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer induction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bpe_pairs",
+    covers=("X-BPE-PAIRS",),
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    bgl AS (
+        SELECT unnest(list_transform(range(1, len(ts)), j -> ts[j] || ' ' || ts[j+1])) AS pair
+        FROM tok WHERE len(ts) >= 2
+    ),
+    pc AS (SELECT pair, count(*) AS cnt FROM bgl GROUP BY 1)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt
+    FROM pc ORDER BY cnt DESC, pair ASC LIMIT 50
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global top-50 adjacent token pairs (the first BPE merge
+    statistic); global partial+final count aggregate, top-k fused as
+    TakeOrderedAndProject."""
+    from week4_musemotion_spark.operators.curation import bpe_pair_stats
+
+    return bpe_pair_stats(load_table(spark, sf_dir, "documents"), top_n=50)
+
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5
+
+
+@query(
+    "q_contamination",
+    covers=("X-CONTAMINATION",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    g AS (SELECT doc_id, unnest({_shingle_expr(_CONTAM_N)}) AS s FROM tok WHERE len(ts) >= {_CONTAM_N}),
+    d AS (SELECT DISTINCT doc_id, s FROM g),
+    tr AS (SELECT DISTINCT s FROM d WHERE doc_id % 2 = 0),
+    ev AS (SELECT doc_id, s FROM d WHERE doc_id % 2 = 1)
+    SELECT ev.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(tr.s) AS BIGINT) AS n_hit,
+           {ratio_e4_sql("count(tr.s)", "count(*)")} AS contamination_e4
+    FROM ev LEFT JOIN tr ON ev.s = tr.s
+    GROUP BY ev.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: distinct 5-gram overlap of each
+    eval doc (odd ids) against the train gram set (even ids) — the
+    planted near-dup pairs that straddle the parity split surface as
+    high-contamination docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return contamination_overlap(ev, train, n=_CONTAM_N)
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_quantize",
+    covers=("X-QUANTIZE",),
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, embedding AS v,
+               list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+                   AS maxabs
+        FROM embeddings
+    ),
+    s AS (SELECT vec_id, v, 127.0 / maxabs AS scale FROM t WHERE maxabs > 0),
+    qz AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> floor(CAST(x AS DOUBLE) * scale + 0.5)) AS q
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS dim,
+           CAST(floor(scale * 1000000000 + 0.5) AS BIGINT) AS scale_e9,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_sqsum,
+           CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                i -> abs(CAST(v[i] AS DOUBLE) - q[i] / scale))) * 1000000 + 0.5) AS BIGINT)
+               AS err_e6
+    FROM qz
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: scale, quantized checksum
+    moments, reconstruction error (exact integer encodings) — per-row
+    higher-order functions, no shuffle."""
+    return quantize_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+@query("q_knn_ivf", covers=("X-KNN-IVF",), oracle=None)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (deterministic seeding) +
+    2-of-8 cluster probing + exact rerank.  Approximate by
+    construction → rows-only check, same contract as the LSH
+    variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(emb, emb.filter(F.col("vec_id") < 5), k=3)
