@@ -123,6 +123,44 @@ def test_contamination_planted_overlap(spark):
     assert rows[3].n_grams == 3 and rows[3].n_hit == 0 and rows[3].contamination_e4 == 0
 
 
+def test_cap_per_group_deterministic_subset(spark):
+    from week4_musemotion_spark.operators.curation import cap_per_group
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "source")
+    out = cap_per_group(docs, "source", 3, "doc_id").toPandas()
+    sizes = out.groupby("source").size()
+    assert (sizes == 3).all()  # every source has ≥ 3 docs in testdata
+    assert set(out.cap_rank) == {1, 2, 3}
+    again = cap_per_group(docs.repartition(9), "source", 3, "doc_id").toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)  # repartition-stable
+
+
+def test_scrub_pii_composes_with_streaming(spark, tmp_path):
+    """The scrubber is a stateless projection, so the same operator
+    must run unchanged on a readStream source."""
+    from week4_musemotion_spark.operators.curation import scrub_pii
+
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        [(1, "ping admin@x.io"), (2, "see https://a.b and 10.1.2.3")],
+        "doc_id long, text string",
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        scrub_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM pii_stream").collect()}
+    assert rows[1].n_emails == 1 and rows[1].redacted == "ping <EMAIL>"
+    assert rows[2].n_urls == 1 and rows[2].n_ips == 1
+    assert rows[2].redacted == "see <URL> and <IP>"
+
+
 def test_quantize_stats_matches_numpy(spark):
     from week4_musemotion_spark.operators.similarity import quantize_stats
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.exact import ratio_e4
+from week4_musemotion_spark.functions.hashing import stable_hash64
 from week4_musemotion_spark.functions.text import tokens
 from week4_musemotion_spark.operators.sampling import GRANULARITY, hash_bucket
 
@@ -184,6 +185,32 @@ def stratified_hash_sample(
     default_cut = F.lit(int(default_rate * GRANULARITY))
     thr = default_cut if thr is None else thr.otherwise(default_cut)
     return df.withColumn("bucket", hash_bucket(key_col).cast("long")).filter(F.col("bucket") < thr)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, n: int, key_col: str
+) -> DataFrame:
+    """Cap each group's contribution at ``n`` rows, selected
+    deterministically by hash order (then key) — the per-domain cap
+    that keeps a handful of giant crawl domains from dominating a
+    training mix.  Hash order makes the retained subset an unbiased,
+    re-run-stable sample of the group rather than "whatever sorted
+    first".
+
+    One shuffle on the group key feeding a window ``row_number``.
+    Groups are the parallel unit; for pathological single-domain skew
+    at extreme scale, pre-thin with :func:`hash_sample` at a rate
+    ≳ n/|group| before the exact window — hash order is a pure
+    selection, so thinning then capping returns the same rows.
+    Emits ``cap_rank`` (1-based position in the group's hash order)
+    for auditability.
+    """
+    h = stable_hash64(F.col(key_col).cast("string"))  # full 60-bit order
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cap_rank") <= n)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -280,6 +280,39 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-domain capping
+# ---------------------------------------------------------------------------
+
+_CAP_N = 10
+
+_HASH_ORDER_SQL = stable_hash64_sql("CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "q_domain_cap",
+    covers=("X-DOMAIN-CAP",),
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {_HASH_ORDER_SQL} ASC, doc_id ASC) AS cap_rank
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(cap_rank AS BIGINT) AS cap_rank
+    FROM r WHERE cap_rank <= {_CAP_N}
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap (10 docs per source, selected in
+    deterministic hash order — an unbiased, re-run-stable subset per
+    domain); one keyed window shuffle."""
+    from week4_musemotion_spark.operators.curation import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(d, "source", _CAP_N, "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Embedding quantization
 # ---------------------------------------------------------------------------
 
