@@ -38,6 +38,8 @@ from week4_musemotion_spark.functions.exact import (
     cents_sql,
     int_div_round,
     int_div_round_sql,
+    ratio_e4,
+    ratio_e4_sql,
     sum_money,
     sum_money_sql,
 )
@@ -386,4 +388,361 @@ def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice_cents"), "o_orderkey")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue change (pure scan + scalar aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_forecast_revenue",
+    covers=("X-TPCH-Q6", "A3"),
+    oracle=f"""
+    SELECT CAST(sum({cents_sql("l_extendedprice")} * {_DISC_PCT_SQL}) AS BIGINT)
+               AS revenue_e4,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue change: the canonical zero-join
+    scan-filter-aggregate.  All three predicates push into the parquet
+    scan (shipdate is a row-group min/max prune at scale; discount is
+    compared in exact integer percent on both engines — a raw
+    ``BETWEEN 0.05 AND 0.07`` on binary doubles would be boundary-
+    unstable).  The whole query is one WholeStageCodegen span over the
+    scan plus a 1-row partial/final agg — at 100 TB it is purely
+    IO-bandwidth-bound, the yardstick every other query's overhead is
+    judged against.  Ref capability: the global scalar aggregate of
+    musemotion-queries.sql:71 (A3) with multi-predicate pushdown."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & _disc_pct().between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents("l_extendedprice") * _disc_pct()).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_volume_shipping",
+    covers=("X-TPCH-Q7",),
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(sum({cents_sql("l.l_extendedprice")} * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: bilateral trade between two nations,
+    grouped by (supplier nation, customer nation, ship year).  The
+    nation dim joins twice under different roles — both broadcast
+    (25 rows at any SF) and the disjunctive nation-pair predicate
+    runs on the broadcast output, shrinking both fact sides before
+    the orderkey shuffle.  Ref capability: the role-playing dim join
+    the reference's single utilities join (J1-J3) cannot express."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(n1, supp.s_nationkey == F.col("n1_key"))
+        .join(n2, cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(cents("l_extendedprice") * (100 - _disc_pct())).alias("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_market_share",
+    covers=("X-TPCH-Q8",),
+    oracle=f"""
+    WITH flat AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               {cents_sql("l.l_extendedprice")} * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   AS rev_e4,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN rev_e4 ELSE 0 END) AS BIGINT)
+               AS nation_rev_e4,
+           CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+           {ratio_e4_sql("sum(CASE WHEN supp_nation = 'NATION_6' THEN rev_e4 ELSE 0 END)", "sum(rev_e4)")}
+               AS mkt_share_e4
+    FROM flat
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: one nation's revenue share of a
+    part-type market within a customer region, per order year.  The
+    8-table join tree resolves to two broadcast stacks (nation×2,
+    region) over the customer and supplier branches; the conditional
+    share is exact e4 integer division per year.  Ref capability:
+    combines the snowflake of Q5 with the KPI-ratio pattern
+    (streamlit_app.py:180-190) under a role-playing dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    america_nations = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("cust_nkey"))
+    )
+    supp_nation = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation"))
+    )
+    rev = cents("l_extendedprice") * (100 - _disc_pct())
+    nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_6", rev).otherwise(F.lit(0)))
+    total_rev = F.sum(rev)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(america_nations, cust.c_nationkey == F.col("cust_nkey"))
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .join(supp_nation, supp.s_nationkey == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            nation_rev.alias("nation_rev_e4"),
+            total_rev.alias("total_rev_e4"),
+            ratio_e4(nation_rev, total_rev).alias("mkt_share_e4"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_product_profit",
+    covers=("X-TPCH-Q9",),
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           CAST(sum({cents_sql("l.l_extendedprice")} * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    - CAST(l.l_quantity AS BIGINT) * {cents_sql("p.p_retailprice")} * 100) AS BIGINT)
+               AS profit_e4
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit silhouette: profit per supplier
+    nation per order year over parts matching a name pattern.  The
+    testdata has no partsupp, so supply cost is modeled as
+    ``l_quantity × p_retailprice`` — same mixed multi-table arithmetic
+    shape as the original's ``ps_supplycost × l_quantity``, in exact
+    e4 integer units (profit can be negative; sum stays in BIGINT).
+    The LIKE predicate prunes part before the join (substring
+    pushdown); nation broadcasts.  Ref capability: pattern-filtered
+    (LIKE) fact enrichment the reference's corpus lacks entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = cents("l_extendedprice") * (100 - _disc_pct()) - F.col("l_quantity").cast(
+        "long"
+    ) * cents("p_retailprice") * 100
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_e4"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting (top customers by lost revenue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_returned_items",
+    covers=("X-TPCH-Q10",),
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({cents_sql("l.l_extendedprice")} * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4,
+           {cents_sql("c.c_acctbal")} AS c_acctbal_cents,
+           n.n_name AS nation,
+           c.c_mktsegment
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1999-07-01'
+      AND o.o_orderdate < TIMESTAMP '1999-10-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+    ORDER BY revenue_e4 DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 customers by revenue
+    lost to returns in a quarter.  Orders prune on the date window
+    before the lineitem join; the returnflag filter pushes into the
+    lineitem scan; nation broadcasts onto the grouped output.  The
+    aggregate groups on the full customer tuple (key + 4 attrs);
+    the extra group columns are functionally dependent on c_custkey
+    and ride the same shuffle at no extra exchange cost.  Top-20
+    fuses as TakeOrderedAndProject.  Ref capability: the dashboard's
+    "top entities by metric" pattern (streamlit_app.py:205-215) as a
+    4-table warehouse query."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            cents("c_acctbal").alias("c_acctbal_cents"),
+            F.col("n_name").alias("nation"),
+            "c_mktsegment",
+        )
+        .agg(F.sum(cents("l_extendedprice") * (100 - _disc_pct())).alias("revenue_e4"))
+        .select("c_custkey", "c_name", "revenue_e4", "c_acctbal_cents", "nation", "c_mktsegment")
+        .orderBy(F.desc("revenue_e4"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue under disjunctive brand/size/qty predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_disjunct_revenue",
+    covers=("X-TPCH-Q19", "P8"),
+    oracle=f"""
+    SELECT CAST(sum({cents_sql("l.l_extendedprice")} * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: three OR'd brand/size/quantity
+    conjunctions across the join boundary.  Catalyst factors the
+    part-only conjuncts (brand ∈ {12,23,3}, size ≤ 15) out of the
+    disjunction and pushes them into the part scan, and the quantity
+    bounds (1..30) into the lineitem scan, leaving only the residual
+    cross-table disjunction on the join output — the standard
+    CNF-extraction test.  Ref capability: the dashboard's IN-list
+    conjunctive filter (P8, streamlit_app.py:166-170) generalized to
+    disjunctions of conjunctions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - _disc_pct())).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
