@@ -117,3 +117,84 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "l_returnflag", "l_extendedprice"
     )
     return profile(li)
+
+
+# ---------------------------------------------------------------------------
+# Lexical top-k retrieval (tf-idf scoring with integer idf)
+# ---------------------------------------------------------------------------
+
+#: the fixed "search query": one rare term, two common ones
+_SEARCH_TERMS = ("dup", "join", "scan")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+
+
+@query(
+    "q_doc_search",
+    covers=("X-SEARCH", "X-TFIDF"),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'), w -> w != ''))
+                   AS term
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM tok WHERE term IN ({_TERMS_SQL}) GROUP BY term
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM tok WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+    )
+    SELECT t.doc_id,
+           CAST(sum(t.tf * ((SELECT n_docs FROM n) * 1000 // d.df)) AS BIGINT)
+               AS score,
+           count(*) AS n_terms_hit
+    FROM tf t JOIN dfreq d ON t.term = d.term
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id
+    LIMIT 20
+    """,
+)
+def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k document retrieval: score documents against a
+    fixed term set by tf × idf and return the 20 best — the search
+    primitive of corpus curation (find training docs about X).
+
+    The idf is the *integer* rarity weight ``(N·1000) div df`` rather
+    than the usual ``log(N/df)``: libm ``log`` differs in the last
+    ulp across engines, while integer division is exactly portable —
+    same monotone ordering for single-term queries and a documented,
+    reproducible blend for multi-term ones.  Plan shape: tokenize →
+    explode → filter to the query terms (the filter lands *before*
+    the tf aggregate, so only matching tokens shuffle — at 100 TB
+    the exploded token stream never materializes beyond the scan
+    stage), tiny df dictionary broadcast back onto tf, score, top-20
+    via TakeOrderedAndProject.  The corpus-wide doc count joins in as
+    a 1-row broadcast, keeping the whole pipeline lazy (no driver
+    ``count()``).  Ref capability: the dashboard's text-filter lookup
+    (streamlit_app.py IN-list filters) lifted to ranked retrieval."""
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(*_SEARCH_TERMS))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .withColumn("w", F.expr("tf * ((n_docs * 1000) div df)"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

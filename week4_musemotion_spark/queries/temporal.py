@@ -194,3 +194,99 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_a", "event_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Resample to a fixed grid with forward fill (gap filling)
+# ---------------------------------------------------------------------------
+
+US_PER_HOUR = 3_600 * 1_000_000
+#: 2024-01-05 00:00 UTC .. 2024-01-07 00:00 UTC, hourly (49 points)
+_GRID_T0_US = 1_704_412_800_000_000
+_GRID_T1_US = _GRID_T0_US + 48 * US_PER_HOUR
+
+
+@query(
+    "q_resample_ffill",
+    covers=("X-RESAMPLE",),
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id, epoch_us(ts) AS t_us,
+               CAST(round(value * 100) AS BIGINT) AS val_cents, 0 AS kind
+        FROM events
+    ),
+    grid AS (
+        SELECT u.user_id, g.t_us, CAST(NULL AS BIGINT) AS val_cents, 1 AS kind
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (
+            SELECT unnest(generate_series({_GRID_T0_US}, {_GRID_T1_US}, {US_PER_HOUR}))
+                AS t_us
+        ) g
+    ),
+    filled AS (
+        SELECT user_id, t_us, kind,
+               last_value(val_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t_us, kind
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_value_cents
+        FROM (SELECT * FROM obs UNION ALL SELECT * FROM grid)
+    )
+    SELECT user_id,
+           CAST((t_us - {_GRID_T0_US}) // {US_PER_HOUR} AS BIGINT) AS hour_idx,
+           last_value_cents
+    FROM filled
+    WHERE kind = 1
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample per-user event values onto a fixed hourly grid with
+    forward fill — the gap-filling primitive behind feature snapshots
+    and training-window materialization.  Implemented as the
+    union-merge pattern (same family as the as-of join): synthesize
+    grid rows with ``sequence``+``explode``, union them with the
+    observations, and carry ``last(value, ignorenulls)`` over a
+    (t, kind) ordering — observations sort before grid points at
+    equal timestamps, so a reading exactly on the hour is included.
+    One user-keyed shuffle, no per-gridpoint range scan; grid points
+    before a user's first observation stay NULL rather than inventing
+    data.  All event-time math is integer µs (DuckDB truncates the
+    ns-resolution parquet to µs) and values are exact integer cents.
+    At 100 TB the grid side is |users|×|grid| rows built from a
+     49-element literal sequence — no driver materialization, and the
+    window never holds more than one user's rows per partition.
+    Ref capability: the dashboard KPI time axis (streamlit_app.py
+    group-by-size charts) generalized to a dense, gap-free series."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        F.expr("ts div 1000").alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("val_cents"),
+        F.lit(0).alias("kind"),
+    )
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_GRID_T0_US), F.lit(_GRID_T1_US), F.lit(US_PER_HOUR)
+                )
+            ).alias("t_us"),
+            F.lit(None).cast("long").alias("val_cents"),
+            F.lit(1).alias("kind"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        obs.unionByName(grid)
+        .withColumn("last_value_cents", F.last("val_cents", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "user_id",
+            F.expr(f"(t_us - {_GRID_T0_US}L) div {US_PER_HOUR}L").alias("hour_idx"),
+            "last_value_cents",
+        )
+    )
