@@ -216,3 +216,34 @@ def test_kmeans_deterministic_seeding(spark):
     # last ulp across partitionings — compare loosely
     assert c1.shape == c2.shape
     assert np.allclose(c1, c2, atol=1e-9)
+
+
+def test_curation_pipeline_stage_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.queries import REGISTRY
+    from week4_musemotion_spark.sources.tables import load_table
+
+    out = REGISTRY["q_curation_pipeline"].builder(spark, SF_SMOKE)
+    rows = out.collect()
+    assert 0 < len(rows)
+    # quality gate invariants hold on every survivor
+    assert all(r.n_tokens >= 20 and r.n_uniq * 100 >= 35 * r.n_tokens for r in rows)
+    # dedup: survivors map to distinct texts
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kept = docs.join(
+        out.select("doc_id"), "doc_id"
+    ).select("text").collect()
+    texts = [r.text for r in kept]
+    assert len(texts) == len(set(texts))
+    # sampling: every survivor's bucket is under its stratum's threshold
+    from week4_musemotion_spark.queries.curation import (
+        STRATA_DEFAULT,
+        STRATA_RATES,
+    )
+
+    for r in rows:
+        rate = STRATA_RATES.get(r.source, STRATA_DEFAULT)
+        assert r.bucket < int(rate * 1000)
+    # composition shrinks monotonically: survivors <= deduped <= corpus
+    assert len(rows) <= docs.count()

@@ -364,3 +364,95 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ivf(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (quality gate → dedup → stratified sample)
+# ---------------------------------------------------------------------------
+
+_MIN_TOKENS = 20
+_MIN_UNIQ_PCT = 35  # distinct-token ratio gate, in integer percent
+
+
+@query(
+    "q_curation_pipeline",
+    covers=("X-PIPELINE", "X-QUALITY", "X-DEDUP-EXACT", "X-STRATIFIED"),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, source, text,
+               len(ts) AS n_tokens, len(list_distinct(ts)) AS n_uniq
+        FROM tok
+    ),
+    quality AS (
+        SELECT * FROM stats
+        WHERE n_tokens >= {_MIN_TOKENS}
+          AND n_uniq * 100 >= {_MIN_UNIQ_PCT} * n_tokens
+    ),
+    dedup AS (
+        SELECT doc_id, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_uniq AS BIGINT) AS n_uniq
+        FROM quality
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    )
+    SELECT doc_id, source, n_tokens, n_uniq,
+           CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM dedup
+    WHERE {_BUCKET_SQL} < CASE source
+                            WHEN 'src0' THEN {int(STRATA_RATES["src0"] * GRANULARITY)}
+                            WHEN 'src1' THEN {int(STRATA_RATES["src1"] * GRANULARITY)}
+                            ELSE {int(STRATA_DEFAULT * GRANULARITY)} END
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation flow as ONE declarative plan: tokenize →
+    quality gate (min length + distinct-token ratio, both in exact
+    integer arithmetic) → exact dedup (first doc_id wins per
+    identical text) → per-source stratified hash sample.  Because
+    every stage is a DataFrame transformation, Catalyst fuses them:
+    the quality gate and the sample predicate are row-local filters
+    that run inside the scan stage, and the only shuffle in the whole
+    pipeline is the dedup window's partition-by-text — on the
+    already-gated survivors, not the raw corpus.  Stage order
+    matters at 100 TB: gating before dedup shrinks the shuffle;
+    sampling after dedup keeps duplicate clusters from buying extra
+    lottery tickets.  Composes ``repetition_stats``-style gating,
+    ``dedup_exact`` and ``stratified_hash_sample`` semantics
+    (operators/curation.py) into the realistic end-to-end job.
+    Ref capability: the reference's whole clean-then-load pipeline
+    (pipeline.py:81-123) re-imagined as corpus curation."""
+    from week4_musemotion_spark.functions.text import tokens
+    from week4_musemotion_spark.operators.curation import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    stats = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(ts).alias("n_tokens"),
+        F.size(F.array_distinct(ts)).alias("n_uniq"),
+    )
+    quality = stats.filter(
+        (F.col("n_tokens") >= _MIN_TOKENS)
+        & (F.col("n_uniq") * 100 >= _MIN_UNIQ_PCT * F.col("n_tokens"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_uniq").cast("long").alias("n_uniq"),
+        )
+    )
+    return stratified_hash_sample(dedup, "doc_id", "source", STRATA_RATES, STRATA_DEFAULT)

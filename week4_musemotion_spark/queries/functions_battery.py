@@ -157,3 +157,48 @@ def q_explode_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     packed = F.concat(F.col("event_type"), F.lit("|u"), (F.col("user_id") % 5).cast("string"))
     return e.select("event_id", F.explode(F.split(packed, r"\|")).alias("val"))
+
+
+@query(
+    "q_unpivot_metrics",
+    covers=("X-UNPIVOT",),
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS n_rows,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_base_cents
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_rows', n_rows FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_cents', sum_base_cents FROM wide
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt): a 3-metric aggregate per
+    returnflag stacked into (group, metric, value) rows — the inverse
+    of ``q_pivot_event_types`` and the standard feed for generic
+    metric stores / charting layers.  Spark's ``stack`` generator
+    runs row-local on the already-aggregated wide table (3 groups ×
+    3 metrics — the reshape costs nothing after the aggregate's one
+    shuffle, at any scale).  The oracle spells the same reshape as a
+    3-way UNION ALL, deliberately not DuckDB's UNPIVOT keyword — an
+    independent formulation of identical semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_cents"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'n_rows', n_rows,"
+            " 'sum_base_cents', sum_base_cents) AS (metric, value)"
+        ),
+    )
