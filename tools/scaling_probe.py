@@ -45,10 +45,13 @@ def main() -> int:
 
     li0 = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    ord0 = load_table(spark, sf_dir, "orders")
     results: dict[str, dict[int, float]] = {}
     for n in factors:
         li = amplify(li0, ["l_orderkey"], n)
+        orders = amplify(ord0, ["o_orderkey"], n)
         li.count()  # warm the unioned scan
+        orders.count()
 
         top = (
             part.groupBy("p_brand").agg(F.count("*").alias("cnt"))
@@ -71,7 +74,20 @@ def main() -> int:
                 ).orderBy("l_linenumber")
             ),
         )
-        for shape, df in [("flagship_topk_join", flagship), ("group_agg", agg), ("window_rank", win)]:
+        # Q18-shape: grouped-fact HAVING shrinks lineitem before the
+        # fact⋈fact orderkey join — both sides shuffle on the same key
+        factjoin = (
+            li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq"))
+            .filter(F.col("sq") > 150)
+            .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+            .select("l_orderkey", "o_custkey", "sq")
+        )
+        for shape, df in [
+            ("flagship_topk_join", flagship),
+            ("group_agg", agg),
+            ("window_rank", win),
+            ("factfact_join_having", factjoin),
+        ]:
             results.setdefault(shape, {})[n] = run(df)
 
     rows = {n: li0.count() * n for n in factors}
