@@ -132,3 +132,46 @@ def test_dedup_clusters_transitive(spark):
     pairs = spark.createDataFrame([(5, 9), (9, 2)], ["doc_a", "doc_b"])
     got = {r.doc_id: r.keep_id for r in dedup_clusters(pairs).collect()}
     assert got == {2: 2, 5: 2, 9: 2}
+
+
+def test_frame_sample_stride_and_fingerprints(spark):
+    import hashlib
+
+    from week4_musemotion_spark.operators.multimodal import sample_frames
+    from week4_musemotion_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = sample_frames(d).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    n_docs = d.count()
+    assert len(per_doc) == n_docs  # every video yields frames (>= 8 exist)
+    # stride-4 sampling: indices are exactly 0,4,8,... below n_frames
+    for rows in per_doc.values():
+        nf = rows[0].n_frames
+        assert 8 <= nf <= 63
+        assert sorted(r.frame_idx for r in rows) == list(range(0, nf, 4))
+    # fingerprint replays the documented stub for one known row
+    row = min(out, key=lambda r: (r.doc_id, r.frame_idx))
+    text = d.filter(f"doc_id = {row.doc_id}").collect()[0].text
+    b = text.encode()
+    exp = int(hashlib.md5(b"frame:" + b + b":" + str(row.frame_idx).encode()).hexdigest()[:15], 16)
+    assert row.frame_fp == exp
+
+
+def test_thumbnail_stub_binary_roundtrip(spark):
+    from pyspark.sql import types as T
+
+    from week4_musemotion_spark.operators.multimodal import thumbnail_stub
+    from week4_musemotion_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = thumbnail_stub(d)
+    assert isinstance(out.schema["thumb"].dataType, T.BinaryType)
+    rows = out.collect()
+    assert len(rows) == d.count()
+    assert all(r.thumb_bytes == 16 and len(bytes(r.thumb)) == 16 for r in rows)
+    # deterministic across runs
+    again = {r.doc_id: bytes(r.thumb) for r in thumbnail_stub(d).collect()}
+    assert all(bytes(r.thumb) == again[r.doc_id] for r in rows)

@@ -97,3 +97,99 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return binary.mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
+
+
+#: Output schema of the frame sampler (one row per sampled frame).
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_fp", T.LongType()),
+    ]
+)
+
+#: frame-sampling stride (keep every k-th frame)
+FRAME_STRIDE = 4
+
+
+def _fake_frame_count(payload: bytes) -> int:
+    """Deterministic fake probe: md5-derived frame count (8..63) —
+    stands in for reading the container header."""
+    h = int(hashlib.md5(b"vid:" + payload).hexdigest()[:15], 16)
+    return 8 + h % 56
+
+
+def _fake_frame_fp(payload: bytes, idx: int) -> int:
+    """Deterministic fake per-frame fingerprint (60-bit, mirrors
+    functions.hashing.stable_hash64 so SQL can replay it)."""
+    return int(
+        hashlib.md5(b"frame:" + payload + b":" + str(idx).encode()).hexdigest()[:15], 16
+    )
+
+
+def sample_frames(
+    df: DataFrame, id_col: str = "doc_id", every_k: int = FRAME_STRIDE
+) -> DataFrame:
+    """Uniform-stride frame sampling over a binary "video" column —
+    the 1→many multimodal shape (a 2-hour video → a few hundred
+    training frames).  ``mapInPandas`` lets one Arrow batch of videos
+    emit a variable number of frame rows with zero JVM involvement in
+    the decode; downstream the frame rows are ordinary (doc_id,
+    frame_idx, fingerprint) tuples that join/dedup like any table.
+
+    The decode is the deterministic stub (no codecs in this
+    environment): frame count and per-frame fingerprints are
+    md5-derived from the payload, so an SQL oracle replays the whole
+    operator exactly.  At scale the sampler is embarrassingly
+    parallel and emits ~1/k of the decoded volume; nothing
+    materializes per-video beyond one batch row.
+    """
+    binary = attach_binary(df, id_col=id_col) if "payload" not in df.columns else df
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, idxs, fps = [], [], [], []
+            for did, p in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(p)
+                nf = _fake_frame_count(b)
+                for k in range(0, nf, every_k):
+                    ids.append(int(did))
+                    nfs.append(nf)
+                    idxs.append(k)
+                    fps.append(_fake_frame_fp(b, k))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_frames": nfs, "frame_idx": idxs, "frame_fp": fps}
+            )
+
+    return binary.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def thumbnail_stub(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Binary→binary transform plumbing (resize/thumbnail stands in):
+    emits a fixed-size 16-byte digest as the "thumbnail" payload.
+    Exercises the binary-out Arrow path (images stay bytes end to
+    end; only the metadata columns are ever JVM-typed).  STUB: a real
+    implementation swaps the digest for an actual resampled image —
+    the schema, batching, and partition behavior do not change."""
+    binary = attach_binary(df, id_col=id_col) if "payload" not in df.columns else df
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("thumb", T.BinaryType()),
+            T.StructField("thumb_bytes", T.LongType()),
+        ]
+    )
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [hashlib.md5(b"thumb:" + bytes(p)).digest() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "thumb": thumbs,
+                    "thumb_bytes": [len(t) for t in thumbs],
+                }
+            )
+
+    return binary.mapInPandas(_thumb, schema=schema)

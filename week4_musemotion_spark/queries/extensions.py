@@ -396,3 +396,40 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas`` path (deterministic stub decode — the real codec
     is gated; the distributed plumbing is what's under test)."""
     return extract_media_meta(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_frame_sample",
+    covers=("X-MULTIMODAL", "X-FRAMES"),
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, text,
+               8 + {stable_hash64_sql("('vid:' || text)")} % 56 AS n_frames
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, text, n_frames,
+               unnest(range(0, n_frames, 4)) AS frame_idx
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           {stable_hash64_sql("('frame:' || text || ':' || CAST(frame_idx AS VARCHAR))")}
+               AS frame_fp
+    FROM u
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the Arrow-batched 1→many path:
+    each binary payload ("video") emits every 4th frame as a row with
+    a 60-bit fingerprint.  The decode is the deterministic stub
+    (operators/multimodal.py) — frame count and fingerprints are
+    md5-derived, so the DuckDB oracle replays the operator exactly,
+    value-hashing ~14 frame rows per document.  Scale: sampler output
+    is ~1/4 of decoded volume, embarrassingly parallel, and the frame
+    rows behave as a normal table downstream (joinable, dedupable by
+    fingerprint)."""
+    from week4_musemotion_spark.operators.multimodal import sample_frames
+
+    return sample_frames(load_table(spark, sf_dir, "documents"))
