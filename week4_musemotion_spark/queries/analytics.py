@@ -208,3 +208,69 @@ def q_multi_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(F.count("*").alias("n_customers"), avg_money("c_acctbal").alias("avg_balance_cents"))
     )
+
+
+@query(
+    "q_group_quantiles",
+    covers=("X-QUANTILES",),
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    ),
+    r AS (
+        SELECT o_orderpriority, v,
+               row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM c
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT) AS p50_cents,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS BIGINT) AS p90_cents
+    FROM r
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (p50/p90) by discrete rank selection:
+    rank every row in its group, pick the ceil(q·n)-th value — pure
+    integer arithmetic, so unlike ``percentile``'s interpolated
+    doubles (or ``approx_percentile``'s sketches) the result is
+    bit-identical across engines.  One shuffle on the group key
+    feeding a window sort, then an ordinary aggregate folds the two
+    selected ranks per group.  At scale this is the pattern for
+    small/medium group counts; for heavy-hitter groups the GK-sketch
+    operator (operators/sketches.py) is the approximate alternative
+    with bounded error.  Extends q_median_price (global exact median)
+    to grouped, multi-quantile form."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("v")
+    wn = Window.partitionBy("o_orderpriority")
+    r = c.select(
+        "o_orderpriority",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v")))
+            .cast("long")
+            .alias("p50_cents"),
+            F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("v")))
+            .cast("long")
+            .alias("p90_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
