@@ -478,3 +478,47 @@ def q_upsert_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "value")
     )
+
+@query(
+    "q_full_outer_join",
+    covers=("J2", "J3"),
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey AS cust_nationkey, n.n_nationkey, n.n_name
+    FROM (SELECT * FROM customer WHERE c_custkey % 4 = 0) c
+    FULL OUTER JOIN (SELECT * FROM nation WHERE n_regionkey >= 2) n
+      ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with null-producing rows on BOTH sides
+    (completes the reference's join family, musemotion-queries.sql:97-113:
+    inner/left/right → full).
+
+    Scale note: full-outer cannot broadcast (both sides must preserve
+    unmatched rows) — Spark plans sort-merge on the equi-key, which is
+    the right strategy at 100 TB; AQE handles skew splits."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") >= 2)
+    return c.join(n, c.c_nationkey == n.n_nationkey, "full_outer").select(
+        "c_custkey", c.c_nationkey.alias("cust_nationkey"), "n_nationkey", "n_name"
+    )
+
+
+@query(
+    "q_cross_join",
+    covers=("J1",),
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN of two small dims (cartesian template for
+    e.g. date-spine × key-universe scaffolds).
+
+    Scale note: legal only when one side is tiny — Spark plans
+    BroadcastNestedLoopJoin here; a fact×fact cartesian would be
+    rejected by review, not tuned."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))

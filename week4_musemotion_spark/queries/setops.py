@@ -72,3 +72,43 @@ def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_halfcents")
     )
+
+@query(
+    "q_intersect_all",
+    covers=("X-INTERSECT-ALL",),
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): multiplicity = min of the two
+    sides' multiplicities per key.
+
+    Scale note: Spark plans this as a single hash aggregate counting
+    per-side multiplicities then a generator — one shuffle on the value
+    columns, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000.0).select("o_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return big.intersectAll(finished)
+
+
+@query(
+    "q_except_all",
+    covers=("X-EXCEPT-ALL",),
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicity = max(0, left - right)
+    per key — the dedup-aware difference used when reconciling two
+    ingest batches without collapsing legitimate repeats."""
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000.0).select("o_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return big.exceptAll(finished)
