@@ -456,3 +456,58 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stratified_hash_sample(dedup, "doc_id", "source", STRATA_RATES, STRATA_DEFAULT)
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate phrases
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 5  # phrase length (word 5-grams)
+_BOILER_DF = 3  # boilerplate = phrase appearing in >= this many docs
+
+
+@query(
+    "q_phrase_boilerplate",
+    covers=("X-BOILERPLATE",),
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents),
+    raw AS (SELECT doc_id, unnest({_shingle_expr(_BOILER_N)}) AS phrase FROM tok WHERE len(ts) >= {_BOILER_N}),
+    freq AS (
+        SELECT phrase,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS occurrences
+        FROM raw GROUP BY phrase
+    )
+    SELECT phrase, df, occurrences FROM freq
+    WHERE df >= {_BOILER_DF}
+    ORDER BY df DESC, phrase ASC
+    LIMIT 100
+    """,
+)
+def q_phrase_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (CCNet-style line dedup
+    transposed to word {n}-grams, since the synthetic corpus has no
+    newlines): phrases recurring across >= {df} distinct documents are
+    template/boilerplate candidates to strip before training.
+
+    Scale note: explode-once then ONE hash aggregate computing both
+    distinct-doc and total counts — no self-join; the phrase key is
+    high-cardinality so the shuffle is well spread, and the df filter
+    runs map-side-combined before the top-k (TakeOrderedAndProject).
+    """
+    from week4_musemotion_spark.functions.text import shingles, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    phrases = d.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), _BOILER_N)).alias("phrase"),
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+        .filter(F.col("df") >= _BOILER_DF)
+        .orderBy(F.desc("df"), F.asc("phrase"))
+        .limit(100)
+    )

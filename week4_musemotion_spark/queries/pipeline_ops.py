@@ -6,11 +6,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from week4_musemotion_spark.functions.exact import avg_money_sql, cents_sql, sum_money_sql
 from week4_musemotion_spark.functions.hashing import stable_hash64_sql
+from week4_musemotion_spark.operators.incremental import aggregate_state, finalize, merge_states
 from week4_musemotion_spark.operators.profiling import profile
 from week4_musemotion_spark.operators.sampling import GRANULARITY, hash_sample
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
+
+_cents_tp = cents_sql("o_totalprice")
 
 _BUCKET_SQL = f"({stable_hash64_sql('CAST(o_orderkey AS VARCHAR)')} % {GRANULARITY})"
 
@@ -198,3 +202,39 @@ def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+@query(
+    "q_incremental_agg",
+    covers=("X-INCREMENTAL", "A2"),
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           count({_cents_tp}) AS cnt,
+           {sum_money_sql("o_totalprice")} AS sum_cents,
+           CAST(min({_cents_tp}) AS BIGINT) AS min_cents,
+           CAST(max({_cents_tp}) AS BIGINT) AS max_cents,
+           {avg_money_sql("o_totalprice")} AS avg_cents
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the rollup is computed as
+    state(base) ⊕ state(delta) — two independent partial-aggregate
+    batches merged and finalized (operators.incremental) — and must
+    equal the oracle's direct GROUP BY over the full table.
+
+    Scale note: the merge shuffles only |groups|×|batches| state rows,
+    so folding a nightly delta into a 100 TB history is O(delta), not
+    O(history) — the scale-correct replacement for the reference's
+    full-replace reload (pipeline.py:163-170)."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    keys = ("o_orderpriority", "o_orderstatus")
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    delta = o.filter(F.col("o_orderkey") % 5 == 0)
+    merged = merge_states(
+        aggregate_state(base, keys, "o_totalprice"),
+        aggregate_state(delta, keys, "o_totalprice"),
+    )
+    return finalize(merged)

@@ -112,3 +112,22 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = o.filter(F.col("o_totalprice") > 300000.0).select("o_custkey")
     finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return big.exceptAll(finished)
+
+@query(
+    "q_union_distinct",
+    covers=("X-UNION-DISTINCT",),
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — completes the union family next to
+    q_union_all.  Spark has no unionDistinct; union + dropDuplicates
+    is the idiom and Catalyst fuses it into one hash aggregate over
+    the concatenated scans (single shuffle on the value)."""
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000.0).select("o_custkey")
+    pend = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return big.unionByName(pend).dropDuplicates()
