@@ -1,0 +1,59 @@
+"""Semantic tests for the window/conditional-agg battery
+(windows_battery.py) — the differential oracle covers values; these
+pin the invariants that make the queries *right*, not just matching."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from week4_musemotion_spark.queries import REGISTRY
+
+    return REGISTRY[name].builder
+
+
+def test_rolling_window_bounds_and_peers(spark):
+    rows = _q("q_rolling_window")(spark, SF_SMOKE).collect()
+    assert rows
+    by_cust_day = {}
+    for r in rows:
+        by_cust_day.setdefault((r.o_custkey, r.day_key), []).append(r.rolling_30d_cents)
+    # RANGE framing: same-day orders are peers — identical rolling value
+    for vals in by_cust_day.values():
+        assert len(set(vals)) == 1
+    # the rolling sum includes at least the current row's own order
+    assert all(r.rolling_30d_cents > 0 for r in rows)
+
+
+def test_window_ranks_invariants(spark):
+    rows = _q("q_window_ranks")(spark, SF_SMOKE).collect()
+    parts = {}
+    for r in rows:
+        parts.setdefault(r.o_orderpriority, []).append(r)
+    for members in parts.values():
+        n = len(members)
+        assert {r.quartile for r in members} <= {1, 2, 3, 4}
+        # rank is 1..n with a total order key → dense, no gaps
+        assert sorted(r.rnk for r in members) == list(range(1, n + 1))
+        # cume_dist * n recovers the integer "rows at or below" count
+        assert max(r.n_at_or_below for r in members) == n
+        assert min(r.n_at_or_below for r in members) >= 1
+
+
+def test_conditional_agg_consistency(spark):
+    rows = _q("q_conditional_agg")(spark, SF_SMOKE).collect()
+    assert len(rows) == 5  # orders has 5 priority classes
+    for r in rows:
+        assert 0 <= r.n_big <= r.n_orders
+        assert r.n_customers <= r.n_orders
+        assert r.finished_cents >= 0
+
+
+def test_collect_values_sorted_deterministic(spark):
+    rows = _q("q_collect_values")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        segs = r.segments.split(",")
+        assert segs == sorted(segs)
+        assert len(segs) == len(set(segs))

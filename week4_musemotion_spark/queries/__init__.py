@@ -12,6 +12,7 @@ from week4_musemotion_spark.queries import cleaning  # noqa: E402,F401
 from week4_musemotion_spark.queries import extensions  # noqa: E402,F401
 from week4_musemotion_spark.queries import analytics  # noqa: E402,F401
 from week4_musemotion_spark.queries import temporal  # noqa: E402,F401
+from week4_musemotion_spark.queries import windows_battery  # noqa: E402,F401
 from week4_musemotion_spark.queries import setops  # noqa: E402,F401
 from week4_musemotion_spark.queries import functions_battery  # noqa: E402,F401
 from week4_musemotion_spark.queries import pipeline_ops  # noqa: E402,F401
