@@ -340,3 +340,118 @@ def contamination_overlap(
         )
         .withColumn("contamination_e4", ratio_e4(F.col("n_hit"), F.col("n_grams")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training sequence packing (concat-and-split)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document its position in packed fixed-capacity
+    training sequences (GPT-style concat-and-split packing): within a
+    shard, documents are concatenated in ``id_col`` order and cut
+    every ``capacity`` tokens; a document may span sequences.
+
+    Emits per doc: ``seq_first`` (index of the sequence its first
+    token lands in, within the shard), ``offset_in_seq`` (token
+    offset there), ``n_seqs_spanned`` — everything a loader needs to
+    materialize packed batches without re-scanning neighbors.
+
+    The position function is a prefix sum, so the whole operator is
+    ONE window cumsum per shard: shuffle on the shard key, sort by
+    doc id, single pass.  Packing is sharded by ``shard_col``
+    deliberately — a global packing order would serialize into one
+    partition at 100 TB, while per-shard packing wastes at most one
+    partial sequence per shard and parallelizes perfectly.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    d = df.select(
+        F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / capacity).cast("long").alias("seq_first"),
+        ((cum - F.col("n_tokens")) % capacity).cast("long").alias("offset_in_seq"),
+        (F.floor((cum - 1) / capacity) - F.floor((cum - F.col("n_tokens")) / capacity) + 1)
+        .cast("long")
+        .alias("n_seqs_spanned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (first occurrence wins)
+# ---------------------------------------------------------------------------
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    block: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-global paragraph dedup: split every document into
+    fixed-``block``-token paragraphs, keep only the FIRST occurrence
+    of each distinct paragraph corpus-wide (ordered by doc id, then
+    position), and re-emit each document with its surviving
+    paragraphs stitched back in order — the line/paragraph-level
+    dedup step (boilerplate paragraphs shared across pages collapse
+    to their first carrier).
+
+    One shuffle keyed on paragraph text (the window that ranks
+    occurrences), then one shuffle back on the doc id to reassemble —
+    matching the minimal two-exchange plan for "global dedup + local
+    reassembly".  Paragraph identity is the exact token string, so no
+    hash-collision risk and no cross-engine hash agreement needed;
+    at 100 TB swap the string key for a 128-bit fingerprint to cut
+    shuffle bytes (same plan shape).
+    """
+    if block <= 0:
+        raise ValueError("block must be positive")
+    ts = tokens(F.col(text_col))
+    n = F.size(ts)
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(block)).cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("para_idx"),
+            F.concat_ws(" ", F.slice(ts, i * block + 1, block)).alias("para_text"),
+        ),
+    )
+    exploded = (
+        df.filter(n > 0)
+        .select(F.col(id_col), F.explode(paras).alias("p"))
+        .select(id_col, "p.para_idx", "p.para_text")
+    )
+    w = Window.partitionBy("para_text").orderBy(id_col, "para_idx")
+    flagged = exploded.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    kept_struct = F.when(
+        F.col("kept") == 1, F.struct(F.col("para_idx"), F.col("para_text"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s.para_text
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

@@ -511,3 +511,100 @@ def q_phrase_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("phrase"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training sequence packing + paragraph-level dedup
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 256
+_PARA_BLOCK = 8
+
+
+@query(
+    "q_sequence_pack",
+    covers=("X-SEQPACK",),
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w != ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM d WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // {_PACK_CAPACITY} AS BIGINT) AS seq_first,
+           CAST((cum - n_tokens) % {_PACK_CAPACITY} AS BIGINT) AS offset_in_seq,
+           CAST((cum - 1) // {_PACK_CAPACITY}
+                - (cum - n_tokens) // {_PACK_CAPACITY} + 1 AS BIGINT)
+               AS n_seqs_spanned
+    FROM c
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence packing (concat-and-split): each document's
+    position in the packed fixed-capacity token stream of its source
+    shard — seq index, offset, sequences spanned.  A prefix sum, so
+    ONE per-shard window cumsum; sharded packing parallelizes where a
+    global order would serialize (operators/curation.pack_sequences).
+    Ref capability: none (north-star training-pipeline op)."""
+    from week4_musemotion_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), capacity=_PACK_CAPACITY
+    )
+
+
+@query(
+    "q_paragraph_dedup",
+    covers=("X-PARA-DEDUP",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS para_idx,
+               array_to_string(ts[i * {_PARA_BLOCK} + 1 : (i + 1) * {_PARA_BLOCK}], ' ')
+                   AS para_text
+        FROM (SELECT doc_id, ts,
+                     unnest(range(0, CAST(ceil(len(ts) / {_PARA_BLOCK}.0) AS BIGINT))) AS i
+              FROM tok WHERE len(ts) > 0)
+    ),
+    flagged AS (
+        SELECT doc_id, para_idx, para_text,
+               CASE WHEN row_number() OVER (PARTITION BY para_text
+                                            ORDER BY doc_id, para_idx) = 1
+                    THEN 1 ELSE 0 END AS kept
+        FROM ex
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(list(para_text ORDER BY para_idx)
+                                        FILTER (WHERE kept = 1), ' '), '')
+               AS dedup_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph dedup, first occurrence wins: split
+    docs into 8-token paragraphs, rank duplicates corpus-wide, stitch
+    each doc back from its surviving paragraphs.  Two shuffles (one
+    on paragraph text, one back on doc id) — the minimal plan for
+    global-dedup + local-reassembly (operators/curation.
+    dedup_paragraphs).  Ref capability: the upsert/dedup seam
+    (load_musemotion_to_db.py:96-143) generalized to sub-document
+    granularity."""
+    from week4_musemotion_spark.operators.curation import dedup_paragraphs
+
+    return dedup_paragraphs(load_table(spark, sf_dir, "documents"), block=_PARA_BLOCK)
