@@ -522,3 +522,42 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").select("r_name")
     n = load_table(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(F.broadcast(n))
+
+
+@query(
+    "q_skew_salted_join",
+    covers=("J1", "X-SKEW"),
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-salted skew join proven THROUGH the correctness gate: the
+    big side is salted 16 ways, the small side replicated per salt,
+    join key becomes (key, salt) — and the oracle is the PLAIN join,
+    so the gate certifies salting is semantics-preserving
+    (operators/skew.salted_join).
+
+    Scale note: this is the manual fallback when ONE hot key dwarfs
+    AQE's skew splitting (the reference's 40%-TESLA ``make``
+    distribution, FIXTURES.md).  The salt spreads a hot key's rows
+    over 16 reducers at the price of replicating the small side ×16 —
+    only sane when the small side is dimension-sized.  The aggregate
+    after the join is keyed on a post-join column, so partial
+    aggregation absorbs the fan-out before the final shuffle."""
+    from week4_musemotion_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), p, on="p_partkey"
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("sum_qty"),
+    )
