@@ -61,3 +61,16 @@ def test_paragraph_dedup_global_first_wins(spark):
         ).alias("p")
     )
     assert total_kept == paras.select("p").distinct().count()
+
+
+def test_packing_dedup_shuffle_counts(spark):
+    from week4_musemotion_spark.plans.audit import plan_string
+
+    # packing is ONE per-shard window cumsum: exactly one exchange
+    assert plan_string(_q("q_sequence_pack")(spark, SF_SMOKE), "simple").count(
+        "Exchange hashpartitioning"
+    ) == 1
+    # paragraph dedup: one exchange on para_text, one back on doc_id
+    assert plan_string(_q("q_paragraph_dedup")(spark, SF_SMOKE), "simple").count(
+        "Exchange hashpartitioning"
+    ) == 2

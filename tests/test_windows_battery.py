@@ -57,3 +57,31 @@ def test_collect_values_sorted_deterministic(spark):
         segs = r.segments.split(",")
         assert segs == sorted(segs)
         assert len(segs) == len(set(segs))
+
+
+def _n_exchanges(df):
+    from week4_musemotion_spark.plans.audit import plan_string
+
+    # simple mode inlines node arguments ("Exchange hashpartitioning(...)");
+    # formatted mode splits them into a details section
+    return plan_string(df, "simple").count("Exchange hashpartitioning")
+
+
+def test_window_plans_single_shuffle(spark):
+    # both window queries must shuffle exactly once, on the partition key
+    assert _n_exchanges(_q("q_rolling_window")(spark, SF_SMOKE)) == 1
+    assert _n_exchanges(_q("q_window_ranks")(spark, SF_SMOKE)) == 1
+
+
+def test_conditional_agg_partial_aggregation(spark):
+    # the distinct-agg plan still partial-aggregates the non-distinct branches
+    from week4_musemotion_spark.plans.audit import plan_string
+
+    plan = plan_string(_q("q_conditional_agg")(spark, SF_SMOKE))
+    assert "partial" in plan.lower()
+
+
+def test_collect_values_broadcasts_dim(spark):
+    from week4_musemotion_spark.plans.audit import assert_broadcast_join
+
+    assert_broadcast_join(_q("q_collect_values")(spark, SF_SMOKE))
