@@ -230,3 +230,106 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in one aggregate instead of three queries."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "q_numeric_funcs",
+    covers=("X-NUMFUNC",),
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(CAST(round(l_extendedprice * 100) AS BIGINT) - 100000) AS abs_off_cents,
+           CAST(round(l_extendedprice * 100) AS BIGINT) % 97 AS mod97,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kbucket,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
+           CAST(greatest(l_quantity, 25) AS BIGINT) AS qty_floor25,
+           CAST(power(CAST(l_linenumber AS BIGINT), 2) AS BIGINT) AS line_sq
+    FROM lineitem
+    """,
+)
+def q_numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric scalar battery: abs / modulo / floor / ceil / sign /
+    greatest / integer power — pure codegen'd per-row expressions at
+    scan speed.  Everything emits exact integers (floor/ceil of a
+    double quotient is integral-valued, sign is ±1/0, power of a
+    small int is exact in double) so the cross-engine hash compare
+    is safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(cents - 100000).alias("abs_off_cents"),
+        (cents % 97).alias("mod97"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_kbucket"),
+        F.ceil(F.col("l_quantity") / 7).cast("long").alias("qty_bucket"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.lit(25)).cast("long").alias("qty_floor25"),
+        F.pow(F.col("l_linenumber").cast("long"), 2).cast("long").alias("line_sq"),
+    )
+
+
+@query(
+    "q_bitwise_funcs",
+    covers=("X-BITFUNC",),
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 1 AS set_lsb,
+           xor(o_orderkey, 21845) AS xored,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders
+    """,
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar battery: and/or/xor, shifts, popcount — the
+    integer substrate of hash/bucket/bitmask operators (every hashing
+    op in functions/hashing.py compiles to these).  Exact integers by
+    construction."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("set_lsb"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )
+
+
+@query(
+    "q_regex_funcs",
+    covers=("X-REGEXFUNC", "F4"),
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+[0-9]+')) AS BIGINT)
+               AS n_alnum_tokens,
+           regexp_extract(text, '([a-z]+[0-9]+)', 1) AS first_alnum,
+           CAST(regexp_matches(text, '(^| )dup( |$)') AS INT) AS has_dup,
+           regexp_replace(text[1:40], '[0-9]+', '#', 'g') AS head_masked
+    FROM documents
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar battery over document text: extract-all count,
+    first-match extract, boolean match, and masking replace — the
+    primitives under PII scrubbing and tokenization, all JVM-side
+    regexp expressions (no Python).  Patterns stay in the
+    POSIX-compatible subset where Java and RE2 semantics agree; the
+    masking replace runs on a fixed 40-char prefix so outputs stay
+    small at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(r"[a-z]+[0-9]+"))).cast("long").alias(
+            "n_alnum_tokens"
+        ),
+        F.regexp_extract(t, r"([a-z]+[0-9]+)", 1).alias("first_alnum"),
+        F.expr(r"CAST(text RLIKE '(^| )dup( |$)' AS INT)").alias("has_dup"),
+        F.regexp_replace(F.substring(t, 1, 40), r"[0-9]+", "#").alias("head_masked"),
+    )
