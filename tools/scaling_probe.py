@@ -46,12 +46,15 @@ def main() -> int:
     li0 = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     ord0 = load_table(spark, sf_dir, "orders")
+    doc0 = load_table(spark, sf_dir, "documents")
     results: dict[str, dict[int, float]] = {}
     for n in factors:
         li = amplify(li0, ["l_orderkey"], n)
         orders = amplify(ord0, ["o_orderkey"], n)
+        docs = amplify(doc0, ["doc_id"], n)
         li.count()  # warm the unioned scan
         orders.count()
+        docs.count()
 
         top = (
             part.groupBy("p_brand").agg(F.count("*").alias("cnt"))
@@ -82,11 +85,32 @@ def main() -> int:
             .join(orders, F.col("l_orderkey") == orders.o_orderkey)
             .select("l_orderkey", "o_custkey", "sq")
         )
+        # RANGE-frame rolling sum (windows_battery.q_rolling_window shape):
+        # one shuffle on the partition key, sliding-pointer frame
+        from pyspark.sql.window import Window
+
+        day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        rolling = orders.select(
+            "o_orderkey", "o_custkey", day.alias("day_key"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ).withColumn(
+            "roll",
+            F.sum("cents").over(
+                Window.partitionBy("o_custkey").orderBy("day_key").rangeBetween(-29, 0)
+            ),
+        )
+        # paragraph dedup (curation.dedup_paragraphs shape): explode →
+        # shuffle on paragraph text → shuffle back on doc id
+        from week4_musemotion_spark.operators.curation import dedup_paragraphs
+
+        para = dedup_paragraphs(docs, block=8)
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
             ("window_rank", win),
             ("factfact_join_having", factjoin),
+            ("rolling_range_window", rolling),
+            ("paragraph_dedup", para),
         ]:
             results.setdefault(shape, {})[n] = run(df)
 
