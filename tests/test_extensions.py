@@ -175,3 +175,17 @@ def test_thumbnail_stub_binary_roundtrip(spark):
     # deterministic across runs
     again = {r.doc_id: bytes(r.thumb) for r in thumbnail_stub(d).collect()}
     assert all(bytes(r.thumb) == again[r.doc_id] for r in rows)
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 120-node chain converges within the default iteration cap —
+    only possible because pointer jumping collapses path length
+    exponentially (plain min-propagation would need 120 rounds)."""
+    from week4_musemotion_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], ["doc_a", "doc_b"]
+    )
+    got = connected_components(edges).collect()
+    assert len(got) == 121
+    assert all(r.comp == 0 for r in got)

@@ -204,10 +204,10 @@ def _clusters_sql(threshold: float, n: int = 3) -> str:
 @query("q_dedup_clusters", covers=("X-DEDUP-CLUSTERS",), oracle=_clusters_sql(JACCARD_THRESHOLD))
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS via connected components
-    (iterative min-label propagation; A~B and B~C collapse to one
-    cluster even when A~C fell below threshold).  Oracle computes the
-    transitive closure with a recursive CTE — an algorithmically
-    independent implementation."""
+    (min-label propagation + pointer jumping, O(log chain-length)
+    rounds; A~B and B~C collapse to one cluster even when A~C fell
+    below threshold).  Oracle computes the transitive closure with a
+    recursive CTE — an algorithmically independent implementation."""
     from week4_musemotion_spark.operators.graph import dedup_clusters
 
     pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
