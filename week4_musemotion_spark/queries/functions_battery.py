@@ -333,3 +333,45 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(r"CAST(text RLIKE '(^| )dup( |$)' AS INT)").alias("has_dup"),
         F.regexp_replace(F.substring(t, 1, 40), r"[0-9]+", "#").alias("head_masked"),
     )
+
+
+@query(
+    "q_map_funcs",
+    covers=("X-MAPFUNC",),
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_quantity) AS BIGINT) AS qty_val,
+           CAST(2 AS BIGINT) AS n_entries,
+           'cents,qty' AS keys_sorted,
+           CAST(round(l_extendedprice * 100) AS BIGINT) * 2 AS doubled_cents,
+           CAST(CAST(round(l_quantity) AS BIGINT) > 100 AS BIGINT)
+             + CAST(CAST(round(l_extendedprice * 100) AS BIGINT) > 100 AS BIGINT)
+               AS filtered_size
+    FROM lineitem
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType battery: construction, element_at, map_keys,
+    transform_values / map_filter higher-order functions — the
+    nested-type algebra behind typed-metadata columns (the multimodal
+    meta map, per-field feature bundles).  The oracle computes every
+    output straight from the base columns, so it checks the map ops
+    against ground truth rather than mirroring them.  All per-row
+    expression work — scan speed, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = F.create_map(F.lit("qty"), qty, F.lit("cents"), cents)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_val"),
+        F.size(m).cast("long").alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(F.transform_values(m, lambda k, v: v * 2), "cents").alias(
+            "doubled_cents"
+        ),
+        F.size(F.map_filter(m, lambda k, v: v > 100)).cast("long").alias(
+            "filtered_size"
+        ),
+    )
