@@ -72,3 +72,39 @@ def test_scan_speed_queries_whole_stage_codegen(spark):
 
     for name in ("q_trim_nullify", "q_safe_cast", "q_regex_extract_point", "q_text_quality"):
         assert_whole_stage_codegen(_q(name)(spark, SF_SMOKE))
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """At 100 TB, a selective dim-side filter should prune the fact
+    scan via a runtime Bloom filter when the join can't broadcast.
+    Size thresholds hide the rewrite at test scale — lower them to
+    observe the plan Spark would produce on real volumes."""
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.plans.audit import plan_string
+    from week4_musemotion_spark.sources.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_totalprice"
+        )
+        assert "bloom" in plan_string(j, "extended").lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
