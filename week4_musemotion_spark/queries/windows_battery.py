@@ -192,3 +192,45 @@ def q_collect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_value_window_funcs",
+    covers=("X-VALWIN",),
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER w AS priciest_key,
+           nth_value(o_orderkey, 3) OVER w AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first_value / last_value / nth_value)
+    over the full-partition frame: each order annotated with its
+    priority class's cheapest, priciest, and third-cheapest order
+    keys.  The frame must be UNBOUNDED..UNBOUNDED — the default
+    (UNBOUNDED..CURRENT ROW) silently makes last_value mean "me",
+    the classic window bug.  Total order (cents, key) keeps every
+    engine's answer identical.  One shuffle + sort, all three
+    functions in the same window pass."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w).alias("priciest_key"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
