@@ -115,3 +115,57 @@ def test_frequent_values_ceil_threshold(spark):
     # 250 rows, 1% support -> ceil(2.5)=3: 'x' (count 2, 0.8%) must NOT qualify
     got = {r.v for r in frequent_values(df, "v", min_support=0.01).collect()}
     assert got == {"y"}
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Z-order clustering must give BOTH columns bounded per-row-group
+    min/max spans (the property parquet stats pruning feeds on);
+    a single-column sort leaves the other column at full spread."""
+    import glob
+    import os
+    import statistics as st
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.operators.layout import write_zordered
+    from week4_musemotion_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("tsu")
+    )
+
+    def spreads(path):
+        out = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                cols = {
+                    g.column(i).path_in_schema: g.column(i).statistics
+                    for i in range(g.num_columns)
+                }
+                out.append(
+                    (
+                        cols["user_id"].max - cols["user_id"].min,
+                        cols["tsu"].max - cols["tsu"].min,
+                    )
+                )
+        return out
+
+    glob_u, glob_t = e.agg(
+        F.max("user_id") - F.min("user_id"), F.max("tsu") - F.min("tsu")
+    ).first()
+
+    zp, sp = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(e, zp, "user_id", "tsu", n_files=8)
+    e.repartitionByRange(8, "tsu").sortWithinPartitions("tsu").write.parquet(sp)
+
+    zs, ss = spreads(zp), spreads(sp)
+    med = lambda xs, i: st.median(x[i] for x in xs)  # noqa: E731
+    # z-order: both dimensions bounded well below global
+    assert med(zs, 0) <= 0.5 * glob_u
+    assert med(zs, 1) <= 0.75 * glob_t
+    # single-column sort: the unsorted dimension spans ~everything
+    assert med(ss, 0) >= 0.9 * glob_u
