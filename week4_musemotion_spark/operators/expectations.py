@@ -70,3 +70,50 @@ def check_expectations(
         detail = "; ".join(f"{d}: {n} violations" for d, n in violations)
         raise ValueError(f"data-quality expectations failed: {detail}")
     return violations
+
+
+def observe_expectations(
+    df: DataFrame, expectations: list[Expectation], name: str = "expectations"
+):
+    """Attach the expectation metrics to the DataFrame via
+    ``df.observe`` so they are collected DURING whatever job next
+    consumes it (the write, the aggregate, ...) — zero extra scans,
+    versus :func:`check_expectations`'s dedicated aggregate pass.
+
+    Returns ``(observed_df, observation)``; after an action runs on
+    ``observed_df``, call :func:`observed_violations` on the
+    observation.  At 100 TB this is the difference between "quality
+    report for free" and "second full read of the input".
+    """
+    from pyspark.sql import Observation
+
+    if not expectations:
+        raise ValueError("no expectations given")
+    unsupported = [e for e in expectations if e.kind == "unique"]
+    if unsupported:
+        # CollectMetrics forbids DISTINCT aggregates — uniqueness needs
+        # the dedicated pass (check_expectations); failing loudly beats
+        # silently approximating a data-quality gate
+        raise ValueError(
+            "observe_expectations cannot ride 'unique' rules "
+            f"({[e.column for e in unsupported]}); use check_expectations"
+        )
+    obs = Observation(name)
+    metrics = [
+        _violation_count(e).cast("long").alias(f"_e{i}")
+        for i, e in enumerate(expectations)
+    ]
+    return df.observe(obs, *metrics), obs
+
+
+def observed_violations(
+    obs, expectations: list[Expectation]
+) -> list[tuple[str, int]]:
+    """Violated-rule report from a completed Observation (same shape
+    as :func:`check_expectations`'s return)."""
+    got = obs.get
+    return [
+        (e.describe(), int(got[f"_e{i}"] or 0))
+        for i, e in enumerate(expectations)
+        if (got[f"_e{i}"] or 0) > 0
+    ]
