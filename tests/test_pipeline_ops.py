@@ -169,3 +169,27 @@ def test_expectations_gate(spark):
     # clean data passes silently
     clean = spark.createDataFrame([(1, "BEV", 1.0)], ["id", "kind", "range"])
     assert check_expectations(clean, rules) == []
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """Format breadth: the engine's tables survive an ORC round-trip
+    bit-identically (ORC is the other columnar format Spark ships
+    built-in — no extra packages)."""
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "orders")
+    p = str(tmp_path / "orders_orc")
+    src.write.format("orc").save(p)
+    back = spark.read.format("orc").load(p)
+    assert back.schema == src.schema
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    # predicate pushdown works on ORC scans too
+    plan_df = back.filter(F.col("o_orderkey") == 7)
+    from week4_musemotion_spark.plans.audit import plan_string
+
+    assert "orc" in plan_string(plan_df, "simple").lower()
