@@ -33,26 +33,31 @@ from week4_musemotion_spark.sources.sql_inserts import (
 )
 
 _HEADER = re.compile(
-    r"INSERT INTO\s+`?(\w+)`?\s*\(([^)]*)\)\s*VALUES", re.IGNORECASE
+    rb"INSERT INTO\s+`?(\w+)`?\s*\(([^)]*)\)\s*VALUES", re.IGNORECASE
 )
 
 
 def _scan_statements(path: str) -> tuple[list[str], list[tuple[int, int]]]:
-    """One driver pass: the dump's column list + (start, end) character
-    offsets of each statement's VALUES blob."""
-    text = open(path, encoding="utf-8", errors="replace").read()
+    """One driver pass: the dump's column list + (start, end) BYTE
+    offsets of each statement's VALUES blob.  Byte offsets (the regex
+    runs on the raw bytes) let executors ``seek`` straight to their
+    slice instead of decoding the whole file."""
+    data = open(path, "rb").read()
     columns: list[str] | None = None
-    matches = list(_HEADER.finditer(text))
+    matches = list(_HEADER.finditer(data))
     if not matches:
         raise ValueError(f"no INSERT statements found in {path}")
     spans: list[tuple[int, int]] = []
     for i, m in enumerate(matches):
-        cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+        cols = [
+            c.strip().strip("`")
+            for c in m.group(2).decode("utf-8", errors="replace").split(",")
+        ]
         if columns is None:
             columns = cols
         elif cols != columns:
             raise ValueError(f"inconsistent INSERT column lists: {columns} vs {cols}")
-        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(data)
         spans.append((m.end(), end))
     assert columns is not None
     return columns, spans
@@ -81,16 +86,21 @@ class SqlInsertsReader(DataSourceReader):
         return [_StatementsPartition(self.path, c) for c in chunks if c]
 
     def read(self, partition: _StatementsPartition):
-        # executor-side: parse only this partition's statements
-        text = open(partition.path, encoding="utf-8", errors="replace").read()
+        # executor-side: seek + read ONLY this partition's byte spans
+        # (statement boundaries are never inside a multi-byte char, so
+        # each slice decodes independently) — IO scales with the
+        # partition, not the file
         n_cols = len(self.columns)
-        for start, end in partition.spans:
-            for row in _split_tuples(text[start:end]):
-                if len(row) != n_cols:
-                    raise ValueError(
-                        f"tuple arity {len(row)} != {n_cols} in {partition.path}"
-                    )
-                yield tuple(row)
+        with open(partition.path, "rb") as f:
+            for start, end in partition.spans:
+                f.seek(start)
+                blob = f.read(end - start).decode("utf-8", errors="replace")
+                for row in _split_tuples(blob):
+                    if len(row) != n_cols:
+                        raise ValueError(
+                            f"tuple arity {len(row)} != {n_cols} in {partition.path}"
+                        )
+                    yield tuple(row)
 
 
 class SqlInsertsDataSource(DataSource):
