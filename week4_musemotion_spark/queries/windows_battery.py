@@ -234,3 +234,55 @@ def q_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("priciest_key"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
+
+
+@query(
+    "q_streaks",
+    covers=("X-ISLANDS",),
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT o_custkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_key
+        FROM orders
+    ),
+    grp AS (
+        SELECT o_custkey, day_key,
+               day_key - row_number() OVER (PARTITION BY o_custkey ORDER BY day_key)
+                   AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT o_custkey, island, count(*) AS streak_days
+        FROM grp GROUP BY o_custkey, island
+    )
+    SELECT o_custkey,
+           CAST(max(streak_days) AS BIGINT) AS longest_streak,
+           count(*) AS n_streaks
+    FROM streaks
+    GROUP BY o_custkey
+    """,
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's longest run of CONSECUTIVE
+    order days, via the rank-difference trick — day_key minus the
+    row_number over sorted distinct days is constant exactly within a
+    consecutive run, so one window + two aggregates find all islands
+    without any self-join or iteration.  The technique complements
+    gap-sessionization (q_sessionize): same problem family, O(1)
+    passes instead of carried state.  One shuffle on the customer
+    key; dedup, window, and both aggregates all share it."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_key"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("day_key")
+    islands = o.withColumn("island", F.col("day_key") - F.row_number().over(w))
+    streaks = islands.groupBy("o_custkey", "island").agg(
+        F.count("*").alias("streak_days")
+    )
+    return streaks.groupBy("o_custkey").agg(
+        F.max("streak_days").cast("long").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
