@@ -85,3 +85,16 @@ def test_collect_values_broadcasts_dim(spark):
     from week4_musemotion_spark.plans.audit import assert_broadcast_join
 
     assert_broadcast_join(_q("q_collect_values")(spark, SF_SMOKE))
+
+
+def test_streaks_invariants_and_plan(spark):
+    rows = _q("q_streaks")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.longest_streak
+        assert 1 <= r.n_streaks
+    # minimal plan: one exchange for the (cust, day) distinct, one for
+    # the per-customer window; BOTH island aggregates reuse the
+    # customer partitioning (subset-clustering satisfaction) — no
+    # third or fourth shuffle
+    assert _n_exchanges(_q("q_streaks")(spark, SF_SMOKE)) == 2
