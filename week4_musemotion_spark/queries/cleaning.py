@@ -156,3 +156,75 @@ def q_drop_critical_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("balance"),
     )
     return sparse.na.drop(subset=["segment", "balance"])
+
+
+@query(
+    "q_geo_nearest",
+    covers=("F4", "X-GEO"),
+    oracle="""
+    WITH pts AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN 'not a point'
+                    WHEN event_type = 'signup' THEN NULL
+                    ELSE 'POINT (' || CAST((user_id % 360) - 180 AS VARCHAR)
+                         || ' ' || CAST((event_id % 180) - 90 AS VARCHAR) || ')'
+                    END AS location
+        FROM events
+    ),
+    coords AS (
+        SELECT event_id,
+               TRY_CAST(NULLIF(regexp_extract(location,
+                   'POINT\\s*\\(\\s*(-?[\\d\\.]+)\\s+(-?[\\d\\.]+)\\s*\\)', 2), '')
+                   AS BIGINT) AS lat,
+               TRY_CAST(NULLIF(regexp_extract(location,
+                   'POINT\\s*\\(\\s*(-?[\\d\\.]+)\\s+(-?[\\d\\.]+)\\s*\\)', 1), '')
+                   AS BIGINT) AS lon
+        FROM pts
+    )
+    SELECT event_id, lat, lon,
+           (lat - 47) * (lat - 47) + (lon + 122) * (lon + 122) AS dist_sq
+    FROM coords
+    WHERE lat IS NOT NULL
+    ORDER BY dist_sq ASC, event_id ASC
+    LIMIT 20
+    """,
+)
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo top-k: the 20 events nearest a fixed point (the
+    reference's Washington-state anchor, lat 47 / lon -122), computed
+    on coordinates PARSED BACK from WKT — closing the loop on the
+    reference's geo capability (extract lat/lon, pipeline.py:114-116,
+    then actually use them).  Distance is exact integer squared
+    degrees (the synthesized coords are integral), so no libm trig
+    enters the comparison; the top-k fuses into TakeOrderedAndProject
+    with (dist_sq, event_id) as the deterministic total order.  At
+    scale the win is the same as every top-k here: per-partition
+    heaps, no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    location = (
+        F.when(F.col("event_type") == "error", F.lit("not a point"))
+        .when(F.col("event_type") == "signup", F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("POINT ("),
+                ((F.col("user_id") % 360) - 180).cast("string"),
+                F.lit(" "),
+                ((F.col("event_id") % 180) - 90).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
+    lat_d, lon_d = extract_point_latlon(location)
+    lat, lon = lat_d.cast("long"), lon_d.cast("long")
+    dist_sq = (lat - 47) * (lat - 47) + (lon + 122) * (lon + 122)
+    return (
+        e.select(
+            "event_id",
+            lat.alias("lat"),
+            lon.alias("lon"),
+            dist_sq.alias("dist_sq"),
+        )
+        .filter(F.col("lat").isNotNull())
+        .orderBy(F.asc("dist_sq"), F.asc("event_id"))
+        .limit(20)
+    )
