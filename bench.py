@@ -44,20 +44,26 @@ def main() -> None:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
-                "cold_pass_sec": warm_sec,
-            }
-        )
-    )
+    result = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "cold_pass_sec": warm_sec,
+    }
+    # Full per-query map goes to a file: the driver keeps only the last
+    # ~2000 chars of stdout, and the 115-query map alone exceeds that
+    # (BENCH_r01 recorded parsed=null because the line was cut mid-JSON).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    # Final (sole parseable) stdout line: compact summary that fits the
+    # tail window — slowest 20 queries inline, full map in queries_file.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    print(json.dumps({**result, "queries": slowest, "queries_file": full_path}))
     spark.stop()
 
 
