@@ -12,6 +12,39 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_SMOKE
 
 
+def test_blocked_pairs_matches_single_block(spark):
+    """The block-nested-loop all-pairs must emit each qualifying pair
+    exactly once regardless of the block grid (cross-block pairs in
+    their (min,max) group, same-block pairs on the diagonal only)."""
+    from week4_musemotion_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    one = cosine_pairs(emb, 0.45, rows_per_block=100_000).collect()
+    many = cosine_pairs(emb, 0.45, rows_per_block=64).collect()  # 8 blocks
+    assert len(one) > 0
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_lsh_pairs_full_recall_on_planted_dups(spark):
+    """Identical-direction duplicates collide in every LSH table, so
+    cosine_pairs_lsh recovers exactly the exact-baseline pairs at the
+    production threshold."""
+    from week4_musemotion_spark.operators.similarity import cosine_pairs, cosine_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x.cast("double") * 2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.unionByName(copies)
+    exact = sorted(map(tuple, cosine_pairs(aug, 0.9).collect()))
+    approx = sorted(map(tuple, cosine_pairs_lsh(aug, 0.9).collect()))
+    assert len(exact) == 20  # one pair per planted copy
+    assert approx == exact
+
+
 def test_lsh_recall_floor(spark):
     from week4_musemotion_spark.operators.similarity import knn_brute_force, knn_lsh
 

@@ -5,10 +5,17 @@
   (Arrow batches → numpy block math), each batch pre-prunes to its
   local top-k, and a final window takes the global top-k.  Shuffle
   volume is O(batches × queries × k), never O(corpus).
-- :func:`cosine_pairs` — all-pairs near-duplicate detection above a
-  cosine threshold; same block-math pattern with the (small) right
-  side broadcast.  All-pairs is inherently quadratic — at real scale
-  use :func:`knn_lsh`-style bucketing first.
+- :func:`cosine_pairs` — exact all-pairs near-duplicate detection
+  above a cosine threshold as a distributed block-nested-loop: the
+  corpus is hashed into B blocks, every block *pair* becomes one
+  shuffle group, and each group does block×block numpy math.  Nothing
+  is ever collected to the driver; executor memory per task is
+  bounded by ``rows_per_block``.  Compute stays inherently quadratic
+  (that is the exact semantics) — at real scale run
+  :func:`cosine_pairs_lsh` first and keep this as the oracle.
+- :func:`cosine_pairs_lsh` — the near-dup scale path for the real
+  dedup regime (threshold ≳ 0.8): hyperplane-LSH bucket collisions
+  propose candidates, exact JVM-side rerank keeps true pairs only.
 - :func:`knn_lsh` — the scale path: random-hyperplane LSH buckets
   (sign-bit sketch), candidates from bucket collisions, exact rerank
   of candidates only.  Approximate by nature (bucket recall < 1), so
@@ -168,36 +175,136 @@ def knn_brute_force(
 
 
 def cosine_pairs(
-    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 4096,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding near-dup).
+    """All pairs with cosine ≥ threshold (embedding near-dup), exact.
 
-    The full (id-ordered) right side is broadcast; each partition of
-    the left side emits only pairs above threshold with id_a < id_b.
+    Distributed block-nested-loop: vectors are hashed into ``B =
+    ceil(n / rows_per_block)`` blocks; each of the B(B+1)/2 block
+    pairs is one shuffle group whose task holds at most
+    ``2 × rows_per_block`` vectors — executor memory is bounded and
+    the driver never sees vector data (the earlier formulation
+    collected the whole corpus to the driver and broadcast it — a
+    driver OOM at scale).  Shuffle volume is O(n·B) = O(n²/
+    rows_per_block) rows: quadratic, like the compute — this is the
+    exact-verification baseline; the scale path for the real dedup
+    regime is :func:`cosine_pairs_lsh`.
+
+    A pair is scored in exactly one group: cross-block pairs in their
+    (min_blk, max_blk) group, same-block pairs in the diagonal group
+    only.
     """
-    spark = emb.sparkSession
-    b_ids, b_mat = _collect_matrix(emb, id_col, vec_col)
-    if b_ids.size == 0:
-        return _empty_result(spark, "pairs")
-    b_norm = _seq_norm(b_mat)
-    bb = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
+    n = emb.count()
+    if n == 0:
+        return _empty_result(emb.sparkSession, "pairs")
+    n_blocks = max(1, -(-n // rows_per_block))
 
-    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, mat_b, norm_b = bb.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = _to_matrix(pdf[vec_col])
-            denom = _seq_norm(a_mat)[:, None] * norm_b[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = _seq_matmul(a_mat, mat_b) / denom
-            # NaN (zero-norm) fails the >= threshold comparison — excluded
-            ii, jj = np.nonzero((denom > 0) & (cos >= threshold) & (a_ids[:, None] < ids_b[None, :]))
-            yield pd.DataFrame(
-                {"vec_id_a": a_ids[ii], "vec_id_b": ids_b[jj], "cos": cos[ii, jj]}
-            )
+    blocked = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # replicate each vector to every block pair it participates in
+    tasks = blocked.withColumn(
+        "_p", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    ).select(
+        F.least("_blk", "_p").alias("_ti"),
+        F.greatest("_blk", "_p").alias("_tj"),
+        "_blk",
+        "_id",
+        "_vec",
+    )
 
-    pairs = emb.select(id_col, vec_col).mapInPandas(_pairs, schema=_DUP_SCHEMA)
+    def _block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = _to_matrix(pdf["_vec"])
+        norm = _seq_norm(mat)
+        if ti == tj:
+            a_idx = b_idx = np.arange(len(ids))
+        else:
+            blk = pdf["_blk"].to_numpy()
+            a_idx, b_idx = np.nonzero(blk == ti)[0], np.nonzero(blk == tj)[0]
+        denom = norm[a_idx][:, None] * norm[b_idx][None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = _seq_matmul(mat[a_idx], mat[b_idx]) / denom
+        # NaN (zero-norm) fails the >= threshold comparison — excluded
+        keep = (denom > 0) & (cos >= threshold)
+        if ti == tj:
+            # the full matrix holds every pair twice (+ the diagonal):
+            # id_a < id_b keeps one orientation
+            keep &= ids[a_idx][:, None] < ids[b_idx][None, :]
+        ii, jj = np.nonzero(keep)
+        ida, idb = ids[a_idx][ii], ids[b_idx][jj]
+        # id order is independent of block order — orient by min/max
+        # (each cross-block pair appears exactly once in the a×b grid)
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.minimum(ida, idb),
+                "vec_id_b": np.maximum(ida, idb),
+                "cos": cos[ii, jj],
+            }
+        )
+
+    pairs = tasks.groupBy("_ti", "_tj").applyInPandas(_block_pairs, schema=_DUP_SCHEMA)
     return pairs.select("vec_id_a", "vec_id_b", cosine_e6(F.col("cos")).alias("cosine_e6"))
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    n_tables: int = 12,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs with cosine ≥ threshold via hyperplane LSH —
+    the linear-ish scale path for the real dedup regime (t ≳ 0.8).
+
+    Candidates are bucket collisions in any of ``n_tables`` sign-bit
+    tables (``n_planes`` bits each); only candidates are exactly
+    reranked with the JVM-side fold (:func:`cosine_similarity`), so
+    false positives never survive.  Recall: a pair at angle θ is
+    missed with probability ``(1 − p^P)^L`` where ``p = 1 − θ/π`` —
+    at t=0.9 (p≈0.86, P=8, L=12) that is ~0.002 per pair and falls
+    geometrically with L; scaled/identical duplicates (θ=0) collide
+    in every table, deterministically.  Below t≈0.6, p approaches the
+    random-pair 0.5 and bucketing degenerates toward all-pairs — use
+    :func:`cosine_pairs` there (it is also the oracle for this one).
+
+    Shuffle shape: the sketch pass emits L×(id, table, bucket) rows
+    (no vectors); the bucket self-join carries ids only; vectors are
+    joined back for candidate pairs alone.
+    """
+    if dim is None:
+        first = emb.select(vec_col).first()
+        if first is None:
+            return _empty_result(emb.sparkSession, "pairs")
+        dim = len(first[0])
+    planes = _hyperplanes(n_tables * n_planes, dim)
+    sk = _with_sketch(emb, planes, id_col, vec_col, ("_id", "_vec"), n_tables).drop("_vec")
+    a = sk.select("table", "bucket", F.col("_id").alias("vec_id_a"))
+    b = sk.select("table", "bucket", F.col("_id").alias("vec_id_b"))
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    va = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
+        .withColumn("cos", cosine_similarity("_va", "_vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_id_a", "vec_id_b", cosine_e6(F.col("cos")).alias("cosine_e6"))
+    )
 
 
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:

@@ -23,7 +23,12 @@ from week4_musemotion_spark.operators.dedup import (
     simhash_signatures,
 )
 from week4_musemotion_spark.operators.multimodal import extract_media_meta
-from week4_musemotion_spark.operators.similarity import cosine_pairs, knn_brute_force, knn_lsh
+from week4_musemotion_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_pairs_lsh,
+    knn_brute_force,
+    knn_lsh,
+)
 from week4_musemotion_spark.operators.textstats import (
     LANG_MARKERS,
     QUALITY_STOPWORDS,
@@ -174,8 +179,64 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (all-pairs baseline)."""
+    """Embedding-cosine near-dup pairs — exact, distributed
+    block-nested-loop (no driver-side corpus collect)."""
     return cosine_pairs(load_table(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD)
+
+
+#: Threshold for the LSH near-dup path — the real dedup regime.
+#: This corpus's organic pairs top out at cosine ≈ 0.51 (see
+#: EMBED_DUP_THRESHOLD), so the query plants duplicates: every
+#: (vec_id % 25 == 0) vector gets a ×2-scaled copy at vec_id+10⁶.
+#: Doubling a float is exact (exponent bump, mantissa untouched), so
+#: the copy's direction — hence its sign-bit LSH buckets and its
+#: cosine of exactly ~1.0 with the original — is deterministic in
+#: both engines, making LSH recall of the planted pairs guaranteed
+#: rather than probabilistic and keeping the all-pairs oracle
+#: hash-exact.
+EMBED_LSH_THRESHOLD = 0.9
+
+
+@query(
+    "q_dedup_embedding_lsh",
+    covers=("X-DEDUP-EMBED-LSH",),
+    oracle=f"""
+    WITH aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2 AS FLOAT))
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    p AS (
+        SELECT a.vec_id AS vec_id_a, a.embedding AS va,
+               b.vec_id AS vec_id_b, b.embedding AS vb
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    ),
+    s AS (
+        SELECT vec_id_a, vec_id_b,
+               {_COSINE_SQL_FRAG.format(a="va", b="vb")} AS cos
+        FROM p
+    )
+    SELECT vec_id_a, vec_id_b,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+    FROM s WHERE cos >= {EMBED_LSH_THRESHOLD}
+    """,
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at the production threshold (0.9) via
+    hyperplane-LSH bucketing + exact rerank — linear-ish shuffle
+    shape; oracle is the quadratic all-pairs SQL over the same
+    planted-duplicate corpus (see EMBED_LSH_THRESHOLD)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x.cast("double") * 2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(copies)
+    return cosine_pairs_lsh(aug, EMBED_LSH_THRESHOLD)
 
 
 def _clusters_sql(threshold: float, n: int = 3) -> str:
