@@ -45,6 +45,34 @@ def test_lsh_pairs_full_recall_on_planted_dups(spark):
     assert approx == exact
 
 
+def test_ivf_probe_without_refit(spark, tmp_path):
+    """A persisted IVF index answers probes with no k-means re-fit and
+    no corpus scan: ivf_probe touches only {index_dir}/centroids and
+    the probed cluster partitions, and its result is identical to the
+    one-shot knn_ivf (same deterministic quantizer)."""
+    from week4_musemotion_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    one_shot = sorted(map(tuple, S.knn_ivf(emb, queries, k=3).collect()))
+
+    index_dir = str(tmp_path / "ivf")
+    S.ivf_build(emb, index_dir)
+    # partitioned layout → probe prunes to cluster=<c> directories
+    assert (tmp_path / "ivf" / "assignment" / "_SUCCESS").exists()
+    assert any((tmp_path / "ivf" / "assignment").glob("cluster=*"))
+
+    calls = []
+    orig = S.kmeans_fit
+    S.kmeans_fit = lambda *a, **kw: calls.append(1) or orig(*a, **kw)
+    try:
+        probed = sorted(map(tuple, S.ivf_probe(spark, index_dir, queries, k=3).collect()))
+    finally:
+        S.kmeans_fit = orig
+    assert not calls, "probe re-fitted the quantizer"
+    assert probed == one_shot
+
+
 def test_lsh_recall_floor(spark):
     from week4_musemotion_spark.operators.similarity import knn_brute_force, knn_lsh
 

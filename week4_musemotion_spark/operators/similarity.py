@@ -502,6 +502,137 @@ def kmeans_fit(
     return cent
 
 
+def _ivf_probe_assigned(
+    assigned: DataFrame,
+    cent: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared probe tail: route each query to its ``n_probe`` nearest
+    centroids, scan only those clusters of the assignment table
+    (`isin` on the cluster column → directory-level partition pruning
+    when the assignment is a cluster-partitioned parquet index), and
+    exactly rerank the survivors.
+
+    Scoring is fused into ONE Arrow-batched pass over the pruned
+    partitions (per-query probed-cluster masks ride along in the
+    query broadcast; each batch pre-prunes to its local top-k) + one
+    global top-k window — two stages total, vs the join→join→window
+    chain this replaces (~2× faster at small scale from stage count
+    alone, same numpy fold → bit-identical scores)."""
+    spark = assigned.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    if q_ids.size == 0:
+        return _empty_result(spark, "knn")
+    q_norm = _seq_norm(q_mat)
+    cent_sq = (cent * cent).sum(axis=1)
+    d2 = cent_sq[None, :] - 2.0 * (q_mat @ cent.T)  # (q, k) up to |x|²
+    probe = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    allowed = np.zeros((len(q_ids), cent.shape[0]), dtype=bool)
+    for qi, row in enumerate(probe):
+        allowed[qi, row] = True
+    probed = sorted({int(c) for row in probe for c in row})
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm, allowed))
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q, norm_q, allow = bq.value
+        for pdf in batches:
+            c_ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            c_clu = pdf["cluster"].to_numpy(dtype=np.int64)
+            c_mat = _to_matrix(pdf[vec_col])
+            c_norm = _seq_norm(c_mat)
+            denom = c_norm[:, None] * norm_q[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _seq_matmul(c_mat, mat_q) / denom
+            ok = (denom > 0) & allow[:, c_clu].T & (c_ids[:, None] != ids_q[None, :])
+            out = []
+            for j, qid in enumerate(ids_q):
+                col = cos[:, j]
+                cand = np.nonzero(ok[:, j])[0]
+                if len(cand) > k:
+                    # same total order as the global window (cos desc,
+                    # id asc) or tied neighbors get wrongly dropped
+                    order = np.lexsort((c_ids[cand], -col[cand]))
+                    cand = cand[order[:k]]
+                out.append(
+                    pd.DataFrame({"query_id": qid, "neighbor_id": c_ids[cand], "cos": col[cand]})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = (
+        assigned.filter(F.col("cluster").isin(probed))
+        .select("neighbor_id", F.col("cluster").cast("long").alias("cluster"), vec_col)
+        .mapInPandas(_score, schema=_PAIR_SCHEMA)
+    )
+    return _rank_topk(scored, k)
+
+
+#: per-process memo of the (k × dim) centroid matrix by index dir —
+#: a built index is immutable, so this never goes stale
+_CENTROID_CACHE: dict[str, np.ndarray] = {}
+
+
+def ivf_build(
+    emb: DataFrame,
+    index_dir: str,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fit and persist an IVF index — the production lifecycle where
+    the corpus is scanned at *build* time only and query batches touch
+    ``n_probe/n_clusters`` of the data via partition pruning.
+
+    Layout: ``{index_dir}/centroids`` — the (cluster, pos, val) long
+    form of the k×dim centroid matrix (tiny); ``{index_dir}/
+    assignment`` — (id, vector) parquet **partitioned by cluster**, so
+    a probe reads only the probed clusters' directories.
+    """
+    cent = kmeans_fit(emb, n_clusters, iters, id_col, vec_col)
+    spark = emb.sparkSession
+    rows = [(int(c), int(p), float(v)) for c, row in enumerate(cent) for p, v in enumerate(row)]
+    (
+        spark.createDataFrame(rows, "cluster int, pos int, val double")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/centroids")
+    )
+    (
+        _assign_clusters(emb, cent, id_col, vec_col, "neighbor_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{index_dir}/assignment")
+    )
+
+
+def ivf_probe(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a prebuilt :func:`ivf_build` index — no k-means, no
+    corpus scan: only the probed clusters' partitions are read.  The
+    tiny centroid matrix is memoized per process (the index on disk
+    is immutable once built)."""
+    cent = _CENTROID_CACHE.get(index_dir)
+    if cent is None:
+        crows = spark.read.parquet(f"{index_dir}/centroids").collect()
+        cent = np.zeros((max(r["cluster"] for r in crows) + 1, max(r["pos"] for r in crows) + 1))
+        for r in crows:
+            cent[r["cluster"], r["pos"]] = r["val"]
+        _CENTROID_CACHE[index_dir] = cent
+    assigned = spark.read.parquet(f"{index_dir}/assignment")
+    return _ivf_probe_assigned(assigned, cent, queries, k, n_probe, id_col, vec_col)
+
+
 def knn_ivf(
     emb: DataFrame,
     queries: DataFrame,
@@ -512,42 +643,21 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k via an IVF index: k-means coarse quantizer,
-    then each query probes its ``n_probe`` nearest clusters and
-    exactly reranks only those clusters' vectors.
+    """Approximate top-k via a one-shot IVF pass: k-means coarse
+    quantizer, then each query probes its ``n_probe`` nearest
+    clusters and exactly reranks only those clusters' vectors.
 
-    The scale shape: the corpus is scanned once to assign clusters
-    (at production scale the assignment is written as a partitioned
-    table and reused across query batches); a query batch touches
-    ``n_probe / n_clusters`` of the corpus instead of all of it.
-    Candidate routing is a broadcast join on the tiny
-    (query, cluster) pair list.  Approximate by construction (a true
-    neighbor may live in an unprobed cluster) → rows-only check, like
-    the LSH variant; run-to-run deterministic because seeding is by
-    id and assignment ties are resolved by lowest cluster index.
+    This convenience form re-fits the quantizer per call; the
+    production lifecycle is :func:`ivf_build` once + :func:`ivf_probe`
+    per query batch.  Candidate routing is a broadcast join on the
+    tiny (query, cluster) pair list.  Approximate by construction (a
+    true neighbor may live in an unprobed cluster) → rows-only check,
+    like the LSH variant; run-to-run deterministic because seeding is
+    by id and assignment ties are resolved by lowest cluster index.
     """
     cent = kmeans_fit(emb, n_clusters, iters, id_col, vec_col)
     assigned = _assign_clusters(emb, cent, id_col, vec_col, "neighbor_id")
-    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
-    if q_ids.size == 0:
-        return _empty_result(emb.sparkSession, "knn")
-    cent_sq = (cent * cent).sum(axis=1)
-    d2 = cent_sq[None, :] - 2.0 * (q_mat @ cent.T)  # (q, k) up to |x|²
-    probe = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
-    pairs = [
-        (int(qid), int(c)) for qid, row in zip(q_ids, probe) for c in row
-    ]
-    spark = emb.sparkSession
-    routing = spark.createDataFrame(pairs, "query_id long, cluster int")
-    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    scored = (
-        assigned.join(F.broadcast(routing), "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(q_vecs), "query_id")
-        .withColumn("cos", cosine_similarity("qv", F.col(vec_col)))
-        .select("query_id", "neighbor_id", "cos")
-    )
-    return _rank_topk(scored, k)
+    return _ivf_probe_assigned(assigned, cent, queries, k, n_probe, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------
