@@ -238,3 +238,40 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggregate_state(delta, keys, "o_totalprice"),
     )
     return finalize(merged)
+
+
+@query(
+    "q_excel_source",
+    covers=("S4",),
+    oracle="""
+    SELECT CAST(r_regionkey AS VARCHAR) AS region_key, r_name AS region_name
+    FROM region
+    """,
+)
+def q_excel_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel ingestion end-to-end (SURVEY §2 S4, reference
+    streamlit_app.py:30-77): the region dim is exported to a real
+    .xlsx workbook (stdlib OOXML codec) with a junk pre-header row, a
+    perturbed header, and a stray extra column; the Excel source must
+    auto-detect the header row, fuzzy-map the columns, and recover
+    exactly the table the oracle reads from parquet.  Workbooks are
+    driver-side artifacts by nature — the 5-row collect here is the
+    export fixture, not a data-path collect."""
+    import hashlib
+    import os
+    import tempfile
+
+    from week4_musemotion_spark.sources.excel import read_excel_auto_header
+    from week4_musemotion_spark.sources.xlsx_lite import write_xlsx
+
+    rows = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    grid = [
+        ["MuseMotion export", "", ""],
+        [" Region Key ", "Region  Name", "Column1"],
+        *[[str(r[0]), str(r[1]), ""] for r in rows],
+    ]
+    out_dir = os.path.join(tempfile.gettempdir(), "musemotion_xlsx")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12] + ".xlsx")
+    write_xlsx(path, grid)
+    return read_excel_auto_header(spark, path, expected=["region_key", "region_name"])

@@ -6,10 +6,12 @@ against expected names (exact = 2 points, fuzzy ≥ 0.7 = 1), the best
 row becomes the header, then columns are fuzzy-mapped (cutoff 0.6).
 
 Excel is a driver-side format by nature (no splittable OSS Spark
-reader): the file is parsed once with pandas on the driver and handed
-to executors via ``spark.createDataFrame`` (Arrow path).  Fine for
+reader): the file is parsed once on the driver and handed to
+executors via ``spark.createDataFrame`` (Arrow path).  Fine for
 workbook-sized data; large inputs belong in CSV/Parquet sources.
-Requires ``openpyxl`` — gated, with a clear error when absent.
+Parsing prefers pandas+openpyxl (full format coverage); without
+openpyxl it falls back to the stdlib OOXML subset codec
+(:mod:`week4_musemotion_spark.sources.xlsx_lite`).
 """
 
 from __future__ import annotations
@@ -65,10 +67,11 @@ def read_excel_auto_header(
         raise NotImplementedError("Excel source requires pandas on the driver") from e
     try:
         raw = pd.read_excel(path, sheet_name=sheet_name, header=None, dtype=str)
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel source requires openpyxl; install it or convert the workbook to CSV"
-        ) from e
+    except ImportError:
+        # no openpyxl engine — stdlib OOXML-subset fallback
+        from week4_musemotion_spark.sources.xlsx_lite import read_xlsx
+
+        raw = pd.DataFrame(read_xlsx(path), dtype=str)
 
     expected = expected or MUSEMOTION_COLUMNS
     hdr = detect_header_row(raw.head(MAX_HEADER_ROW + 1).values.tolist(), expected)
