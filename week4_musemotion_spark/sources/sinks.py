@@ -61,6 +61,22 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def append_rows(spark, path: str, rows: list, schema=None) -> None:
+    """Explicit single/few-row INSERT (SURVEY §2 C2, ref
+    musemotion-queries.sql:56-57): literal rows → one-partition
+    DataFrame → parquet append.  For row-at-a-time arrival at real
+    scale, batch upstream or use the streaming sink — a 100-TB table
+    should not accrete one footer per row."""
+    df = spark.createDataFrame(rows, schema=schema)
+    write_parquet(df.coalesce(1), path, mode="append")
+
+
+def drop_table(spark, table: str) -> None:
+    """DROP TABLE IF EXISTS (SURVEY §2 C5, ref
+    musemotion-queries.sql:52) — catalog-side, no error when absent."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
