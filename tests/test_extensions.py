@@ -189,3 +189,37 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     got = connected_components(edges).collect()
     assert len(got) == 121
     assert all(r.comp == 0 for r in got)
+
+
+def test_star_contraction_equals_propagation(spark):
+    """Large-star/small-star contraction must produce the same
+    (node, comp) labeling as pointer-jumped propagation, in a
+    comparable number of rounds, on adversarial shapes: a long chain,
+    a skewed hub-with-chains graph, and disjoint cliquelets."""
+    from week4_musemotion_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    skew = []
+    nid = 1
+    for _ in range(10):  # hub 0, 10 chains of length 6
+        prev = 0
+        for _ in range(6):
+            skew.append((prev, nid))
+            prev = nid
+            nid += 1
+    fixtures = {
+        "chain": [(i, i + 1) for i in range(64)],
+        "hub": skew,
+        "cliquelets": [(b * 10, b * 10 + j + 1) for b in range(8) for j in range(3)],
+    }
+    for name, rows in fixtures.items():
+        edges = spark.createDataFrame(rows, ["doc_a", "doc_b"])
+        s_jump, s_star = {}, {}
+        jump = sorted(map(tuple, connected_components(edges, stats=s_jump).collect()))
+        star = sorted(map(tuple, connected_components_star(edges, stats=s_star).collect()))
+        assert star == jump, name
+        # measured: identical round counts on these shapes (both are
+        # O(log diameter)); fail if star ever regresses past jump+1
+        assert s_star["rounds"] <= s_jump["rounds"] + 1, (name, s_star, s_jump)
