@@ -132,9 +132,10 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     from week4_musemotion_spark.sources.tables import load_table
     from tests.conftest import SF_SMOKE
 
-    e = load_table(spark, SF_SMOKE, "events").select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("tsu")
-    )
+    from week4_musemotion_spark.functions.eventtime import epoch_micros
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    e = ev.select("event_id", "user_id", epoch_micros(ev).alias("tsu"))
 
     def spreads(path):
         out = []

@@ -20,10 +20,12 @@ def test_windowed_counts_match_batch(spark):
 
     from week4_musemotion_spark.sources.tables import load_table
 
+    from week4_musemotion_spark.functions.eventtime import event_time
+
+    e = load_table(spark, SF_SMOKE, "events")
     batch = {
         (r.window_start, r.event_type): r.cnt
-        for r in load_table(spark, SF_SMOKE, "events")
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        for r in e.withColumn("event_time", event_time(e))
         .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt")

@@ -77,9 +77,10 @@ def test_stream_stream_join_matches_batch(spark):
     assert stream  # the interval must actually match some pairs
 
     # every matched pair respects the interval bound
-    e = load_table(spark, SF_SMOKE, "events").select(
-        "event_id", F.expr("ts div 1000").alias("tsu")
-    )
+    from week4_musemotion_spark.functions.eventtime import epoch_micros
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    e = ev.select("event_id", epoch_micros(ev).alias("tsu"))
     ts = {r.event_id: r.tsu for r in e.collect()}
     for pid, vid in stream:
         assert 0 <= ts[pid] - ts[vid] <= 10 * 60 * 1_000_000

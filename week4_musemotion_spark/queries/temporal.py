@@ -5,10 +5,11 @@ compositions of builtin ops, with independent DuckDB oracles (DuckDB
 has native ASOF JOIN, so the oracle is a genuinely different
 implementation).
 
-All event-time math is integer microseconds: Spark reads ts as an
-epoch-ns BIGINT and derives ``ts div 1000``; DuckDB coerces the
-parquet TIMESTAMP(NANOS) to µs TIMESTAMP (truncating), so
-``epoch_us(ts)`` lands on exactly the same integers — comparisons,
+All event-time math is integer microseconds, derived
+encoding-agnostically via functions.eventtime.epoch_micros (the
+testdata's ts column has shipped both as TIMESTAMP(NANOS)→BIGINT and
+TIMESTAMP(MICROS)→NTZ); DuckDB coerces either layout to µs TIMESTAMP,
+so ``epoch_us(ts)`` lands on exactly the same integers — comparisons,
 window orders, and spans agree bit-for-bit.
 """
 
@@ -18,13 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from week4_musemotion_spark.functions.eventtime import epoch_micros
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
 
 NS_PER_MIN = 60 * 1_000_000_000
 #: All cross-engine temporal comparisons happen at MICROsecond
-#: resolution: DuckDB coerces the parquet TIMESTAMP(NANOS) to µs
-#: (truncating), so Spark derives tsn = ts div 1000 to match exactly.
+#: resolution: DuckDB coerces the parquet layout to µs TIMESTAMP, so
+#: Spark derives epoch_micros(df) to match exactly.
 US_PER_MIN = 60 * 1_000_000
 
 
@@ -47,7 +49,8 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window battery per user ordered by event time:
     row_number, lag, lead, running sum.  One shuffle on the partition
     key; running sums accumulate in window order (deterministic)."""
-    e = load_table(spark, sf_dir, "events").withColumn("tsu", F.expr("ts div 1000"))
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("tsu", epoch_micros(e))
     w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     return e.select(
         "user_id",
@@ -92,7 +95,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts with lag(), number sessions with a running sum, aggregate
     per session — the batch form of stateful streaming sessionization,
     in two window passes over one user-keyed shuffle."""
-    e = load_table(spark, sf_dir, "events").withColumn("tsn", F.expr("ts div 1000"))
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("tsn", epoch_micros(e))
     w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
     flagged = e.select(
         "user_id",
@@ -132,7 +136,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ties the carried tie-break is (ts, views-first, event_id).
     """
     e = load_table(spark, sf_dir, "events")
-    e = e.withColumn("tsu", F.expr("ts div 1000"))  # µs, matching the oracle's timestamp resolution
+    e = e.withColumn("tsu", epoch_micros(e))  # µs, matching the oracle's timestamp resolution
     views = e.filter(F.col("event_type") == "view").select(
         "user_id", "tsu", F.col("event_id").alias("view_id"), F.lit(1).alias("is_view")
     )
@@ -171,7 +175,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pass is needed.  The exact predicate filters bucket-edge
     false candidates."""
     width = 10 * US_PER_MIN
-    e = load_table(spark, sf_dir, "events").withColumn("tsu", F.expr("ts div 1000"))
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("tsu", epoch_micros(e))
     a = e.select(
         F.col("user_id"),
         F.col("event_id").alias("event_a"),
@@ -259,7 +264,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     obs = e.select(
         "user_id",
-        F.expr("ts div 1000").alias("t_us"),
+        epoch_micros(e).alias("t_us"),
         F.round(F.col("value") * 100).cast("long").alias("val_cents"),
         F.lit(0).alias("kind"),
     )

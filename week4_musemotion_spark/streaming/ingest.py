@@ -5,9 +5,10 @@ Realizes the reference's aspirational "long-term tracking / alerts"
 idiomatic Structured Streaming pipeline: file source → event-time
 windowed aggregation with a watermark for late data.
 
-The events table stores TIMESTAMP(NANOS) (read as nanosecond BIGINT,
-see session.RUNTIME_CONF); event time is derived with integer
-division — never float math, which loses precision above 2^53 ns.
+Event time derives encoding-agnostically from the ts column
+(functions.eventtime: the testdata has shipped both TIMESTAMP(NANOS)→
+BIGINT and TIMESTAMP(MICROS)→NTZ layouts) with integer math only —
+never float, which loses precision above 2^53.
 """
 
 from __future__ import annotations
@@ -16,11 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from week4_musemotion_spark.functions.eventtime import event_time
 from week4_musemotion_spark.session import ensure_runtime_conf
 
-#: Schema of the events stream (ts = epoch nanos; file streams
-#: require an explicit schema — inference needs a listing pass that
-#: an unbounded source can't do).
+#: Fallback/fixture schema of the events stream (file streams require
+#: an explicit schema — inference needs a listing pass that an
+#: unbounded source can't do).  ts here is the legacy epoch-ns BIGINT
+#: used by synthesized test fixtures; ``read_events_stream`` prefers
+#: the actual on-disk schema via a one-footer batch read, so real
+#: streams follow whatever ts encoding the files carry (event-time
+#: derivation is dtype-aware either way).
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -47,14 +53,21 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     ensure_runtime_conf(spark)
     import os
 
+    try:
+        # one-footer batch read: the stream's schema tracks whatever
+        # ts encoding the files actually carry
+        schema = spark.read.parquet(path).schema
+    except Exception:  # pragma: no cover - missing path surfaces at start()
+        schema = EVENTS_STREAM_SCHEMA
     if os.path.isfile(path):
         path = f"{path[:-1]}[{path[-1]}]"
-    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
+    return spark.readStream.schema(schema).parquet(path)
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    """epoch-nanos BIGINT → TIMESTAMP event time (exact integer µs)."""
-    return df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    """ts (any supported encoding) → TIMESTAMP event time (exact
+    integer µs; see functions.eventtime)."""
+    return df.withColumn("event_time", event_time(df))
 
 
 def windowed_event_counts(
