@@ -33,6 +33,7 @@ bit-exact but ~100× slower — interpreted lambda folds per pair.)
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -258,7 +259,7 @@ def cosine_pairs_lsh(
     emb: DataFrame,
     threshold: float,
     n_tables: int = 12,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -280,7 +281,17 @@ def cosine_pairs_lsh(
     Shuffle shape: the sketch pass emits L×(id, table, bucket) rows
     (no vectors); the bucket self-join carries ids only; vectors are
     joined back for candidate pairs alone.
+
+    ``n_planes`` sizes the bucket space and is the scaling knob: the
+    bucket self-join does O(occupancy²) work per bucket, so occupancy
+    must stay bounded as n grows — default is ``max(8, log2(n/32))``
+    (⇒ ~32 rows/bucket/table).  Measured on rotated-copy amplification
+    at sf0.1: 16× rows → ~1.5× wall under this sizing, vs ~6× at 8×
+    rows for the exact blocked baseline (SCALING.md).
     """
+    if n_planes is None:
+        n = emb.count()
+        n_planes = max(8, math.ceil(math.log2(max(2, n / 32))))
     if dim is None:
         first = emb.select(vec_col).first()
         if first is None:
