@@ -238,3 +238,72 @@ def simhash_signatures(
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return votes.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ ``max_hamming`` over
+    SimHash signatures — EXACT output through a bucketed (never
+    all-pairs) join.
+
+    Candidate generation splits each signature into ``max_hamming+1``
+    bit-bands; two signatures within distance d differ in at most d
+    bands, so they agree EXACTLY on at least one band (pigeonhole) —
+    banding therefore has perfect recall, not probabilistic recall
+    like sign-LSH over cosine, and the final ``bit_count(a XOR b)``
+    filter removes false candidates.  Shuffle shape mirrors
+    ``minhash_lsh_pairs``: bands explode to (band, band_bits, id)
+    rows, candidates come from the band equi-join and only those
+    pairs pay the verification compare.
+    """
+    n_bands = max_hamming + 1
+    band_bits = -(-bits // n_bands)
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    mask = (1 << band_bits) - 1
+    bands = sig.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("k"),
+    ).select("_id", "simhash", F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+    a = bands.select(F.col("_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bh")
+    b = bands.select(F.col("_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-vs-corpus exact dedup: new documents whose content hash
+    does not already exist in the corpus — the daily-ingest shape
+    (O(batch) + one anti-join against the corpus hash set, never a
+    corpus²/batch×corpus text compare; at scale the corpus side is a
+    bucketed hash table so the anti-join is shuffle-free)."""
+    nh = new_docs.select(F.col(id_col), stable_hash64(F.col(text_col)).alias("_h"))
+    ch = corpus.select(stable_hash64(F.col(text_col)).alias("_h")).distinct()
+    return nh.join(ch, "_h", "left_anti").select(id_col, F.col("_h").alias("content_hash"))

@@ -289,14 +289,18 @@ def cosine_pairs_lsh(
     at sf0.1: 16× rows → ~1.5× wall under this sizing, vs ~6× at 8×
     rows for the exact blocked baseline (SCALING.md).
     """
-    if n_planes is None:
-        n = emb.count()
-        n_planes = max(8, math.ceil(math.log2(max(2, n / 32))))
-    if dim is None:
-        first = emb.select(vec_col).first()
-        if first is None:
+    if n_planes is None or dim is None:
+        # one tiny agg job covers both: corpus size (bucket sizing)
+        # and dimensionality (plane generation)
+        row = emb.agg(
+            F.count("*").alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
+        ).first()
+        if not row.n:
             return _empty_result(emb.sparkSession, "pairs")
-        dim = len(first[0])
+        if n_planes is None:
+            n_planes = max(8, math.ceil(math.log2(max(2, row.n / 32))))
+        if dim is None:
+            dim = row.d
     planes = _hyperplanes(n_tables * n_planes, dim)
     sk = _with_sketch(emb, planes, id_col, vec_col, ("_id", "_vec"), n_tables).drop("_vec")
     a = sk.select("table", "bucket", F.col("_id").alias("vec_id_a"))

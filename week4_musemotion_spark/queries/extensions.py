@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 from week4_musemotion_spark.functions.hashing import stable_hash64_sql
 from week4_musemotion_spark.operators.dedup import (
     exact_dedup_groups,
+    incremental_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
+    simhash_pairs,
     simhash_signatures,
 )
 from week4_musemotion_spark.operators.multimodal import extract_media_meta
@@ -157,6 +159,57 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document (near-dups land at small
     Hamming distance); per-row expression work only."""
     return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_MAX_HAMMING = 3
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    covers=("X-DEDUP-SIMHASH-PAIRS",),
+    oracle=f"""
+    WITH s AS ({_simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (Hamming ≤ 3) through banded candidate
+    generation: signatures split into 4 bit-bands, pairs within
+    distance 3 must share ≥1 exact band (pigeonhole → perfect recall,
+    unlike probabilistic sign-LSH), bit_count(XOR) verifies.  The
+    oracle is the quadratic self-join; outputs are identical because
+    banding recall is exact by construction."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), _SIMHASH_MAX_HAMMING)
+
+
+@query(
+    "q_dedup_incremental",
+    covers=("X-DEDUP-INCR",),
+    oracle=f"""
+    WITH nh AS (
+        SELECT doc_id, {stable_hash64_sql("text")} AS content_hash
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    ch AS (
+        SELECT DISTINCT {stable_hash64_sql("text")} AS h
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id, content_hash FROM nh
+    WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.h = nh.content_hash)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup: odd-id docs are the
+    arriving batch, even-id docs the existing corpus; survivors are
+    batch docs whose content hash is unseen — one anti-join against
+    the corpus hash set, O(batch + corpus) not O(batch × corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+    )
 
 
 @query(
