@@ -108,3 +108,25 @@ def test_runtime_bloom_filter_join_pruning(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_vocab_oov_broadcasts_vocab_and_fuses_topv(spark):
+    """The induced vocab must reach the token stream as a broadcast
+    (it is top-V, always small) and the top-V itself must fuse to
+    TakeOrderedAndProject — no sort of the full token-count table."""
+    from week4_musemotion_spark.plans.audit import plan_string
+    from week4_musemotion_spark.queries import REGISTRY
+
+    plan = plan_string(REGISTRY["q_vocab_oov"].builder(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_dedup_plans_anti_join(spark):
+    """Batch-vs-corpus dedup must be a hash anti-join on the content
+    hash, never any text-vs-text comparison."""
+    from week4_musemotion_spark.plans.audit import plan_string
+    from week4_musemotion_spark.queries import REGISTRY
+
+    plan = plan_string(REGISTRY["q_dedup_incremental"].builder(spark, SF_SMOKE))
+    assert "LeftAnti" in plan

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from week4_musemotion_spark.functions.exact import ratio_e4_sql
 from week4_musemotion_spark.functions.hashing import stable_hash64_sql
 from week4_musemotion_spark.operators.dedup import (
     exact_dedup_groups,
@@ -547,3 +548,65 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.operators.multimodal import sample_frames
 
     return sample_frames(load_table(spark, sf_dir, "documents"))
+
+
+_VOCAB_SIZE = 500
+
+
+@query(
+    "q_vocab_oov",
+    covers=("X-VOCAB-OOV",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+            ORDER BY cnt DESC, tok ASC LIMIT {_VOCAB_SIZE}
+        )
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (v.tok IS NULL) AS n_oov,
+           {ratio_e4_sql("count(*) FILTER (v.tok IS NULL)", "count(*)")} AS oov_e4
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV rate: induce the top-500 token vocab
+    from the corpus (count desc, token asc — deterministic), then
+    score every document's out-of-vocab token share as an exact-
+    integer e4 ratio.  Scale shape: the vocab is one partial+final
+    aggregate fused with TakeOrdered, then BROADCAST to the token
+    stream (it is top-V by construction, so always small); per-doc
+    scoring is one keyed aggregate — the token stream shuffles once,
+    the corpus never joins itself."""
+    from week4_musemotion_spark.functions.exact import ratio_e4
+    from week4_musemotion_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("tok").asc())
+        .limit(_VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            ratio_e4(F.col("n_oov"), F.col("n_tokens")).alias("oov_e4"),
+        )
+    )
