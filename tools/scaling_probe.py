@@ -104,6 +104,28 @@ def main() -> int:
         from week4_musemotion_spark.operators.curation import dedup_paragraphs
 
         para = dedup_paragraphs(docs, block=8)
+        # embedding near-dup shapes: amplify with ROTATED copies so the
+        # result set itself doesn't grow quadratically (identical
+        # copies would plant k² dup pairs and measure result size, not
+        # plan scaling)
+        from week4_musemotion_spark.operators.similarity import cosine_pairs, cosine_pairs_lsh
+
+        emb0 = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        emb_copies = [emb0]
+        for i in range(1, n):
+            emb_copies.append(
+                emb0.select(
+                    (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                    F.concat(
+                        F.slice("embedding", i % 63 + 2, 64 - (i % 63 + 1)),
+                        F.slice("embedding", 1, i % 63 + 1),
+                    ).alias("embedding"),
+                )
+            )
+        emb = reduce(DataFrame.unionByName, emb_copies)
+        emb.count()
+        embed_exact = cosine_pairs(emb, 0.45)
+        embed_lsh = cosine_pairs_lsh(emb, 0.9)
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -111,6 +133,8 @@ def main() -> int:
             ("factfact_join_having", factjoin),
             ("rolling_range_window", rolling),
             ("paragraph_dedup", para),
+            ("embed_pairs_exact_blocked", embed_exact),
+            ("embed_pairs_lsh", embed_lsh),
         ]:
             results.setdefault(shape, {})[n] = run(df)
 

@@ -284,8 +284,8 @@ def cosine_pairs_lsh(
 
     ``n_planes`` sizes the bucket space and is the scaling knob: the
     bucket self-join does O(occupancy²) work per bucket, so occupancy
-    must stay bounded as n grows — default is ``max(8, log2(n/32))``
-    (⇒ ~32 rows/bucket/table).  Measured on rotated-copy amplification
+    must stay bounded as n grows — default is ``max(8, log2(n/8))``
+    (⇒ ~8 rows/bucket/table).  Measured on rotated-copy amplification
     at sf0.1: 16× rows → ~1.5× wall under this sizing, vs ~6× at 8×
     rows for the exact blocked baseline (SCALING.md).
     """
@@ -298,7 +298,7 @@ def cosine_pairs_lsh(
         if not row.n:
             return _empty_result(emb.sparkSession, "pairs")
         if n_planes is None:
-            n_planes = max(8, math.ceil(math.log2(max(2, row.n / 32))))
+            n_planes = max(8, math.ceil(math.log2(max(2, row.n / 8))))
         if dim is None:
             dim = row.d
     planes = _hyperplanes(n_tables * n_planes, dim)
