@@ -170,3 +170,23 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     assert med(zs, 1) <= 0.75 * glob_t
     # single-column sort: the unsorted dimension spans ~everything
     assert med(ss, 0) >= 0.9 * glob_u
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """64 micro-files compact to a handful without a shuffle, with
+    identical data and a crash-safe swap (no ._old left behind)."""
+    import os
+
+    from week4_musemotion_spark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 64
+
+    n_after = compact_parquet(spark, path, target_file_bytes=1 << 20)
+    assert n_after < 8
+    assert not os.path.exists(path + "._old") and not os.path.exists(path + "._staging")
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == [(i, i * 2) for i in range(10_000)]

@@ -88,3 +88,50 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_file_bytes)`` files (the 100-TB
+    operational hygiene op — a table accreted by micro-batches or
+    row-appends degrades every scan with per-file open/footer costs
+    and starves the scheduler with million-task stages).
+
+    Uses the same crash-safe staging/rename promotion as the upsert
+    sink: the live dataset is never deleted before its replacement is
+    fully written.  Returns the output file count.  At warehouse
+    scale the equivalent is the table format's OPTIMIZE/rewrite
+    action; partition-preserving compaction composes this per
+    partition directory.
+    """
+    import math
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    staging, old = base + "._staging", base + "._old"
+    if os.path.exists(old) and not os.path.exists(base):
+        os.rename(old, base)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(base)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    # coalesce, not repartition: compaction must not pay a shuffle —
+    # it only glues input splits together
+    spark.read.parquet(base).coalesce(n_files).write.mode("overwrite").parquet(staging)
+    os.rename(base, old)
+    os.rename(staging, base)
+    shutil.rmtree(old)
+    return sum(
+        1 for r, _, fs in os.walk(base) for f in fs if f.endswith(".parquet")
+    )

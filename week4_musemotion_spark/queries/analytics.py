@@ -274,3 +274,74 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_winsorize",
+    covers=("X-WINSORIZE",),
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    r AS (
+        SELECT l_returnflag, v,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM c
+    ),
+    b AS (
+        SELECT l_returnflag,
+               max(CASE WHEN rn = (5 * n + 99) // 100 THEN v END) AS lo,
+               max(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS hi
+        FROM r GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(least(greatest(c.v, b.lo), b.hi)) AS BIGINT) AS clipped_sum_cents,
+           count(*) FILTER (c.v < b.lo OR c.v > b.hi) AS n_clipped
+    FROM c JOIN b ON c.l_returnflag = b.l_returnflag
+    GROUP BY c.l_returnflag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping to exact per-group p05/p95):
+    the feature-robustification step of a training pipeline, in pure
+    integer arithmetic.  Bounds come from the same discrete-rank
+    selection as q_group_quantiles (value at ceil(q·n) — exact, not
+    interpolated); the tiny per-group bound table broadcasts back
+    onto the fact stream, so the fact shuffles once for the rank
+    window and once for the final aggregate, never joining itself.
+    Ceil in integers: rank = (q·n + 99) div 100 for q in percent."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    wn = Window.partitionBy("l_returnflag")
+    r = c.select(
+        "l_returnflag",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = r.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == F.expr("(5 * n + 99) div 100"), F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("v"))).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        c.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(clipped).cast("long").alias("clipped_sum_cents"),
+            F.count(F.when((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")), 1)).alias(
+                "n_clipped"
+            ),
+        )
+    )
