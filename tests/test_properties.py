@@ -80,3 +80,64 @@ def test_explode_utilities_never_emits_separators(spark, utilities):
     out = [r.utility for r in explode_utilities(df).collect()]
     for u in out:
         assert u is None or ("|" not in u and u == u.strip())
+
+
+def test_simhash_banding_equals_brute_force_random(spark):
+    """Pigeonhole banding must recover EXACTLY the brute-force
+    Hamming-pair set on randomized documents (one Spark job; numpy
+    RNG seeded for reproducibility)."""
+    import numpy as np
+
+    from week4_musemotion_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(80):
+        k = rng.integers(3, 12)
+        docs.append((i, " ".join(rng.choice(vocab, size=k))))
+    # plant near-identical pairs (small edits → small Hamming distance)
+    for i in range(80, 90):
+        base = docs[i - 80][1]
+        docs.append((i, base + " extra"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    brute = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    banded = {(r.doc_a, r.doc_b) for r in simhash_pairs(df, 3).collect()}
+    assert banded == brute
+    assert brute, "fixture produced no close pairs — test is vacuous"
+
+
+def test_blocked_cosine_pairs_equals_numpy_random(spark):
+    """The distributed block-nested-loop must agree with a direct
+    numpy all-pairs on random vectors, across a multi-block grid."""
+    import numpy as np
+
+    from week4_musemotion_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(120, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    m = vecs.astype(np.float64)
+    norm = np.sqrt((m * m).sum(axis=1))
+    cos = (m @ m.T) / (norm[:, None] * norm[None, :])
+    expect = {
+        (a, b)
+        for a in range(120)
+        for b in range(a + 1, 120)
+        if cos[a, b] >= 0.5
+    }
+    got = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in cosine_pairs(df, 0.5, rows_per_block=32).collect()  # 4 blocks
+    }
+    assert got == expect
+    assert expect, "fixture produced no qualifying pairs — test is vacuous"
