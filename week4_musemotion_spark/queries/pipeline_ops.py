@@ -5,6 +5,7 @@ training-data pipeline, oracle-checked like everything else."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.exact import avg_money_sql, cents_sql, sum_money_sql
 from week4_musemotion_spark.functions.hashing import stable_hash64_sql
@@ -275,3 +276,131 @@ def q_excel_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(out_dir, hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12] + ".xlsx")
     write_xlsx(path, grid)
     return read_excel_auto_header(spark, path, expected=["region_key", "region_name"])
+
+
+@query(
+    "q_jsonl_source",
+    covers=("S2", "X-JSONL"),
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion end-to-end: the nation dim is exported to
+    a .jsonl file (driver-side fixture, 25-row dim) and re-read with
+    an EXPLICIT schema — at scale schema inference costs a full extra
+    pass over the data and silently widens types, so production JSONL
+    reads always pin the schema.  Oracle reads the same rows from
+    parquet."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), "musemotion_jsonl")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(
+        out_dir, hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12] + ".jsonl"
+    )
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps({"n_nationkey": r[0], "n_name": r[1], "n_regionkey": r[2]}) + "\n")
+    return spark.read.schema("n_nationkey long, n_name string, n_regionkey long").json(path)
+
+
+@query(
+    "q_funnel",
+    covers=("X-FUNNEL",),
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, min(epoch_us(ts)) AS t_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT v.user_id, v.t_view, p.t_purchase,
+           p.t_purchase - v.t_view AS delta_us
+    FROM v JOIN p ON v.user_id = p.user_id
+    WHERE p.t_purchase >= v.t_view
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users whose first purchase follows their
+    first view, with the exact integer-µs conversion delay.  Two
+    filtered partial aggregates on the same scan, then a keyed join
+    of two already-small per-user tables — the fact table shuffles
+    once per stage, never row-by-row."""
+    from week4_musemotion_spark.functions.eventtime import epoch_micros
+
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("tsu", epoch_micros(e))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tsu").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("tsu").alias("t_purchase"))
+    )
+    return (
+        v.join(p, "user_id")
+        .filter(F.col("t_purchase") >= F.col("t_view"))
+        .select(
+            "user_id",
+            "t_view",
+            "t_purchase",
+            (F.col("t_purchase") - F.col("t_view")).alias("delta_us"),
+        )
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    covers=("X-RETENTION",),
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        FROM events
+    )
+    SELECT a.week,
+           count(*) AS active_users,
+           count(b.user_id) AS retained_next_week
+    FROM uw a LEFT JOIN uw b
+      ON a.user_id = b.user_id AND b.week = a.week + 1
+    GROUP BY a.week
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: distinct (user, week) activity, then
+    a self-join shifted one week — the cohort primitive.  The
+    distinct shrinks the fact to |users|×|weeks| before any join, so
+    the self-join runs on the small derived table; week buckets are
+    integer division of epoch-µs (engine-exact)."""
+    from week4_musemotion_spark.functions.eventtime import epoch_micros
+
+    e = load_table(spark, sf_dir, "events")
+    # integer div, not float `/`: a double quotient can round up across
+    # an exact week boundary before the cast truncates
+    uw = (
+        e.withColumn("tsu", epoch_micros(e))
+        .select("user_id", F.expr("tsu div 604800000000").alias("week"))
+        .distinct()
+    )
+    b = uw.select(F.col("user_id"), (F.col("week") - 1).alias("week"), F.lit(1).alias("_r"))
+    return (
+        uw.join(b, ["user_id", "week"], "left")
+        .groupBy("week")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.count("_r").alias("retained_next_week"),
+        )
+    )
