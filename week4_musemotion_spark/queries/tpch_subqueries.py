@@ -357,3 +357,216 @@ def q_tpch_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q2 silhouette — correlated min over a snowflake (min-cost supplier)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_min_cost_supplier",
+    covers=("X-TPCH-Q2",),
+    oracle="""
+    WITH sr AS (
+        SELECT s.s_suppkey, s.s_name, n.n_name,
+               CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    links AS (
+        SELECT DISTINCT l.l_partkey, l.l_suppkey
+        FROM lineitem l
+    ),
+    cand AS (
+        SELECT p.p_partkey, p.p_name, sr.s_suppkey, sr.s_name, sr.n_name, sr.bal_cents
+        FROM part p
+        JOIN links k ON p.p_partkey = k.l_partkey
+        JOIN sr ON k.l_suppkey = sr.s_suppkey
+        WHERE p.p_size = 15
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, n_name, bal_cents
+    FROM cand c
+    WHERE bal_cents = (
+        SELECT min(bal_cents) FROM cand c2 WHERE c2.p_partkey = c.p_partkey
+    )
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 silhouette: per part, the region-restricted supplier
+    with the minimum account balance — the correlated-scalar-min-over-
+    a-snowflake shape (testdata has no partsupp, so the part↔supplier
+    association comes from distinct lineitem links, and min supplycost
+    transposes to min acctbal in exact cents).  Catalyst decorrelates
+    the per-part min into a window/aggregate join; the region/nation
+    restriction collapses to a broadcast filter on the supplier dim
+    BEFORE any fact access — at 100 TB the candidate set is pruned by
+    the dims first, exactly like real Q2."""
+    from pyspark.sql.window import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    sr = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", cents("s_acctbal").alias("bal_cents"))
+    )
+    links = li.select(F.col("l_partkey"), F.col("l_suppkey")).distinct()
+    cand = (
+        p.select("p_partkey", "p_name")
+        .join(links, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sr), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "bal_cents")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min", F.min("bal_cents").over(w))
+        .filter(F.col("bal_cents") == F.col("_min"))
+        .drop("_min")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 silhouette — group share vs a global scalar (important stock)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_important_stock",
+    covers=("X-TPCH-Q11",),
+    oracle="""
+    WITH nat AS (
+        SELECT s_suppkey FROM supplier s JOIN nation n
+          ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+    ),
+    val AS (
+        SELECT l.l_partkey,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(l.l_quantity AS BIGINT)) AS value_cq
+        FROM lineitem l JOIN nat ON l.l_suppkey = nat.s_suppkey
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_cq
+    FROM val
+    WHERE value_cq * 10000 > (SELECT sum(value_cq) FROM val)
+    ORDER BY value_cq DESC, l_partkey
+    """,
+)
+def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 silhouette: per-part inventory value restricted to
+    one nation's suppliers, keeping parts whose value exceeds a
+    fraction (1/10000) of the grand total — the group-share-vs-
+    global-scalar shape.  No partsupp: value = Σ price×quantity from
+    lineitem; the threshold compare is cross-multiplied to exact
+    integers (never a double fraction).  The grand total is a
+    broadcast 1-row aggregate over the SAME grouped result (computed
+    once, reused — not a second scan of the fact)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(cents("l_extendedprice") * F.col("l_quantity").cast("long")).alias("value_cq")
+        )
+    )
+    total = val.agg(F.sum("value_cq").alias("_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cq") * 10_000 > F.col("_total"))
+        .select("l_partkey", "value_cq")
+        .orderBy(F.col("value_cq").desc(), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 silhouette — nested IN chains (excess shipping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_excess_quantity",
+    covers=("X-TPCH-Q20",),
+    oracle="""
+    WITH blueparts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
+    ),
+    shipped AS (
+        SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM blueparts)
+          AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    allqty AS (
+        SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM blueparts)
+          AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+        GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT sh.l_suppkey FROM shipped sh JOIN allqty a
+          ON sh.l_partkey = a.l_partkey
+        WHERE sh.qty * 2 > a.total_qty
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_excess_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 silhouette: suppliers who shipped more than half of
+    a blue part's 1995 volume — the nested-IN-chain shape
+    (part-name IN → grouped lineitem IN → supplier IN).  No partsupp/
+    availqty: 'excess' transposes to supplier share > 1/2 of the
+    part's same-window shipped total, cross-multiplied to exact
+    integers.
+    Catalyst turns each IN into a semi join; the part-name filter
+    broadcasts into both lineitem scans so the fact is pruned before
+    either aggregate."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%")).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+
+    blue_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    shipped = (
+        blue_li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    window = (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("date")
+    )
+    allqty = (
+        blue_li.filter(window)
+        .groupBy(F.col("l_partkey").alias("_pk"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+    )
+    excess = (
+        shipped.join(allqty, shipped.l_partkey == F.col("_pk"))
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(excess, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
