@@ -83,7 +83,15 @@ def test_lsh_recall_floor(spark):
     }
     approx = {(r.query_id, r.neighbor_id) for r in knn_lsh(emb, queries, k=3).collect()}
     assert approx, "LSH produced no candidates at all"
-    # multi-table sign-LSH (16×6) measures ≈0.59 on these high-entropy
-    # embeddings; a broken sketch scores ~k/corpus ≈ 0.6%
+    # multi-table sign-LSH (16×6) + distance-1 multiprobe measures
+    # ≈0.99 on these high-entropy embeddings (0.59 without probing);
+    # a broken sketch scores ~k/corpus ≈ 0.6%
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, f"LSH recall collapsed: {recall:.3f}"
+    assert recall >= 0.85, f"LSH recall collapsed: {recall:.3f}"
+    # single-bucket probing still works and stays above its own floor
+    bare = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_lsh(emb, queries, k=3, multiprobe=0).collect()
+    }
+    bare_recall = len(exact & bare) / len(exact)
+    assert bare_recall >= 0.4, f"bare LSH recall collapsed: {bare_recall:.3f}"
