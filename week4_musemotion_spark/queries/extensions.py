@@ -162,14 +162,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
-_SIMHASH_MAX_HAMMING = 3
+#: Pairs threshold/width tuned to THIS corpus's geometry: the small
+#: synthetic vocabulary correlates simhash votes, compressing the
+#: whole Hamming distribution (16-bit signatures put 56% of ALL pairs
+#: within distance 3 — noise, and a near-quadratic 16-bucket band
+#: join, measured 12.8s at sf0.1).  At 63 bits the left tail thins to
+#: 0.5% at distance <= 1, and the two pigeonhole bands are 32 bits
+#: wide, so band buckets are near-unique and candidate volume tracks
+#: true near-dups.
+_SIMHASH_MAX_HAMMING = 1
+_SIMHASH_PAIR_BITS = 63
 
 
 @query(
     "q_dedup_simhash_pairs",
     covers=("X-DEDUP-SIMHASH-PAIRS",),
     oracle=f"""
-    WITH s AS ({_simhash_sql()})
+    WITH s AS ({_simhash_sql(_SIMHASH_PAIR_BITS)})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -177,13 +186,16 @@ _SIMHASH_MAX_HAMMING = 3
     """,
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS (Hamming ≤ 3) through banded candidate
-    generation: signatures split into 4 bit-bands, pairs within
-    distance 3 must share ≥1 exact band (pigeonhole → perfect recall,
-    unlike probabilistic sign-LSH), bit_count(XOR) verifies.  The
-    oracle is the quadratic self-join; outputs are identical because
-    banding recall is exact by construction."""
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), _SIMHASH_MAX_HAMMING)
+    """SimHash near-dup PAIRS (Hamming ≤ 1 of 63 bits) through banded
+    candidate generation: signatures split into 2 32-bit bands, pairs
+    within distance 1 must share ≥1 exact band (pigeonhole → perfect
+    recall, unlike probabilistic sign-LSH), bit_count(XOR) verifies.
+    The oracle is the quadratic self-join; outputs are identical
+    because banding recall is exact by construction.  See
+    _SIMHASH_PAIR_BITS for why this corpus needs the wide signature."""
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"), _SIMHASH_MAX_HAMMING, bits=_SIMHASH_PAIR_BITS
+    )
 
 
 @query(
