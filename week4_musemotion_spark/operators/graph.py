@@ -194,3 +194,26 @@ def dedup_clusters(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> 
         F.col("node").alias("doc_id"),
         F.col("comp").alias("keep_id"),
     )
+
+
+def triangles(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Triangle enumeration over an oriented edge list (src < dst):
+    (a,b)⋈(b,c)⋈(a,c) emits each triangle exactly once as a < b < c.
+
+    The orientation is what makes the classic double-join linearish:
+    each edge participates only from its lower endpoint, so no
+    triangle is found three times and the join fan-out is bounded by
+    per-node out-degree.  (At extreme skew the optimal variant orients
+    by DEGREE order instead of id order, bounding out-degree by √m —
+    same plan shape, different orientation key.)  Dup clusters that
+    are true cliques show up here; chains (A~B~C without A~C) do not
+    — the clique-ness signal of a near-dup cluster.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    bc = e.select(F.col("a").alias("_b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("_a2"), F.col("b").alias("_c2"))
+    return (
+        e.join(bc, e.b == bc._b)
+        .join(ac, (F.col("a") == F.col("_a2")) & (F.col("c") == F.col("_c2")))
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.col("c").alias("doc_c"))
+    )

@@ -622,3 +622,25 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_e4(F.col("n_oov"), F.col("n_tokens")).alias("oov_e4"),
         )
     )
+
+
+@query(
+    "q_graph_triangles",
+    covers=("X-GRAPH-TRIANGLES",),
+    oracle=f"""
+    WITH {_jaccard_ctes(JACCARD_THRESHOLD)},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
+    SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the near-dup graph — dup clusters that are true
+    cliques (every pair above threshold) vs mere chains.  Oriented
+    double join over the id-ordered edge list; the oracle repeats the
+    same algebra over the recursive-CTE-free pair set."""
+    from week4_musemotion_spark.operators.graph import triangles
+
+    return triangles(jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD))
