@@ -39,3 +39,17 @@ def train_test_split(
     cut = int(test_fraction * GRANULARITY)
     bucket = hash_bucket(key_col)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def weighted_hash_sample(
+    df: DataFrame, key_col: str, weight_e4_col, granularity: int = 10_000
+) -> DataFrame:
+    """Weighted Bernoulli sampling with deterministic membership:
+    keep a row iff ``hash(key) % granularity < weight`` — inclusion
+    probability is the row's own weight (an e4 integer, ≥granularity
+    ⇒ always kept), yet membership stays a pure function of the key,
+    so re-runs, backfills, and other engines agree row-for-row.  The
+    quality-weighted corpus-mixing primitive: up-weight good
+    documents without RNG state or a shuffle (a pure filter)."""
+    w = F.col(weight_e4_col) if isinstance(weight_e4_col, str) else weight_e4_col
+    return df.filter(hash_bucket(key_col, granularity) < F.least(w, F.lit(granularity)))

@@ -12,6 +12,9 @@ from week4_musemotion_spark.functions.hashing import stable_hash64_sql
 from week4_musemotion_spark.operators.incremental import aggregate_state, finalize, merge_states
 from week4_musemotion_spark.operators.profiling import profile
 from week4_musemotion_spark.operators.sampling import GRANULARITY, hash_sample
+from week4_musemotion_spark.operators.textstats import QUALITY_STOPWORDS
+
+_Q_STOPLIST = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
 
@@ -404,3 +407,43 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_r").alias("retained_next_week"),
         )
     )
+
+
+@query(
+    "q_weighted_sample",
+    covers=("X-WEIGHTED-SAMPLE",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, len(ts) AS n_tokens,
+               len(list_filter(ts, w -> w IN ({_Q_STOPLIST}))) AS stop_cnt
+        FROM tok WHERE len(ts) > 0
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST((2 * 50 * least(n_tokens, 200) * (n_tokens - stop_cnt) + n_tokens)
+                    // (2 * n_tokens) AS BIGINT) AS quality_e4
+        FROM f
+    )
+    SELECT doc_id, quality_e4 FROM q
+    WHERE {stable_hash64_sql("CAST(doc_id AS VARCHAR)")} % 10000
+          < least(quality_e4, 10000)
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sample: each document's inclusion
+    probability IS its quality score (e4 integer), decided by a pure
+    hash of its key — the corpus-mixing primitive that up-weights
+    good documents with zero RNG state, zero shuffle (a filter), and
+    row-for-row reproducibility across engines and re-runs.  Compare
+    ``df.sample``: per-partition RNG, unweighted, unreproducible."""
+    from week4_musemotion_spark.operators.sampling import weighted_hash_sample
+    from week4_musemotion_spark.operators.textstats import quality_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = quality_stats(d).filter(F.col("n_tokens") > 0)
+    return weighted_hash_sample(scored, "doc_id", "quality_e4").select("doc_id", "quality_e4")
