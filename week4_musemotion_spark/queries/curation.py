@@ -25,6 +25,7 @@ from week4_musemotion_spark.operators.curation import (
     stratified_hash_sample,
 )
 from week4_musemotion_spark.operators.sampling import GRANULARITY
+from week4_musemotion_spark.operators.textstats import QUALITY_STOPWORDS
 from week4_musemotion_spark.operators.similarity import quantize_stats
 from week4_musemotion_spark.queries.extensions import _shingle_expr
 from week4_musemotion_spark.queries.registry import query
@@ -35,6 +36,8 @@ from week4_musemotion_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 _PII_EXPRS = scrub_pii_sql("t")
+
+_QS_STOPLIST = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 
 
 @query(
@@ -630,3 +633,95 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.operators.curation import dedup_paragraphs
 
     return dedup_paragraphs(load_table(spark, sf_dir, "documents"), block=_PARA_BLOCK)
+
+
+@query(
+    "q_dup_rate_by_source",
+    covers=("X-DUP-AUDIT",),
+    oracle="""
+    WITH h AS (SELECT doc_id, source, md5(text) AS th FROM documents),
+    g AS (SELECT th, min(doc_id) AS keeper FROM h GROUP BY th)
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (h.doc_id != g.keeper) AS n_dups,
+           CAST((2 * count(*) FILTER (h.doc_id != g.keeper) * 10000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS dup_rate_e4
+    FROM h JOIN g ON h.th = g.th
+    GROUP BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit report: per source, how many documents are exact
+    duplicates of an earlier doc (keeper = min doc_id per content
+    hash) and the dup rate as an exact e4 ratio — the per-provider
+    contamination dashboard of a corpus pipeline.  One hash aggregate
+    for keepers + one broadcast-joined group-by; text never leaves
+    the executors (only 128-bit hashes shuffle)."""
+    from week4_musemotion_spark.functions.exact import ratio_e4
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "source", F.md5(F.col("text")).alias("th"))
+    g = h.groupBy("th").agg(F.min("doc_id").alias("keeper"))
+    return (
+        h.join(g, "th")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("doc_id") != F.col("keeper"), 1)).alias("n_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            ratio_e4(F.col("n_dups"), F.col("n_docs")).alias("dup_rate_e4"),
+        )
+    )
+
+
+@query(
+    "q_quality_by_lang",
+    covers=("X-QUALITY-BY-LANG",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang, len(ts) AS n_tokens,
+               len(list_filter(ts, w -> w IN ({_QS_STOPLIST}))) AS stop_cnt
+        FROM tok WHERE len(ts) > 0
+    ),
+    q AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST((2 * 50 * least(n_tokens, 200) * (n_tokens - stop_cnt) + n_tokens)
+                    // (2 * n_tokens) AS BIGINT) AS quality_e4
+        FROM f
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(quality_e4) AS BIGINT) AS quality_e4_sum
+    FROM q
+    GROUP BY lang
+    """,
+)
+def q_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified corpus report: per declared language, doc
+    count, total tokens, and the exact integer SUM of quality scores
+    (consumers divide for the mean — emitting the sum keeps the
+    aggregate bit-exact and order-free across engines).  One pass:
+    per-row quality expressions feed a single hash aggregate."""
+    from week4_musemotion_spark.operators.textstats import quality_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = quality_stats(d).filter(F.col("n_tokens") > 0)
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("quality_e4").cast("long").alias("quality_e4_sum"),
+        )
+    )
