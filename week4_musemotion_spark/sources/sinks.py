@@ -90,8 +90,9 @@ def write_jdbc(
     append = K2/K3).  ``num_partitions`` caps concurrent connections
     — at cluster scale an unbounded writer DDoSes the database.
 
-    Untested here (no database in this environment); the API mirrors
-    ``DataFrameWriter.jdbc`` exactly.
+    Live-tested against embedded Derby (the in-memory database in
+    Spark's own jars): replace/append/read-back round-trips in
+    ``tests/test_jdbc_sink.py``.
     """
     w = df.coalesce(num_partitions) if num_partitions else df
     opts = dict(properties or {})
