@@ -109,3 +109,24 @@ def test_cosine_similarity(spark):
     assert abs(got[1]["c"] - 1.0) < 1e-12
     assert got[2]["c"] is None  # zero-norm → NULL, not NaN
     assert math.isclose(got[1]["n"], math.sqrt(5))
+
+
+def test_epoch_micros_encoding_equivalence(spark):
+    """The same instants, delivered as epoch-ns BIGINT (round-1
+    layout) and as TIMESTAMP_NTZ (current layout), must produce
+    identical epoch_micros — the invariant that makes every temporal
+    query layout-agnostic."""
+    from week4_musemotion_spark.functions.eventtime import epoch_micros
+
+    micros = [0, 1, 999_999, 1_700_000_000_000_000, 1_700_000_000_123_456]
+    as_long = spark.createDataFrame(
+        [(m * 1000,) for m in micros], "ts long"  # nanos
+    )
+    as_ntz = spark.sql(
+        "SELECT timestamp_ntz '1970-01-01 00:00:00' + make_interval(0,0,0,0,0,0, ts/1e6) AS ts "
+        "FROM VALUES " + ", ".join(f"({m})" for m in micros) + " t(ts)"
+    )
+    got_long = [r[0] for r in as_long.select(epoch_micros(as_long)).collect()]
+    got_ntz = sorted(r[0] for r in as_ntz.select(epoch_micros(as_ntz)).collect())
+    assert got_long == micros
+    assert got_ntz == micros
