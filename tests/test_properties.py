@@ -141,3 +141,46 @@ def test_blocked_cosine_pairs_equals_numpy_random(spark):
     }
     assert got == expect
     assert expect, "fixture produced no qualifying pairs — test is vacuous"
+
+
+def test_fuzzy_join_edit1_full_recall_all_edit_kinds(spark):
+    """PassJoin segment blocking must recover EVERY pair at edit
+    distance <= 1 — deletions, insertions, substitutions, and exact
+    equals — against a brute-force python levenshtein."""
+    from week4_musemotion_spark.operators.fuzzy import fuzzy_join_edit1
+
+    clean = [(i, f"record-{i:04d}-tail") for i in range(40)]
+    dirty = []
+    for i, s in clean:
+        if i % 4 == 0:
+            t = s[:5] + s[6:]            # deletion
+        elif i % 4 == 1:
+            t = s[:5] + "X" + s[5:]      # insertion
+        elif i % 4 == 2:
+            t = s[:5] + "X" + s[6:]      # substitution
+        else:
+            t = s                         # exact
+        dirty.append((i + 1000, t))
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    expect = {
+        (di, ci)
+        for di, dt in dirty
+        for ci, cs in clean
+        if lev(dt, cs) <= 1
+    }
+    cdf = spark.createDataFrame(clean, "cid long, cname string")
+    ddf = spark.createDataFrame(dirty, "did long, dname string")
+    got = {
+        (r.did, r.cid)
+        for r in fuzzy_join_edit1(cdf, ddf, "cname", "dname").collect()
+    }
+    assert got == expect
+    assert len(expect) >= 40  # at least the planted pairs

@@ -644,3 +644,43 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.operators.graph import triangles
 
     return triangles(jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD))
+
+
+@query(
+    "q_fuzzy_join",
+    covers=("X-FUZZY-JOIN",),
+    oracle="""
+    WITH dirty AS (
+        SELECT c_custkey + 1000000 AS dirty_id,
+               substr(c_name, 1, (c_custkey % 17 + 1) - 1)
+               || substr(c_name, (c_custkey % 17 + 1) + 1) AS dirty_name
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT d.dirty_id, c.c_custkey AS match_id,
+           CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS dist
+    FROM dirty d JOIN customer c ON levenshtein(d.dirty_name, c.c_name) <= 1
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: every third customer name gets one character
+    deleted (position keyed on the id — deterministic in both
+    engines) and must be re-matched to the registry within edit
+    distance 1.  The engine uses PassJoin segment blocking (exact
+    recall by pigeonhole, operators/fuzzy.py) + levenshtein verify;
+    the oracle is the quadratic cross-compare — identical output
+    because blocking recall is exact."""
+    from week4_musemotion_spark.operators.fuzzy import fuzzy_join_edit1
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("dirty_id"),
+        F.concat(
+            F.expr("substring(c_name, 1, pmod(c_custkey, 17) + 1 - 1)"),
+            F.expr("substring(c_name, pmod(c_custkey, 17) + 1 + 1, length(c_name))"),
+        ).alias("dirty_name"),
+    )
+    return fuzzy_join_edit1(c, dirty, "c_name", "dirty_name").select(
+        "dirty_id",
+        F.col("c_custkey").alias("match_id"),
+        F.col("dist").cast("long").alias("dist"),
+    )
