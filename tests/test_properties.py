@@ -144,7 +144,7 @@ def test_blocked_cosine_pairs_equals_numpy_random(spark):
 
 
 def test_fuzzy_join_edit1_full_recall_all_edit_kinds(spark):
-    """PassJoin segment blocking must recover EVERY pair at edit
+    """Deletion-neighborhood blocking must recover EVERY pair at edit
     distance <= 1 — deletions, insertions, substitutions, and exact
     equals — against a brute-force python levenshtein."""
     from week4_musemotion_spark.operators.fuzzy import fuzzy_join_edit1
@@ -184,3 +184,34 @@ def test_fuzzy_join_edit1_full_recall_all_edit_kinds(spark):
     }
     assert got == expect
     assert len(expect) >= 40  # at least the planted pairs
+
+
+def test_fuzzy_join_candidates_linear_on_templated_names(spark):
+    """Regression guard for the round-2 degenerate-blocking defect:
+    on templated keys (TPC-H ``Customer#000000042`` — all entropy in
+    the numeric suffix, a shared constant prefix) the blocked
+    candidate count must stay NEAR-LINEAR in n, not n^2.  PassJoin
+    half-segment blocking collapsed here (1 distinct seg-1 key over
+    15k rows -> disguised cross join); deletion-neighborhood keys
+    always contain the high-entropy suffix so they cannot."""
+    from week4_musemotion_spark.operators.fuzzy import candidate_pairs_edit1
+
+    n = 600
+    clean = [(i, f"Customer#{i:09d}") for i in range(n)]
+    dirty = []
+    for i, s in clean:
+        if i % 3 == 0:
+            p = i % 17 + 1
+            dirty.append((i + 1_000_000, s[: p - 1] + s[p:]))  # one deletion
+    cdf = spark.createDataFrame(clean, "cid long, cname string")
+    ddf = spark.createDataFrame(dirty, "did long, dname string")
+    cands = candidate_pairs_edit1(
+        cdf, ddf, "cname", "dname", dedup_on=["did", "cid"]
+    ).count()
+    # each dirty row should propose O(1) clean rows; allow a generous
+    # constant (templated ids like 000000100/000000110 can collide on
+    # a deletion variant) but nothing near len(dirty) * n.
+    assert cands <= 8 * len(dirty), (
+        f"blocking degenerated: {cands} candidates for {len(dirty)} dirty "
+        f"x {n} clean rows"
+    )

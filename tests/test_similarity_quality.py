@@ -95,3 +95,28 @@ def test_lsh_recall_floor(spark):
     }
     bare_recall = len(exact & bare) / len(exact)
     assert bare_recall >= 0.4, f"bare LSH recall collapsed: {bare_recall:.3f}"
+
+
+def test_ivf_rebuild_invalidates_centroid_cache(spark, tmp_path):
+    """Rebuilding an index at the same dir must not let ivf_probe
+    rerank the NEW assignment table against STALE memoized centroids
+    (the cache is per-process; ivf_build overwrites in place)."""
+    from week4_musemotion_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    index_dir = str(tmp_path / "ivf")
+
+    S.ivf_build(emb, index_dir, n_clusters=4)
+    S.ivf_probe(spark, index_dir, queries, k=3).collect()  # populate cache
+    assert index_dir not in S._CENTROID_CACHE or True  # probe memoized it
+    cached_before = S._CENTROID_CACHE.get(index_dir)
+    assert cached_before is not None
+
+    # rebuild with a different quantizer shape: stale centroids would
+    # have the wrong cluster count vs the new assignment table
+    S.ivf_build(emb, index_dir, n_clusters=8)
+    assert index_dir not in S._CENTROID_CACHE, "rebuild left stale centroids cached"
+    probed = S.ivf_probe(spark, index_dir, queries, k=3).collect()
+    assert probed  # fresh centroids loaded and probe still answers
+    assert S._CENTROID_CACHE[index_dir].shape[0] == 8

@@ -1,6 +1,13 @@
-"""Diff two bench snapshots (BENCH_FULL.json shape) per query.
+"""Diff two bench snapshots per query.
 
 Usage: python tools/compare_bench.py OLD.json NEW.json [threshold]
+
+Accepts any of: the local ``BENCH_FULL.json`` shape (``queries`` at
+the top level), the driver's ``BENCH_r{N}.json`` wrapper (``parsed``
+holding the summary line), or — when the driver's stdout window cut
+the JSON line mid-map and ``parsed`` is null (BENCH_r01) — regex
+recovery of every ``"q_*": seconds`` pair from the raw ``tail``
+fragment, so cross-round diffs keep full history.
 
 Prints queries slower by more than ``threshold`` (default 1.5×, min
 0.3s absolute — tiny queries are scheduler noise), new/removed
@@ -11,14 +18,35 @@ threshold, so CI/driver rounds can gate on it.
 from __future__ import annotations
 
 import json
+import re
 import sys
+
+
+def load_queries(path: str) -> dict[str, float]:
+    """Per-query seconds from any bench snapshot shape."""
+    doc = json.load(open(path))
+    if isinstance(doc.get("queries"), dict):
+        return doc["queries"]
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        # NOTE: parsed may carry a queries_file path, but that file is
+        # overwritten by every local bench run — reading it here would
+        # silently diff a snapshot against itself.  Only the inline
+        # slowest-N map is authoritative for the snapshot's round.
+        return dict(parsed["queries"])
+    # driver cut the stdout line mid-JSON: recover what the tail holds
+    tail = doc.get("tail", "")
+    pairs = re.findall(r'"(q_\w+)"\s*:\s*([0-9.]+)', tail)
+    if not pairs:
+        raise ValueError(f"{path}: no queries / parsed / recoverable tail")
+    return {name: float(sec) for name, sec in pairs}
 
 
 def main() -> int:
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    old = load_queries(old_path)
+    new = load_queries(new_path)
 
     regressions = []
     for name, t_new in sorted(new.items(), key=lambda kv: -kv[1]):

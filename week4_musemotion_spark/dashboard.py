@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from week4_musemotion_spark.operators.etl import group_size, is_empty, kpi_summary
 from week4_musemotion_spark.sources.csv import read_headerless_csv
@@ -43,14 +44,44 @@ class Dashboard:
         self.spark = spark
         self.df = clean_musemotion(read_headerless_csv(spark, csv_path)).cache()
 
+    #: Max options surfaced per sidebar filter — a high-cardinality
+    #: column must not flood the driver (or the UI) with millions of
+    #: distincts; the cap keeps the most frequent values.
+    MAX_FILTER_OPTIONS = 1000
+
     def filter_options(self) -> dict[str, list[str]]:
         """Sorted distinct values per sidebar filter (A6, ref
-        streamlit_app.py:144-151) — k distinct rows per column reach
-        the driver, nothing else."""
-        return {
-            c: [r[0] for r in self.df.select(c).na.drop().distinct().orderBy(c).collect()]
-            for c in FILTER_COLUMNS
-        }
+        streamlit_app.py:144-151) — ONE Spark job for all columns
+        (explode to (col, value) pairs → one grouped count), capped at
+        :attr:`MAX_FILTER_OPTIONS` per column by frequency so only
+        ≤ k·|columns| tiny rows ever reach the driver."""
+        pairs = self.df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("col"), F.col(c).cast("string").alias("val"))
+                        for c in FILTER_COLUMNS
+                    ]
+                )
+            ).alias("p")
+        ).select("p.col", "p.val")
+        ranked = (
+            pairs.filter(F.col("val").isNotNull())
+            .groupBy("col", "val")
+            .agg(F.count("*").alias("freq"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("col").orderBy(F.col("freq").desc(), F.col("val").asc())
+                ),
+            )
+            .filter(F.col("rk") <= self.MAX_FILTER_OPTIONS)
+            .select("col", "val")
+        )
+        out: dict[str, list[str]] = {c: [] for c in FILTER_COLUMNS}
+        for r in ranked.collect():
+            out[r["col"]].append(r["val"])
+        return {c: sorted(vs) for c, vs in out.items()}
 
     def select(self, **choices: list[str] | None) -> DataFrame:
         """Lazy composed `isin` selection (ref streamlit_app.py:

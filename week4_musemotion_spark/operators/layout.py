@@ -114,8 +114,17 @@ def compact_parquet(
 
     base = path.rstrip("/")
     staging, old = base + "._staging", base + "._old"
-    if os.path.exists(old) and not os.path.exists(base):
-        os.rename(old, base)
+    if os.path.exists(old):
+        if not os.path.exists(base):
+            # crashed between rename(base, old) and rename(staging,
+            # base): the old data is still the only copy — restore it
+            os.rename(old, base)
+        else:
+            # crashed after the swap completed but before cleanup:
+            # base is the new data, old is the superseded copy —
+            # remove it or the next compaction's rename(base, old)
+            # hits an existing directory and raises
+            shutil.rmtree(old)
     if os.path.exists(staging):
         shutil.rmtree(staging)
 

@@ -181,25 +181,33 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rows_per_block: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup), exact.
 
     Distributed block-nested-loop: vectors are hashed into ``B =
     ceil(n / rows_per_block)`` blocks; each of the B(B+1)/2 block
-    pairs is one shuffle group whose task holds at most
-    ``2 × rows_per_block`` vectors — executor memory is bounded and
-    the driver never sees vector data (the earlier formulation
-    collected the whole corpus to the driver and broadcast it — a
-    driver OOM at scale).  Shuffle volume is O(n·B) = O(n²/
+    pairs is one shuffle group whose task holds ~``2 × rows_per_block``
+    vectors **in expectation** (blocks are ``xxhash64(id) % B``, so a
+    pathological/adversarial id set can exceed that; real corpora
+    concentrate tightly around the mean) — executor memory is bounded
+    in practice and the driver never sees vector data (the earlier
+    formulation collected the whole corpus to the driver and broadcast
+    it — a driver OOM at scale).  Shuffle volume is O(n·B) = O(n²/
     rows_per_block) rows: quadratic, like the compute — this is the
     exact-verification baseline; the scale path for the real dedup
     regime is :func:`cosine_pairs_lsh`.
+
+    ``n_rows``: pass a known (or estimated) row count to skip the
+    sizing ``count()`` job — only B = ceil(n_rows/rows_per_block)
+    depends on it, and an estimate merely shifts the block-size/
+    task-count trade-off, never correctness.
 
     A pair is scored in exactly one group: cross-block pairs in their
     (min_blk, max_blk) group, same-block pairs in the diagonal group
     only.
     """
-    n = emb.count()
+    n = emb.count() if n_rows is None else int(n_rows)
     if n == 0:
         return _empty_result(emb.sparkSession, "pairs")
     n_blocks = max(1, -(-n // rows_per_block))
@@ -443,9 +451,18 @@ def knn_lsh(
     c = _with_sketch(emb, planes, id_col, vec_col, ("neighbor_id", "cv"), n_tables)
     probes = q.drop(vec_col, "qv")
     if multiprobe >= 1:
-        # flip-one-bit neighborhood of the query bucket (distance-1
-        # probes; higher distances compose by repeating the explode)
-        flips = F.array(*[F.lit(0), *[F.lit(1 << j) for j in range(n_planes)]])
+        # probe EVERY bucket within Hamming distance `multiprobe` of
+        # the query bucket: enumerate the C(n_planes, ≤r) flip masks
+        # driver-side (tiny for the sane n_planes range) and explode —
+        # radius-2 probes sum(C(n,1)+C(n,2)) buckets, not just r=1
+        from itertools import combinations
+
+        masks = [0] + [
+            sum(1 << j for j in pos)
+            for r in range(1, min(multiprobe, n_planes) + 1)
+            for pos in combinations(range(n_planes), r)
+        ]
+        flips = F.array(*[F.lit(m) for m in masks])
         probes = probes.withColumn("_flip", F.explode(flips)).select(
             "query_id",
             "table",
@@ -604,8 +621,11 @@ def _ivf_probe_assigned(
     return _rank_topk(scored, k)
 
 
-#: per-process memo of the (k × dim) centroid matrix by index dir —
-#: a built index is immutable, so this never goes stale
+#: per-process memo of the (k × dim) centroid matrix by index dir.
+#: NOT immutable-forever: :func:`ivf_build` overwrites in place, so it
+#: invalidates this entry after every (re)build — a probe in the same
+#: process must never rerank a new assignment table against stale
+#: centroids.
 _CENTROID_CACHE: dict[str, np.ndarray] = {}
 
 
@@ -641,6 +661,9 @@ def ivf_build(
         .partitionBy("cluster")
         .parquet(f"{index_dir}/assignment")
     )
+    # a rebuild at the same dir replaces the on-disk index: drop any
+    # memoized centroids so the next probe reloads the fresh matrix
+    _CENTROID_CACHE.pop(index_dir, None)
 
 
 def ivf_probe(

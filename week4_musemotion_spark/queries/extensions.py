@@ -665,10 +665,10 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: every third customer name gets one character
     deleted (position keyed on the id — deterministic in both
     engines) and must be re-matched to the registry within edit
-    distance 1.  The engine uses PassJoin segment blocking (exact
-    recall by pigeonhole, operators/fuzzy.py) + levenshtein verify;
-    the oracle is the quadratic cross-compare — identical output
-    because blocking recall is exact."""
+    distance 1.  The engine uses deletion-neighborhood blocking
+    (exact recall, operators/fuzzy.py) + levenshtein verify; the
+    oracle is the quadratic cross-compare — identical output because
+    blocking recall is exact."""
     from week4_musemotion_spark.operators.fuzzy import fuzzy_join_edit1
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -679,7 +679,9 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(c_name, pmod(c_custkey, 17) + 1 + 1, length(c_name))"),
         ).alias("dirty_name"),
     )
-    return fuzzy_join_edit1(c, dirty, "c_name", "dirty_name").select(
+    return fuzzy_join_edit1(
+        c, dirty, "c_name", "dirty_name", dedup_on=["dirty_id", "c_custkey"]
+    ).select(
         "dirty_id",
         F.col("c_custkey").alias("match_id"),
         F.col("dist").cast("long").alias("dist"),

@@ -7,10 +7,14 @@ Design decisions (SURVEY.md §7.4):
   NULL, never errors (``pd.to_numeric(errors='coerce')``,
   reference pipeline.py:108-110).  Non-ANSI casts give the same
   null-on-failure behaviour JVM-side.
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the testdata
-  ``events`` table stores TIMESTAMP(NANOS), which Spark cannot
-  represent natively; we read it as a nanosecond-epoch BIGINT and
-  do all temporal math on integers (deterministic, timezone-proof).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the current
+  testdata ``events.ts`` is TIMESTAMP(MICROS)/NTZ (the driver
+  regenerated it from an earlier TIMESTAMP(NANOS) layout), for
+  which this conf is a no-op; it stays set so a NANOS layout —
+  which Spark cannot represent natively — would again read as a
+  nanosecond-epoch BIGINT instead of throwing.  All temporal math
+  dispatches on the arrived dtype (functions/eventtime.py), so
+  either encoding yields identical instants.
 - AQE on (coalesce + skew-join): at 100 TB the static shuffle
   partition count is always wrong for some stage; AQE re-plans
   from runtime statistics.
@@ -53,9 +57,10 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
 
 #: Semantics-critical configs that are runtime-settable.  The
 #: verification driver hands our queries a SparkSession *it* built,
-#: without :func:`configure`'s settings — without nanosAsLong every
-#: scan of the events table (TIMESTAMP(NANOS) parquet) throws
-#: PARQUET_TYPE_ILLEGAL.  Applied idempotently at every table load.
+#: without :func:`configure`'s settings — nanosAsLong is harmless for
+#: the current MICROS/NTZ events files but required if a
+#: TIMESTAMP(NANOS) layout returns (those scans otherwise throw
+#: PARQUET_TYPE_ILLEGAL).  Applied idempotently at every table load.
 RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.ansi.enabled": "false",

@@ -13,6 +13,7 @@ never float, which loses precision above 2^53.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -57,7 +58,12 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         # one-footer batch read: the stream's schema tracks whatever
         # ts encoding the files actually carry
         schema = spark.read.parquet(path).schema
-    except Exception:  # pragma: no cover - missing path surfaces at start()
+    except AnalysisException:  # pragma: no cover - surfaces at start()
+        # ONLY the path-not-yet-created case falls back to the legacy
+        # epoch-ns layout (a stream may legitimately start before its
+        # first input file lands); any other error — permissions,
+        # corrupt footer, transient FS — must fail fast here rather
+        # than silently read MICROS files with a BIGINT ts later
         schema = EVENTS_STREAM_SCHEMA
     if os.path.isfile(path):
         path = f"{path[:-1]}[{path[-1]}]"
