@@ -215,3 +215,51 @@ def test_fuzzy_join_candidates_linear_on_templated_names(spark):
         f"blocking degenerated: {cands} candidates for {len(dirty)} dirty "
         f"x {n} clean rows"
     )
+
+
+def test_fuzzy_join_k2_full_recall_all_edit_pairs(spark):
+    """Depth-2 deletion-neighborhood blocking (FastSS) must recover
+    EVERY pair at edit distance <= 2 — all 2-combinations of
+    delete/insert/substitute — against a brute-force levenshtein."""
+    from week4_musemotion_spark.operators.fuzzy import fuzzy_join
+
+    clean = [(i, f"record-{i:04d}-tail") for i in range(36)]
+    dirty = []
+    for i, s in clean:
+        m = i % 6
+        if m == 0:
+            t = s[:4] + s[6:]                 # two deletions
+        elif m == 1:
+            t = s[:5] + "XY" + s[5:]          # two insertions
+        elif m == 2:
+            t = s[:5] + "XY" + s[7:]          # two substitutions
+        elif m == 3:
+            t = s[:4] + s[5:8] + "Z" + s[8:]  # delete + insert
+        elif m == 4:
+            t = s[:5] + "X" + s[6:]           # one substitution
+        else:
+            t = s                              # exact
+        dirty.append((i + 1000, t))
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    expect = {
+        (di, ci, lev(dt, cs))
+        for di, dt in dirty
+        for ci, cs in clean
+        if lev(dt, cs) <= 2
+    }
+    cdf = spark.createDataFrame(clean, "cid long, cname string")
+    ddf = spark.createDataFrame(dirty, "did long, dname string")
+    got = {
+        (r.did, r.cid, r.dist)
+        for r in fuzzy_join(cdf, ddf, "cname", "dname", k=2).collect()
+    }
+    assert got == expect
+    assert len(expect) >= 36  # at least the planted pairs

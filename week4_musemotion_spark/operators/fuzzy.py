@@ -59,6 +59,74 @@ def _deletion_keys(col: str):
     )
 
 
+def _deletion_variants(col_expr: str) -> str:
+    """SQL expr: array of variant STRINGS ``{s} ∪ single-char-deletions``.
+
+    ``i = 0`` keeps the string; ``i ≥ 1`` deletes position ``i``.
+    """
+    return (
+        f"array_distinct(transform(sequence(0, length({col_expr})), "
+        f"i -> CASE WHEN i = 0 THEN {col_expr} "
+        f"ELSE concat(substring({col_expr}, 1, i - 1), "
+        f"substring({col_expr}, i + 1, length({col_expr}))) END))"
+    )
+
+
+def _deletion_keys_k(col: str, k: int):
+    """64-bit hashes of the depth-``k`` deletion neighborhood
+    ``D_k(s)`` (all strings reachable by ≤ k single-char deletions).
+
+    FastSS recall property (public knowledge, Bocek et al. 2007):
+    ``ed(u, v) ≤ k ⟹ D_k(u) ∩ D_k(v) ≠ ∅`` — each substitution
+    cancels with one deletion per side, each insert/delete with one
+    deletion on the longer side.  A shared variant only bounds the
+    distance by 2k, so candidates are verified with ``levenshtein``.
+
+    Built by composing the depth-1 variant expression ``k`` times
+    (flatten + distinct between levels), entirely JVM-side.
+    """
+    level = _deletion_variants(col)  # depth 1
+    for _ in range(k - 1):
+        level = f"array_distinct(flatten(transform({level}, s0 -> {_deletion_variants('s0')})))"
+    return F.expr(f"transform({level}, v -> xxhash64(v))")
+
+
+def fuzzy_join(
+    clean: DataFrame,
+    dirty: DataFrame,
+    clean_col: str,
+    dirty_col: str,
+    k: int = 1,
+    dedup_on: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """All (dirty, clean) pairs with edit distance ≤ ``k`` via
+    depth-``k`` deletion-neighborhood blocking + levenshtein verify.
+
+    Output: every column of both inputs plus ``dist``.  Scale shape:
+    each row emits ≤ C(len, ≤k) fixed-width hashed keys (~len²/2 for
+    k=2 on 18-char keys ≈ 150 — constant per row, so the blocking
+    stage is linear); the join is a plain long-key equi-join and a
+    length-difference prefilter (``|len(u) − len(v)| ≤ k``, implied
+    by the distance bound) cheaply discards cross-length bucket
+    collisions before the levenshtein verify.
+    """
+    ck = clean.withColumn("_lc", F.length(clean_col)).withColumn(
+        "_k", F.explode(_deletion_keys_k(clean_col, k))
+    )
+    dk = dirty.withColumn("_ld", F.length(dirty_col)).withColumn(
+        "_k", F.explode(_deletion_keys_k(dirty_col, k))
+    )
+    keys = list(dedup_on) if dedup_on else list(dirty.columns) + list(clean.columns)
+    cands = (
+        dk.join(ck, (dk["_k"] == ck["_k"]) & (F.abs(dk["_ld"] - ck["_lc"]) <= k))
+        .drop("_k", "_lc", "_ld")
+        .dropDuplicates(keys)
+    )
+    return cands.withColumn(
+        "dist", F.levenshtein(F.col(dirty_col), F.col(clean_col))
+    ).filter(F.col("dist") <= k)
+
+
 def fuzzy_join_edit1(
     clean: DataFrame,
     dirty: DataFrame,

@@ -746,3 +746,56 @@ def q_tpch_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping modes and order priority (fact⋈fact + conditional counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_shipping_modes",
+    covers=("X-TPCH-Q12",),
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l.l_shipdate < TIMESTAMP '2000-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q_tpch_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 silhouette (shipping modes & order priority): fact⋈fact
+    join with a cross-table date predicate and CASE-conditional counts
+    per group.  The testdata has no ``l_shipmode``/``l_receiptdate``,
+    so ``l_returnflag`` plays the mode and "late receipt" becomes a
+    >60-day ship lag (``l_shipdate > o_orderdate + 60 days``) — same
+    plan shape as the canonical query.  Scale: the year filter prunes
+    the lineitem scan before the orderkey-collocated join (zero extra
+    shuffle with bucketed tables); the cross-table lag predicate is a
+    post-join residual; the aggregate carries 3 groups.  Completes the
+    22/22 TPC-H silhouette battery.  Ref capability: conditional KPI
+    counting (streamlit_app.py:180-190) over a warehouse join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
