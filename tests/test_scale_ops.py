@@ -190,3 +190,38 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert not os.path.exists(path + "._old") and not os.path.exists(path + "._staging")
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == [(i, i * 2) for i in range(10_000)]
+
+
+def test_jaccard_self_join_exact_recall(spark):
+    """Prefix-filtered set-similarity join must equal the brute-force
+    all-pairs Jaccard at the threshold — including boundary pairs
+    sitting exactly AT tau."""
+    from week4_musemotion_spark.operators.setjoin import jaccard_self_join
+
+    base = ["a", "b", "c", "d", "e"]
+    rows = []
+    for i in range(30):
+        toks = sorted(set(base[: 2 + i % 4] + [f"x{i}", f"x{i+1}"]))
+        rows.append((i, toks))
+    # planted boundary pair: |∩|=4, |∪|=5 → jaccard exactly 0.8
+    rows.append((100, ["p", "q", "r", "s"]))
+    rows.append((101, ["p", "q", "r", "s", "t"]))
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+
+    def jac(a, b):
+        a, b = set(a), set(b)
+        return len(a & b) / len(a | b)
+
+    expect = {
+        (r1[0], r2[0])
+        for i, r1 in enumerate(rows)
+        for r2 in rows[i + 1 :]
+        if jac(r1[1], r2[1]) >= 0.8
+    }
+    expect = {(min(a, b), max(a, b)) for a, b in expect}
+    got = {
+        (r.id_1, r.id_2)
+        for r in jaccard_self_join(df, "id", "toks", tau_e4=8000).collect()
+    }
+    assert got == expect
+    assert (100, 101) in got  # the exact-boundary pair survived

@@ -1,0 +1,135 @@
+"""Set-similarity self-join (Jaccard ≥ τ) with prefix filtering —
+the PPJoin family (Xiao et al., WWW 2008; public knowledge) expressed
+as pure DataFrame ops.
+
+All-pairs token-set similarity is the workhorse of near-duplicate
+detection over bag-of-words signatures.  The naive plan is the n²
+cross join; prefix filtering makes it an equi-join:
+
+1. order every record's tokens by ascending global document
+   frequency (rarest first, term as tie-break — any total order
+   works, rare-first minimizes candidates);
+2. a record with s tokens emits only its first
+   ``p = s − ⌈τ·s⌉ + 1`` tokens (its *prefix*): two sets with
+   Jaccard ≥ τ share ≥ ⌈τ·s⌉ tokens, so disjoint prefixes would
+   leave fewer than that even if every suffix token matched —
+   sharing a prefix token is NECESSARY (exact recall);
+3. candidates = equi-join on prefix tokens (+ the length filter
+   |y| ≥ τ·|x|, also implied by the threshold);
+4. exact verify on the candidate pairs only:
+   ``common·10⁴ ≥ τ_e4·(s₁+s₂−common)`` in pure integer
+   arithmetic, so the decision is engine-reproducible.
+
+Scale shape: the prefix stage is linear (≤ s−⌈τs⌉+1 rows per
+record, ~20% of tokens at τ=0.8); the join is keyed on single
+tokens whose expected bucket size the rare-first ordering keeps
+small; the verify joins fixed-width sorted arrays back by id.  No
+stage is quadratic in the corpus.
+
+Reference parity: /root/reference has no similarity join; this
+extends the dedup family (SURVEY.md §2 X-DEDUP-*) with the exact
+threshold variant the curation pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def jaccard_self_join(
+    records: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    tau_e4: int,
+    within: "list[str] | None" = None,
+) -> DataFrame:
+    """All unordered pairs of ``records`` with Jaccard(tokens) ≥
+    ``tau_e4``/10⁴, via df-ordered prefix filtering + exact integer
+    verify.
+
+    ``records[tokens_col]`` must be an array of DISTINCT tokens.
+    Output: id_1, id_2 (id_1 < id_2), common, n_union, jacc_e4.
+
+    ``within``: optional stratum columns that must match for a pair
+    to qualify (e.g. the shard/source) — the production shape for
+    corpora whose token distribution defeats prefix filtering: a
+    near-flat tiny vocabulary has no rare tokens, so prefix buckets
+    approach n and the candidate set approaches all-pairs no matter
+    the threshold.  Stratifying bounds each bucket by stratum size;
+    the *global* near-dup layer then belongs to MinHash-LSH
+    (operators/dedup.py), which trades exactness for sub-quadratic
+    candidates precisely where exact prefix joins degenerate.
+    """
+    within = list(within or [])
+    toks = records.select(
+        F.col(id_col).alias("_id"), *within, F.explode(tokens_col).alias("_t")
+    )
+    df_tab = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # per-record token array sorted rare-first: sort (df, term) structs
+    # then project the term back out — one shuffle on _id
+    ordered = (
+        toks.join(df_tab, "_t")
+        .groupBy("_id", *within)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(_df, _t))), x -> x._t)").alias(
+                "_arr"
+            )
+        )
+        .withColumn("_s", F.size("_arr"))
+        # p = s - ceil(tau*s) + 1, with ceil in integer arithmetic
+        .withColumn(
+            "_p",
+            F.col("_s")
+            - F.floor((F.lit(tau_e4) * F.col("_s") + 9999) / 10000).cast("int")
+            + 1,
+        )
+    )
+    pre = ordered.select(
+        "_id", *within, "_s", "_arr", F.explode(F.slice("_arr", 1, F.col("_p"))).alias("_t")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cond = (
+        (F.col("a._t") == F.col("b._t"))
+        & (F.col("a._id") < F.col("b._id"))
+        # length filter: Jaccard >= tau implies tau*|x| <= |y| both ways
+        & (F.col("a._s") * tau_e4 <= F.col("b._s") * 10000)
+        & (F.col("b._s") * tau_e4 <= F.col("a._s") * 10000)
+    )
+    for c in within:
+        cond = cond & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    cands = (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_1"),
+            F.col("b._id").alias("id_2"),
+            F.col("a._arr").alias("_a1"),
+            F.col("b._arr").alias("_a2"),
+            F.col("a._s").alias("_s1"),
+            F.col("b._s").alias("_s2"),
+        )
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    common = F.size(F.array_intersect("_a1", "_a2"))
+    n_union = F.col("_s1") + F.col("_s2") - common
+    return (
+        cands.withColumn("common", common.cast("long"))
+        .withColumn("n_union", n_union.cast("long"))
+        .filter(F.col("common") * 10000 >= F.lit(tau_e4) * F.col("n_union"))
+        .select(
+            "id_1",
+            "id_2",
+            "common",
+            "n_union",
+            # exact e4 ratio, round-half-away (matches functions/exact.py)
+            (
+                (
+                    (2 * F.col("common") * 10000 + F.col("n_union"))
+                    - F.pmod(2 * F.col("common") * 10000 + F.col("n_union"), 2 * F.col("n_union"))
+                )
+                / (2 * F.col("n_union"))
+            )
+            .cast("long")
+            .alias("jacc_e4"),
+        )
+    )

@@ -348,3 +348,322 @@ def q_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_e4"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus text mining: TF-IDF, co-occurrence, n-gram contamination,
+# keep-best dedup, cross-source audit, set-similarity join
+# ---------------------------------------------------------------------------
+
+#: bag-of-words signature — word-order-insensitive content key
+_SIG = "array_join(array_sort(array_distinct(split(text, ' '))), ' ')"
+_SIG_SQL = "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')"
+
+
+@query(
+    "q_tfidf_topterms",
+    covers=("X-TFIDF",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               {int_div_round_sql("tf.tf * n.n_docs * 10000", "df.df")} AS score_e4
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_e4
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score_e4 DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf with the
+    log-free raw inverse frequency idf = N/df, so the score is the
+    exact rational tf·N/df emitted as an e4 integer — engine-stable,
+    unlike float log.  Scale: term frequencies are one keyed agg;
+    the df table joins on term (vocabulary-keyed shuffle — broadcast
+    when the vocab fits); the top-3 is a bounded per-doc window.
+    The training-data use: surface domain-signature terms per doc
+    for quality routing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            int_div_round(F.col("tf") * F.col("n_docs") * 10000, F.col("df")).alias(
+                "score_e4"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e4").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("long"), F.col("df").cast("long"), "score_e4")
+    )
+
+
+@query(
+    "q_cooccur_lift",
+    covers=("X-COOCCUR",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, count(*) AS cnt
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term_a, term_b, CAST(cnt AS BIGINT) AS cnt,
+           {int_div_round_sql("cnt * n.n_docs * 10000", "da.df * db.df")} AS lift_e4
+    FROM pairs JOIN df da ON pairs.term_a = da.term
+               JOIN df db ON pairs.term_b = db.term
+               CROSS JOIN n
+    ORDER BY cnt DESC, term_a, term_b LIMIT 25
+    """,
+)
+def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence with exact association lift: for each
+    unordered term pair sharing a document, the document count and
+    lift = P(ab)/(P(a)P(b)) = cnt·N/(df_a·df_b) as an exact e4
+    integer (the log-free cousin of PMI).  Scale: the per-doc pair
+    expansion is quadratic only in per-document DISTINCT vocabulary
+    (bounded by doc length, not corpus size); the global pair agg
+    and the two df joins are keyed; top-25 fuses to TakeOrdered.
+    Training-data use: phrase mining / collocation discovery."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    df_tab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.join(F.broadcast(df_tab).alias("da"), F.col("term_a") == F.col("da.term"))
+        .join(F.broadcast(df_tab).alias("db"), F.col("term_b") == F.col("db.term"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("cnt").cast("long").alias("cnt"),
+            int_div_round(
+                F.col("cnt") * F.col("n_docs") * 10000, F.col("da.df") * F.col("db.df")
+            ).alias("lift_e4"),
+        )
+        .orderBy(F.col("cnt").desc(), "term_a", "term_b")
+        .limit(25)
+    )
+
+
+@query(
+    "q_contamination_ngram",
+    covers=("X-CONTAM-NGRAM",),
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               array_to_string(a[i:i+4], ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+             unnest(generate_series(1, greatest(len(a) - 4, 0))) t(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 0),
+    train AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 19 <> 0),
+    tg AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id, count(*) AS n_shared
+        FROM train t JOIN bench b ON t.gram = b.gram
+        GROUP BY t.doc_id
+    )
+    SELECT h.doc_id, CAST(h.n_shared AS BIGINT) AS n_shared,
+           CAST(tg.n_grams AS BIGINT) AS n_grams,
+           {int_div_round_sql("h.n_shared * 10000", "tg.n_grams")} AS rate_e4
+    FROM hits h JOIN tg ON h.doc_id = tg.doc_id
+    """,
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination screening by word 5-gram overlap: docs
+    with ``doc_id % 19 = 0`` play the held-out benchmark; every other
+    (train) doc reports how many of its distinct 5-grams appear in
+    ANY benchmark doc, plus the contamination rate as exact e4.  The
+    standard decontamination shape (e.g. GPT-3 appendix C / Dolma,
+    public knowledge): shingle both sides, equi-join on the shingle,
+    never compare documents pairwise.  Scale: the join is keyed on
+    the gram (hash it to fixed width at 100 TB); benchmark side is
+    tiny and broadcastable; per-doc counts are one keyed agg."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 5 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 4), "
+                "i -> array_join(slice(split(text, ' '), i, 5), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    bench = g.filter(F.col("doc_id") % 19 == 0).select("gram").distinct()
+    train = g.filter(F.col("doc_id") % 19 != 0).distinct()
+    tg = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.join(tg, "doc_id").select(
+        "doc_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        int_div_round(F.col("n_shared") * 10000, F.col("n_grams")).alias("rate_e4"),
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    covers=("X-DEDUP-KEEPBEST",),
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               {_SIG_SQL} AS sig
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY sig
+                                    ORDER BY n_chars DESC, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY sig) AS group_size
+          FROM s)
+    WHERE rk = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: documents sharing a bag-of-words signature
+    (order-insensitive content key — catches shuffled boilerplate
+    exact dedup misses) collapse to ONE survivor, chosen as the
+    longest (then lowest-id) member — the curation policy of keeping
+    the best representative instead of an arbitrary one.  Scale: one
+    window keyed on the signature (hash it to 64/128 bits at 100 TB);
+    no pairwise comparison anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.expr(_SIG).alias("sig")
+    )
+    w = Window.partitionBy("sig")
+    r = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+    return r.filter(F.col("rk") == 1).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+@query(
+    "q_cross_source_overlap",
+    covers=("X-SOURCE-OVERLAP",),
+    oracle=f"""
+    WITH s AS (
+        SELECT DISTINCT {_SIG_SQL} AS sig, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM s a JOIN s b ON a.sig = b.sig AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-audit overlap matrix: for every source pair, how many
+    bag-of-words content signatures both emit — the "are my crawls
+    re-scraping each other" report that decides dedup priority.
+    Scale: distinct (sig, source) is one keyed agg; the self-join is
+    keyed on the signature whose bucket size is the true duplication
+    multiplicity, never corpus size."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.expr(_SIG).alias("sig"), "source")
+        .distinct()
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+@query(
+    "q_jaccard_simjoin",
+    covers=("X-SIMJOIN",),
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS a
+        FROM documents
+    )
+    SELECT x.doc_id AS id_1, y.doc_id AS id_2,
+           CAST(len(list_intersect(x.a, y.a)) AS BIGINT) AS common,
+           CAST(len(x.a) + len(y.a) - len(list_intersect(x.a, y.a)) AS BIGINT) AS n_union,
+           CAST((2 * len(list_intersect(x.a, y.a)) * 10000
+                 + (len(x.a) + len(y.a) - len(list_intersect(x.a, y.a))))
+                // (2 * (len(x.a) + len(y.a) - len(list_intersect(x.a, y.a))))
+                AS BIGINT) AS jacc_e4
+    FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+    WHERE len(list_intersect(x.a, y.a)) * 10000
+          >= 8000 * (len(x.a) + len(y.a) - len(list_intersect(x.a, y.a)))
+    """,
+)
+def q_jaccard_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source document pairs with token-set Jaccard ≥ 0.8 via
+    the prefix-filtered set-similarity self-join (operators/
+    setjoin.py — PPJoin-style: rare-first token ordering, prefix
+    emission, length filter, exact integer verify).  The oracle is
+    the quadratic cross-compare — identical output because prefix
+    filtering recall is exact.  Stratified by source deliberately:
+    this corpus has a near-flat ~30-word vocabulary, so prefix
+    buckets have no rare tokens and a GLOBAL exact join approaches
+    all-pairs by construction — the production layering is exact
+    join within shards + MinHash-LSH (q_dedup_minhash) across them.
+    Training-data use: the exact near-dup layer between hashing and
+    MinHash estimation."""
+    from week4_musemotion_spark.operators.setjoin import jaccard_self_join
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr("array_distinct(split(text, ' '))").alias("toks")
+    )
+    return jaccard_self_join(docs, "doc_id", "toks", tau_e4=8000, within=["source"])
