@@ -130,3 +130,30 @@ def test_incremental_dedup_plans_anti_join(spark):
 
     plan = plan_string(REGISTRY["q_dedup_incremental"].builder(spark, SF_SMOKE))
     assert "LeftAnti" in plan
+
+
+def test_no_cartesian_in_similarity_and_fuzzy_joins(spark):
+    """The round-3 similarity/entity-resolution joins must plan as
+    EQUI-joins (hash/sort-merge on blocking keys), never cartesian —
+    the defining property that keeps them sub-quadratic at scale."""
+    for name in ("q_fuzzy_join", "q_fuzzy_join_tau2", "q_jaccard_simjoin",
+                 "q_basket_affinity", "q_cooccur_lift"):
+        plan = _q(name)(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name != "q_cooccur_lift":  # its only BNLJ is the 1-row scalar attach
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+
+
+def test_basket_affinity_broadcasts_dims_and_fuses_topk(spark):
+    from week4_musemotion_spark.plans.audit import assert_broadcast_join, assert_top_k_fused
+
+    df = _q("q_basket_affinity")(spark, SF_SMOKE)
+    assert_broadcast_join(df, forbid_sort_merge=False)  # part dims broadcast
+    assert_top_k_fused(df)  # LIMIT 25 fuses to TakeOrdered
+
+
+def test_zscore_outliers_broadcasts_moments(spark):
+    from week4_musemotion_spark.plans.audit import assert_broadcast_join
+
+    # the 5-row per-type moment table must broadcast back over the scan
+    assert_broadcast_join(_q("q_zscore_outliers")(spark, SF_SMOKE))
