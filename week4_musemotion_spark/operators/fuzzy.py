@@ -43,22 +43,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _deletion_keys(col: str):
-    """64-bit hashes of ``{s} ∪ single-char-deletions(s)``.
-
-    ``i = 0`` is the string itself; ``i ≥ 1`` deletes position ``i``.
-    ``array_distinct`` collapses repeated-character duplicates (e.g.
-    "aab" → "ab" twice) so a row never emits the same key twice.
-    Hash collisions are harmless: candidates are verified exactly.
-    """
-    return F.expr(
-        f"array_distinct(transform(sequence(0, length({col})), "
-        f"i -> xxhash64(CASE WHEN i = 0 THEN {col} "
-        f"ELSE concat(substring({col}, 1, i - 1), "
-        f"substring({col}, i + 1, length({col}))) END)))"
-    )
-
-
 def _deletion_variants(col_expr: str) -> str:
     """SQL expr: array of variant STRINGS ``{s} ∪ single-char-deletions``.
 
@@ -82,13 +66,64 @@ def _deletion_keys_k(col: str, k: int):
     deletion on the longer side.  A shared variant only bounds the
     distance by 2k, so candidates are verified with ``levenshtein``.
 
-    Built by composing the depth-1 variant expression ``k`` times
-    (flatten + distinct between levels), entirely JVM-side.
+    Composes the depth-1 variant expression ``k`` times (flatten +
+    distinct between levels) — used for depths > 2; depths 1-2 go
+    through the faster scalar-explode path in :func:`_exploded_keys`.
     """
     level = _deletion_variants(col)  # depth 1
     for _ in range(k - 1):
         level = f"array_distinct(flatten(transform({level}, s0 -> {_deletion_variants('s0')})))"
     return F.expr(f"transform({level}, v -> xxhash64(v))")
+
+
+def _exploded_keys(df: DataFrame, col: str, k: int) -> DataFrame:
+    """``df`` with one row per deletion-neighborhood variant hash
+    (column ``_k``) of ``col``, depth ≤ ``k``.
+
+    For k ≤ 2 variants are produced by exploding plain integer index
+    sequences and building each variant with SCALAR substring/concat
+    expressions — these stay inside whole-stage codegen, where the
+    equivalent higher-order-function (transform/flatten) form falls
+    back to interpreted per-element eval (measured 10× slower on the
+    15k×106-variant clean side).  The scalar path emits row-level
+    duplicates that array_distinct used to collapse (repeated-char
+    deletions, the i=j pairs) — harmless, because candidates are
+    deduped on pair ids before the levenshtein verify.
+
+    The i=j≥1 sentinel is filtered BEFORE hashing: ``xxhash64(NULL)``
+    is the seed constant, and a shared constant key on both join
+    sides would be a disguised cross join.
+    """
+    if k == 1:
+        s = df.withColumn("_i", F.explode(F.expr(f"sequence(0, length({col}))")))
+        var = F.expr(
+            f"CASE WHEN _i = 0 THEN {col} "
+            f"ELSE concat(substring({col}, 1, _i - 1), "
+            f"substring({col}, _i + 1, length({col}))) END"
+        )
+        return s.withColumn("_k", F.xxhash64(var)).drop("_i")
+    if k == 2:
+        # ordered index pairs 0 <= i <= j <= len:
+        #   (0,0) -> the string itself; (0,j) -> delete j only;
+        #   (i,j) i<j -> delete both; (i,i) i>=1 -> skip (duplicate)
+        s = df.withColumn("_i", F.explode(F.expr(f"sequence(0, length({col}))")))
+        s = s.withColumn("_j", F.explode(F.expr(f"sequence(_i, length({col}))")))
+        var = F.expr(
+            f"CASE WHEN _i = 0 AND _j = 0 THEN {col} "
+            f"WHEN _i = 0 THEN concat(substring({col}, 1, _j - 1), "
+            f"substring({col}, _j + 1, length({col}))) "
+            f"WHEN _i = _j THEN NULL "
+            f"ELSE concat(substring({col}, 1, _i - 1), "
+            f"substring({col}, _i + 1, _j - _i - 1), "
+            f"substring({col}, _j + 1, length({col}))) END"
+        )
+        return (
+            s.withColumn("_v", var)
+            .filter(F.col("_v").isNotNull())
+            .withColumn("_k", F.xxhash64("_v"))
+            .drop("_i", "_j", "_v")
+        )
+    return df.withColumn("_k", F.explode(_deletion_keys_k(col, k)))
 
 
 def fuzzy_join(
@@ -98,6 +133,7 @@ def fuzzy_join(
     dirty_col: str,
     k: int = 1,
     dedup_on: Optional[Sequence[str]] = None,
+    broadcast_dirty: bool = False,
 ) -> DataFrame:
     """All (dirty, clean) pairs with edit distance ≤ ``k`` via
     depth-``k`` deletion-neighborhood blocking + levenshtein verify.
@@ -110,15 +146,16 @@ def fuzzy_join(
     by the distance bound) cheaply discards cross-length bucket
     collisions before the levenshtein verify.
     """
-    ck = clean.withColumn("_lc", F.length(clean_col)).withColumn(
-        "_k", F.explode(_deletion_keys_k(clean_col, k))
-    )
-    dk = dirty.withColumn("_ld", F.length(dirty_col)).withColumn(
-        "_k", F.explode(_deletion_keys_k(dirty_col, k))
-    )
+    ck = _exploded_keys(clean.withColumn("_lc", F.length(clean_col)), clean_col, k)
+    dk = _exploded_keys(dirty.withColumn("_ld", F.length(dirty_col)), dirty_col, k)
     keys = list(dedup_on) if dedup_on else list(dirty.columns) + list(clean.columns)
+    # explode breaks size stats, so Spark can't see when the dirty
+    # side fits in memory; the caller can assert it (a probe batch
+    # against a big registry) to make the join map-side — the clean
+    # side then never shuffles at all
+    dside = F.broadcast(dk) if broadcast_dirty else dk
     cands = (
-        dk.join(ck, (dk["_k"] == ck["_k"]) & (F.abs(dk["_ld"] - ck["_lc"]) <= k))
+        dside.join(ck, (dk["_k"] == ck["_k"]) & (F.abs(dk["_ld"] - ck["_lc"]) <= k))
         .drop("_k", "_lc", "_ld")
         .dropDuplicates(keys)
     )
@@ -144,8 +181,8 @@ def fuzzy_join_edit1(
     given, candidate dedup shuffles only those narrow columns instead
     of every column of both inputs.  Defaults to all columns.
     """
-    ck = clean.withColumn("_k", F.explode(_deletion_keys(clean_col)))
-    dk = dirty.withColumn("_k", F.explode(_deletion_keys(dirty_col)))
+    ck = _exploded_keys(clean, clean_col, 1)
+    dk = _exploded_keys(dirty, dirty_col, 1)
     keys = list(dedup_on) if dedup_on else list(dirty.columns) + list(clean.columns)
     cands = dk.join(ck, dk["_k"] == ck["_k"]).drop("_k").dropDuplicates(keys)
     return cands.withColumn(
@@ -163,7 +200,7 @@ def candidate_pairs_edit1(
     """The blocked candidate set BEFORE the levenshtein verify — used
     by tests to assert the candidate count stays near-linear (the
     guard against a degenerate-blocking regression)."""
-    ck = clean.withColumn("_k", F.explode(_deletion_keys(clean_col)))
-    dk = dirty.withColumn("_k", F.explode(_deletion_keys(dirty_col)))
+    ck = _exploded_keys(clean, clean_col, 1)
+    dk = _exploded_keys(dirty, dirty_col, 1)
     keys = list(dedup_on) if dedup_on else list(dirty.columns) + list(clean.columns)
     return dk.join(ck, dk["_k"] == ck["_k"]).drop("_k").dropDuplicates(keys)

@@ -93,7 +93,13 @@ def q_fuzzy_join_tau2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fuzzy_join(
-        c, dirty, "c_name", "dirty_name", k=2, dedup_on=["dirty_id", "c_custkey"]
+        c,
+        dirty,
+        "c_name",
+        "dirty_name",
+        k=2,
+        dedup_on=["dirty_id", "c_custkey"],
+        broadcast_dirty=True,  # probe batch is 1/4 of the registry
     ).select(
         "dirty_id",
         F.col("c_custkey").alias("match_id"),
