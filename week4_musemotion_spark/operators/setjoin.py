@@ -85,8 +85,12 @@ def jaccard_self_join(
             + 1,
         )
     )
+    # prefix rows stay NARROW (id, stratum, size, token): shipping the
+    # full token array through the candidate explosion would copy it
+    # once per prefix token and again through the pair dedup shuffle —
+    # arrays are joined back per UNIQUE pair instead, after dedup
     pre = ordered.select(
-        "_id", *within, "_s", "_arr", F.explode(F.slice("_arr", 1, F.col("_p"))).alias("_t")
+        "_id", *within, "_s", F.explode(F.slice("_arr", 1, F.col("_p"))).alias("_t")
     )
     a, b = pre.alias("a"), pre.alias("b")
     cond = (
@@ -98,17 +102,23 @@ def jaccard_self_join(
     )
     for c in within:
         cond = cond & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
-    cands = (
+    pairs = (
         a.join(b, cond)
-        .select(
-            F.col("a._id").alias("id_1"),
-            F.col("b._id").alias("id_2"),
-            F.col("a._arr").alias("_a1"),
-            F.col("b._arr").alias("_a2"),
-            F.col("a._s").alias("_s1"),
-            F.col("b._s").alias("_s2"),
-        )
+        .select(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
         .dropDuplicates(["id_1", "id_2"])
+    )
+    arr = ordered.select("_id", "_arr", "_s")
+    cands = (
+        pairs.join(arr.alias("x"), F.col("id_1") == F.col("x._id"))
+        .join(arr.alias("y"), F.col("id_2") == F.col("y._id"))
+        .select(
+            "id_1",
+            "id_2",
+            F.col("x._arr").alias("_a1"),
+            F.col("y._arr").alias("_a2"),
+            F.col("x._s").alias("_s1"),
+            F.col("y._s").alias("_s2"),
+        )
     )
     common = F.size(F.array_intersect("_a1", "_a2"))
     n_union = F.col("_s1") + F.col("_s2") - common
