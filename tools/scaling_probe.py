@@ -126,6 +126,56 @@ def main() -> int:
         emb.count()
         embed_exact = cosine_pairs(emb, 0.45)
         embed_lsh = cosine_pairs_lsh(emb, 0.9)
+        # string-similarity shapes: amplify customer with per-copy name
+        # suffixes 3 edits apart ('aaa', 'bbb', ...) so no CROSS-copy
+        # pair is within edit distance 2 — the result grows linearly
+        # and the probe measures plan scaling, not result size
+        from week4_musemotion_spark.operators.fuzzy import fuzzy_join
+
+        cust0 = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+        cust_copies = []
+        for i in range(n):
+            suffix = chr(97 + i % 26) * 3
+            cust_copies.append(
+                cust0.select(
+                    (F.col("c_custkey") + i * 1_000_000_000).alias("c_custkey"),
+                    F.concat("c_name", F.lit("-" + suffix)).alias("c_name"),
+                )
+            )
+        cust = reduce(DataFrame.unionByName, cust_copies)
+        cust.count()
+        fdirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+            (F.col("c_custkey") + 500_000_000_000).alias("dirty_id"),
+            F.expr(
+                "concat(substring(c_name, 1, pmod(c_custkey, 17)), "
+                "substring(c_name, pmod(c_custkey, 17) + 2, length(c_name)))"
+            ).alias("dirty_name"),
+        )
+        fuzzy1 = fuzzy_join(
+            cust, fdirty, "c_name", "dirty_name", k=1, dedup_on=["dirty_id", "c_custkey"]
+        )
+        fuzzy2 = fuzzy_join(
+            cust, fdirty, "c_name", "dirty_name", k=2, dedup_on=["dirty_id", "c_custkey"]
+        )
+        # set-similarity shape: per-copy token renaming keeps copies
+        # mutually dissimilar; per-copy sources keep stratum sizes
+        # constant, so candidates and results both grow linearly
+        from week4_musemotion_spark.operators.setjoin import jaccard_self_join
+
+        doc_copies = []
+        for i in range(n):
+            doc_copies.append(
+                doc0.select(
+                    (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
+                    F.concat("source", F.lit(f"_{i}")).alias("source"),
+                    F.expr(
+                        f"transform(array_distinct(split(text, ' ')), t -> concat(t, '_{i}'))"
+                    ).alias("toks"),
+                )
+            )
+        jdocs = reduce(DataFrame.unionByName, doc_copies)
+        jdocs.count()
+        jacc = jaccard_self_join(jdocs, "doc_id", "toks", tau_e4=8000, within=["source"])
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -135,6 +185,9 @@ def main() -> int:
             ("paragraph_dedup", para),
             ("embed_pairs_exact_blocked", embed_exact),
             ("embed_pairs_lsh", embed_lsh),
+            ("fuzzy_edit1_join", fuzzy1),
+            ("fuzzy_edit2_join", fuzzy2),
+            ("jaccard_prefix_join", jacc),
         ]:
             results.setdefault(shape, {})[n] = run(df)
 

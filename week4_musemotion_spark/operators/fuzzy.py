@@ -152,8 +152,13 @@ def fuzzy_join(
     # explode breaks size stats, so Spark can't see when the dirty
     # side fits in memory; the caller can assert it (a probe batch
     # against a big registry) to make the join map-side — the clean
-    # side then never shuffles at all
-    dside = F.broadcast(dk) if broadcast_dirty else dk
+    # side then never shuffles at all.  Without the assertion, pin a
+    # shuffle-hash join: AQE's broadcast conversion estimates from
+    # COMPRESSED shuffle bytes, and a deserialized multi-million-row
+    # variant table blowing past that estimate OOMs the driver (seen
+    # at 1.4M variant rows under a 1g driver) — the deterministic
+    # two-sided shuffle never builds a driver-side table
+    dside = F.broadcast(dk) if broadcast_dirty else dk.hint("shuffle_hash")
     cands = (
         dside.join(ck, (dk["_k"] == ck["_k"]) & (F.abs(dk["_ld"] - ck["_lc"]) <= k))
         .drop("_k", "_lc", "_ld")
