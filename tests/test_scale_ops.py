@@ -225,3 +225,40 @@ def test_jaccard_self_join_exact_recall(spark):
     }
     assert got == expect
     assert (100, 101) in got  # the exact-boundary pair survived
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """The distributed NTILE (range repartition + offset join) must be
+    bit-identical to the single-partition window NTILE for every
+    remainder case, including k > n."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from week4_musemotion_spark.operators.ranks import global_ntile
+
+    for n, k in [(10, 4), (12, 4), (3, 7), (100, 10), (101, 10)]:
+        df = spark.range(n).select(
+            (F.col("id") * 37 % n).alias("v"), F.col("id").alias("key")
+        )
+        want = {
+            (r.v, r.key, r.t)
+            for r in df.withColumn(
+                "t", F.ntile(k).over(Window.orderBy("v", "key"))
+            ).collect()
+        }
+        got = {
+            (r.v, r.key, r.t)
+            for r in global_ntile(df, ["v", "key"], k, "t", num_partitions=5).collect()
+        }
+        assert got == want, f"n={n} k={k}"
+
+
+def test_global_index_is_dense_and_order_correct(spark):
+    import pyspark.sql.functions as F
+
+    from week4_musemotion_spark.operators.ranks import with_global_index
+
+    df = spark.range(1000).select((F.col("id") * 7919 % 1000).alias("v"))
+    rows = with_global_index(df, ["v"], "i", num_partitions=7).orderBy("i").collect()
+    assert [r.i for r in rows] == list(range(1000))
+    assert [r.v for r in rows] == sorted(r.v for r in rows)

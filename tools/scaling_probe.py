@@ -24,7 +24,14 @@ def main() -> int:
     from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
 
+    import os
+
     from week4_musemotion_spark.session import get_spark
+
+    # amplified runs sort multi-million-row variant/token explosions in
+    # 32 concurrent tasks; Spark's 1g local-JVM default heap is sized
+    # for none of that (must be set before the JVM launches)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEMORY", "12g")
     from week4_musemotion_spark.sources.tables import load_table
 
     spark = get_spark("scaling-probe")

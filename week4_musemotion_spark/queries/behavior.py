@@ -162,9 +162,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recency against a pinned reference date, monetary in cents),
     then three NTILE(4) quartile scores over total deterministic
     orders (custkey tie-break; recency quartiles inverted so 4 =
-    most recent).  Scale: the base agg is keyed on customer; the
-    three global NTILEs are range-partitioned sorts of the already-
-    aggregated (one row per customer) table, not of the fact."""
+    most recent).  Scale: the base agg is keyed on customer; each
+    quartile score is a DISTRIBUTED global NTILE (operators/ranks —
+    range repartition + offsets, never the single-task unpartitioned
+    window) over the already-aggregated one-row-per-customer table,
+    not over the fact."""
+    from week4_musemotion_spark.operators.ranks import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
@@ -173,19 +177,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         sum_money("o_totalprice").alias("monetary_cents"),
     )
-    return base.select(
+    n = base.count()  # one job; shared by all three quartile passes
+    scored = global_ntile(base, ["recency_days", "custkey"], 4, "_r", n=n)
+    scored = global_ntile(scored, ["frequency", "custkey"], 4, "_f", n=n)
+    scored = global_ntile(scored, ["monetary_cents", "custkey"], 4, "_m", n=n)
+    return scored.select(
         "custkey",
         F.col("recency_days").cast("long").alias("recency_days"),
         F.col("frequency").cast("long").alias("frequency"),
         "monetary_cents",
-        (5 - F.ntile(4).over(Window.orderBy("recency_days", "custkey")))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "custkey")).cast("long").alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary_cents", "custkey"))
-        .cast("long")
-        .alias("m_score"),
+        (5 - F.col("_r")).cast("long").alias("r_score"),
+        F.col("_f").cast("long").alias("f_score"),
+        F.col("_m").cast("long").alias("m_score"),
     )
 
 

@@ -284,15 +284,16 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Account-balance deciles: NTILE(10) over a total deterministic
     order (balance, custkey tie-break) then per-decile count/min/max/
-    exact-integer average.  Scale: a global NTILE needs a total sort —
-    at 100 TB this becomes a range-partitioned sort (Spark's sort-
-    based shuffle handles it; AQE balances the ranges), and the
-    per-decile agg is 10 rows.  Ref capability: the dashboard's
+    exact-integer average.  Scale: a WINDOW ntile with no partition
+    key would coalesce every row into one task, so the bucket number
+    comes from operators/ranks.global_ntile — range repartition +
+    per-partition offsets, bit-identical to SQL NTILE (pytest-pinned)
+    but fully distributed.  Ref capability: the dashboard's
     group-size profile (streamlit_app.py:183) as ranked strata."""
+    from week4_musemotion_spark.operators.ranks import global_ntile
+
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    d = c.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey"))
-    )
+    d = global_ntile(c, ["c_acctbal", "c_custkey"], 10, "decile")
     return (
         d.groupBy("decile")
         .agg(

@@ -95,6 +95,12 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.master(master).appName(app_name)
     builder = configure(builder)
+    # local mode runs every "executor" thread inside the driver JVM,
+    # whose 1g default heap is far below what 32 concurrent sort/join
+    # tasks need; honored only if the JVM isn't already running
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     if not ui:
         builder = builder.config("spark.ui.enabled", "false")
     spark = builder.getOrCreate()
