@@ -222,7 +222,9 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     is recycling phrasing (crawl loops, boilerplate); a healthy crawl
     keeps discovering types.  Scale: first-occurrence is min(doc_id)
     per bigram (one keyed agg over the shingle explosion); the bucket
-    rollup and cumulative window act on a tiny table."""
+    rollup and cumulative window act on the bucket table (corpus/50
+    rows) — at much larger corpora, widen the bucket so the curve
+    stays thousands of points, which is all a growth audit needs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bg = docs.select(
         "doc_id",
