@@ -124,3 +124,22 @@ def stddev_money_sql(expr: str) -> str:
         f" / ({n} - 1.0), 0.0)) * 100)"
     )
     return f"CAST(CASE WHEN {n} > 1 THEN {body} ELSE NULL END AS BIGINT)"
+
+
+def dec(col: Column) -> Column:
+    """Widen to decimal(38,0) — the JVM-side analog of DuckDB's
+    automatic HUGEINT promotion in sum().  Use for any accumulation
+    or product that can pass 2^63: with ``ansi.enabled=false`` a long
+    overflow WRAPS SILENTLY while the DuckDB oracle stays exact, so
+    the divergence surfaces only at scale."""
+    return col.cast("decimal(38,0)")
+
+
+def int_div_round_dec(p: Column, q: Column) -> Column:
+    """:func:`int_div_round` for decimal(38,0) operands (q > 0,
+    p ≥ 0): strip the remainder with pmod, then the division of an
+    exact multiple is exactly representable at the result scale, so
+    the quotient is engine-stable."""
+    num = dec(2 * p + q)
+    den = dec(2 * q)
+    return ((num - F.pmod(num, den)) / den).cast("long")

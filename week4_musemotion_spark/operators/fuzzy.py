@@ -133,7 +133,7 @@ def fuzzy_join(
     dirty_col: str,
     k: int = 1,
     dedup_on: Optional[Sequence[str]] = None,
-    broadcast_dirty: bool = False,
+    broadcast_dirty: "bool | str" = False,
 ) -> DataFrame:
     """All (dirty, clean) pairs with edit distance ≤ ``k`` via
     depth-``k`` deletion-neighborhood blocking + levenshtein verify.
@@ -149,16 +149,30 @@ def fuzzy_join(
     ck = _exploded_keys(clean.withColumn("_lc", F.length(clean_col)), clean_col, k)
     dk = _exploded_keys(dirty.withColumn("_ld", F.length(dirty_col)), dirty_col, k)
     keys = list(dedup_on) if dedup_on else list(dirty.columns) + list(clean.columns)
+    if broadcast_dirty == "auto":
+        # one cheap agg over the UN-exploded dirty side decides: the
+        # variant explosion is ~1+L (k=1) or ~1+L+L(L-1)/2 (k=2) rows
+        # per record, so estimated exploded rows tell us whether the
+        # broadcast table fits — hardcoding True would recreate the
+        # driver OOM at larger SFs that this operator exists to avoid
+        nrow, avg_len = dirty.agg(
+            F.count(F.lit(1)), F.avg(F.length(dirty_col))
+        ).first()
+        length = float(avg_len or 0.0)
+        per = 1 + length + (length * (length - 1) / 2 if k >= 2 else 0)
+        broadcast_dirty = (nrow or 0) * per <= 2_000_000
     # explode breaks size stats, so Spark can't see when the dirty
     # side fits in memory; the caller can assert it (a probe batch
     # against a big registry) to make the join map-side — the clean
     # side then never shuffles at all.  Without the assertion, pin a
-    # shuffle-hash join: AQE's broadcast conversion estimates from
+    # SORT-MERGE join: AQE's broadcast conversion estimates from
     # COMPRESSED shuffle bytes, and a deserialized multi-million-row
     # variant table blowing past that estimate OOMs the driver (seen
-    # at 1.4M variant rows under a 1g driver) — the deterministic
-    # two-sided shuffle never builds a driver-side table
-    dside = F.broadcast(dk) if broadcast_dirty else dk.hint("shuffle_hash")
+    # at 1.4M variant rows under a 1g driver); shuffle-hash fails the
+    # same way executor-side because its build side cannot spill —
+    # sort-merge is the one strategy that degrades to disk instead of
+    # dying when the variant explosion outgrows memory
+    dside = F.broadcast(dk) if broadcast_dirty else dk.hint("merge")
     cands = (
         dside.join(ck, (dk["_k"] == ck["_k"]) & (F.abs(dk["_ld"] - ck["_lc"]) <= k))
         .drop("_k", "_lc", "_ld")

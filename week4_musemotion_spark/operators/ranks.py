@@ -50,6 +50,16 @@ def with_global_index(
     else:
         ranged = df.repartitionByRange(*cols)  # spark.sql.shuffle.partitions
     ranged = ranged.sortWithinPartitions(*cols).withColumn("_pid", F.spark_partition_id())
+    # the ranged subtree is consumed TWICE (offsets + data); the range
+    # partitioner SAMPLES its boundaries, so if the exchange were ever
+    # not reused (exchange-reuse disabled, plan de-canonicalization),
+    # the two materializations could place rows in different
+    # partitions and the offsets would belong to the wrong layout —
+    # checkpoint pins one materialization so correctness does not
+    # depend on the optimizer's reuse decision.  (At cluster scale,
+    # prefer a reliable checkpoint dir; localCheckpoint storage is
+    # executor-local.)
+    ranged = ranged.localCheckpoint(eager=False)
     # per-partition counts -> running offsets: a table of ~P rows, the
     # only place a single-partition window runs (on P rows, not n)
     offsets = (
@@ -93,9 +103,10 @@ def global_ntile(
     when tiling the same table on several different orders).
     """
     idx = "_gidx"
-    with_idx = with_global_index(df, order_cols, idx, num_partitions)
     if n is None:
-        n = with_idx.count()  # scalar job; at scale a cached metadata count
+        n = df.count()  # count the INPUT: running the indexed plan just for n
+        # would pay the range shuffle + sort + offset join twice
+    with_idx = with_global_index(df, order_cols, idx, num_partitions)
     q, r = divmod(n, k)
     if q == 0:
         # fewer rows than buckets: NTILE assigns bucket idx+1

@@ -17,9 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.exact import (
-    cents,
-    cents_sql,
+    dec,
     int_div_round,
+    int_div_round_dec,
     int_div_round_sql,
     sum_money,
     sum_money_sql,
@@ -225,17 +225,11 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup and cumulative window act on the bucket table (corpus/50
     rows) — at much larger corpora, widen the bucket so the curve
     stays thousands of points, which is all a growth audit needs."""
+    from week4_musemotion_spark.operators.dedup import shingle_strings
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> array_join(slice(split(text, ' '), i, 2), ' ')) "
-                "ELSE array() END"
-            )
-        ).alias("bigram"),
+    bg = shingle_strings(docs, "text", "doc_id", n=2).select(
+        F.col("_id").alias("doc_id"), F.col("s").alias("bigram")
     )
     first_seen = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
     buckets = (
@@ -284,23 +278,27 @@ def q_lang_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose size is |langs|×|sources|, not corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # dev = n·total − row·col reaches ~N²/4 and dev² ~N⁴/16: far past
+    # 2^63 on real corpora, and ansi=false would WRAP silently while
+    # the oracle's window sums promote to HUGEINT — widen everything
+    # to decimal(38,0) (functions/exact.dec) before multiplying
     m = obs.select(
         "lang",
         "source",
         "n",
-        F.sum("n").over(Window.partitionBy("lang")).alias("row_tot"),
-        F.sum("n").over(Window.partitionBy("source")).alias("col_tot"),
-        F.sum("n").over(Window.partitionBy()).alias("total"),
+        F.sum(dec(F.col("n"))).over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum(dec(F.col("n"))).over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum(dec(F.col("n"))).over(Window.partitionBy()).alias("total"),
     )
-    dev = F.col("n") * F.col("total") - F.col("row_tot") * F.col("col_tot")
+    dev = dec(F.col("n")) * F.col("total") - F.col("row_tot") * F.col("col_tot")
     return m.select(
         "lang",
         "source",
         F.col("n").cast("long").alias("n"),
-        int_div_round(F.col("row_tot") * F.col("col_tot") * 10000, F.col("total")).alias(
-            "expected_e4"
-        ),
-        int_div_round(
+        int_div_round_dec(
+            F.col("row_tot") * F.col("col_tot") * 10000, F.col("total")
+        ).alias("expected_e4"),
+        int_div_round_dec(
             dev * dev * 10000, F.col("total") * F.col("row_tot") * F.col("col_tot")
         ).alias("chi2_e4"),
     )

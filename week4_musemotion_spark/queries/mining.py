@@ -29,7 +29,9 @@ from week4_musemotion_spark.functions.exact import (
     avg_money_sql,
     cents,
     cents_sql,
+    dec,
     int_div_round,
+    int_div_round_dec,
     int_div_round_sql,
 )
 from week4_musemotion_spark.functions.eventtime import epoch_micros
@@ -99,7 +101,7 @@ def q_fuzzy_join_tau2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dirty_name",
         k=2,
         dedup_on=["dirty_id", "c_custkey"],
-        broadcast_dirty=True,  # probe batch is 1/4 of the registry
+        broadcast_dirty="auto",  # broadcast only while the variant explosion fits
     ).select(
         "dirty_id",
         F.col("c_custkey").alias("match_id"),
@@ -342,18 +344,22 @@ def q_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("n_chars").over(w).alias("tot"),
     )
+    # the rank-weighted sum and n·Σx both pass 2^63 on large
+    # sources — accumulate/divide in decimal(38,0), matching the
+    # oracle's automatic HUGEINT promotion (silent-wrap class:
+    # functions/exact.dec)
     agg = r.groupBy("source").agg(
         F.max("n").cast("long").alias("n_docs"),
         F.max("tot").cast("long").alias("total_chars"),
-        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("n_chars")).alias("_num"),
+        F.sum(dec((2 * F.col("i") - F.col("n") - 1) * F.col("n_chars"))).alias("_num"),
     )
     return agg.select(
         "source",
         "n_docs",
         "total_chars",
-        int_div_round(F.col("_num") * 10000, F.col("n_docs") * F.col("total_chars")).alias(
-            "gini_e4"
-        ),
+        int_div_round_dec(
+            F.col("_num") * 10000, dec(F.col("n_docs") * F.col("total_chars"))
+        ).alias("gini_e4"),
     )
 
 
@@ -528,17 +534,11 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     never compare documents pairwise.  Scale: the join is keyed on
     the gram (hash it to fixed width at 100 TB); benchmark side is
     tiny and broadcastable; per-doc counts are one keyed agg."""
+    from week4_musemotion_spark.operators.dedup import shingle_strings
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    g = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 5 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 4), "
-                "i -> array_join(slice(split(text, ' '), i, 5), ' ')) "
-                "ELSE array() END"
-            )
-        ).alias("gram"),
+    g = shingle_strings(docs, "text", "doc_id", n=5).select(
+        F.col("_id").alias("doc_id"), F.col("s").alias("gram")
     )
     bench = g.filter(F.col("doc_id") % 19 == 0).select("gram").distinct()
     train = g.filter(F.col("doc_id") % 19 != 0).distinct()

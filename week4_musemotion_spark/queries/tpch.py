@@ -795,7 +795,9 @@ def q_tpch_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_returnflag").alias("ship_class"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+            # NOT-IN mirrors the oracle: NULL priority counts in NEITHER
+            # bucket (when(~high) is NULL -> otherwise 0), not as "low"
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
         .orderBy("ship_class")
     )
