@@ -262,3 +262,36 @@ def test_global_index_is_dense_and_order_correct(spark):
     rows = with_global_index(df, ["v"], "i", num_partitions=7).orderBy("i").collect()
     assert [r.i for r in rows] == list(range(1000))
     assert [r.v for r in rows] == sorted(r.v for r in rows)
+
+
+def test_containment_join_exact_recall(spark):
+    """Asymmetric prefix filtering must recover every ordered pair
+    with |A∩B| >= tau*|A| — including subset pairs at exactly tau and
+    asymmetric pairs whose reverse direction does NOT qualify."""
+    from week4_musemotion_spark.operators.setjoin import containment_join
+
+    rows = [
+        (0, ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"]),  # long doc
+        (1, ["a", "b", "c", "d", "e"]),                            # subset of 0
+        (2, ["a", "b", "c", "d", "x"]),                            # 4/5 = 0.8 in 0
+        (3, ["p", "q"]),                                           # unrelated
+        (4, ["a", "b", "c", "d", "e", "p", "q", "r", "s", "t"]),   # half of 0
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+
+    def cont(a, b):
+        a, b = set(a), set(b)
+        return len(a & b) / len(a)
+
+    expect = {
+        (ra[0], rb[0])
+        for ra in rows
+        for rb in rows
+        if ra[0] != rb[0] and cont(ra[1], rb[1]) >= 0.8
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in containment_join(df, "id", "toks", tau_e4=8000).collect()
+    }
+    assert got == expect
+    assert (1, 0) in got and (0, 1) not in got  # asymmetry preserved

@@ -143,3 +143,94 @@ def jaccard_self_join(
             .alias("jacc_e4"),
         )
     )
+
+
+def containment_join(
+    records: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    tau_e4: int,
+    within: "list[str] | None" = None,
+) -> DataFrame:
+    """Asymmetric set-containment self-join: pairs (a, b), a ≠ b,
+    where ``|A∩B| ≥ τ·|A|`` — "most of A's tokens appear in B", the
+    quotation / excerpt / subset-boilerplate detector that Jaccard
+    misses (a short quote inside a long doc has low Jaccard but high
+    containment).
+
+    Prefix filtering adapts asymmetrically: only the CONTAINED side
+    can skip tokens — A emits its first ``|A| − ⌈τ·|A|⌉ + 1``
+    df-ordered tokens (missing all of them would leave the overlap
+    below ⌈τ·|A|⌉ even if every other token matched), while the
+    container side B must emit all tokens (nothing bounds which of
+    B's tokens overlap).  The pair is ordered (a = contained,
+    b = container), so both directions of a pair can appear.
+
+    Output: id_a, id_b, common, size_a, cont_e4.
+    """
+    within = list(within or [])
+    toks = records.select(
+        F.col(id_col).alias("_id"), *within, F.explode(tokens_col).alias("_t")
+    )
+    df_tab = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        toks.join(df_tab, "_t")
+        .groupBy("_id", *within)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(_df, _t))), x -> x._t)").alias(
+                "_arr"
+            )
+        )
+        .withColumn("_s", F.size("_arr"))
+        .withColumn(
+            "_p",
+            F.col("_s")
+            - F.floor((F.lit(tau_e4) * F.col("_s") + 9999) / 10000).cast("int")
+            + 1,
+        )
+    )
+    pre_a = ordered.select(
+        "_id", *within, "_s", F.explode(F.slice("_arr", 1, F.col("_p"))).alias("_t")
+    )
+    full_b = ordered.select("_id", *within, F.explode("_arr").alias("_t"))
+    a, b = pre_a.alias("a"), full_b.alias("b")
+    cond = (F.col("a._t") == F.col("b._t")) & (F.col("a._id") != F.col("b._id"))
+    for c in within:
+        cond = cond & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    pairs = (
+        a.join(b, cond)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    arr = ordered.select("_id", "_arr", "_s")
+    cands = (
+        pairs.join(arr.alias("x"), F.col("id_a") == F.col("x._id"))
+        .join(arr.alias("y"), F.col("id_b") == F.col("y._id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("x._arr").alias("_aa"),
+            F.col("y._arr").alias("_ab"),
+            F.col("x._s").alias("_sa"),
+        )
+    )
+    common = F.size(F.array_intersect("_aa", "_ab"))
+    return (
+        cands.withColumn("common", common.cast("long"))
+        .filter(F.col("common") * 10000 >= F.lit(tau_e4) * F.col("_sa"))
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.col("_sa").cast("long").alias("size_a"),
+            (
+                (
+                    (2 * F.col("common") * 10000 + F.col("_sa"))
+                    - F.pmod(2 * F.col("common") * 10000 + F.col("_sa"), 2 * F.col("_sa"))
+                )
+                / (2 * F.col("_sa"))
+            )
+            .cast("long")
+            .alias("cont_e4"),
+        )
+    )

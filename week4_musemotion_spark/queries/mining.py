@@ -674,3 +674,40 @@ def q_jaccard_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.expr("array_distinct(split(text, ' '))").alias("toks")
     )
     return jaccard_self_join(docs, "doc_id", "toks", tau_e4=8000, within=["source"])
+
+
+@query(
+    "q_containment_pairs",
+    covers=("X-CONTAINMENT",),
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS a
+        FROM documents
+    )
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(len(list_intersect(x.a, y.a)) AS BIGINT) AS common,
+           CAST(len(x.a) AS BIGINT) AS size_a,
+           CAST((2 * len(list_intersect(x.a, y.a)) * 10000 + len(x.a))
+                // (2 * len(x.a)) AS BIGINT) AS cont_e4
+    FROM t x JOIN t y ON x.source = y.source AND x.doc_id <> y.doc_id
+    WHERE len(list_intersect(x.a, y.a)) * 10000 >= 9000 * len(x.a)
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered within-source document pairs where ≥ 90% of the first
+    doc's token set appears in the second — the quotation / excerpt /
+    subset-boilerplate detector Jaccard misses (a short quote inside
+    a long doc has low Jaccard but high containment).  Asymmetric
+    prefix filtering (operators/setjoin.containment_join): only the
+    contained side may skip tokens, the container side indexes all —
+    exact recall, verified on candidates only.  The oracle is the
+    quadratic cross-compare; stratified by source for the same
+    flat-vocabulary reason as q_jaccard_simjoin."""
+    from week4_musemotion_spark.operators.setjoin import containment_join
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr("array_distinct(split(text, ' '))").alias("toks")
+    )
+    return containment_join(docs, "doc_id", "toks", tau_e4=9000, within=["source"]).select(
+        "id_a", "id_b", "common", "size_a", "cont_e4"
+    )
