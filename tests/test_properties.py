@@ -263,3 +263,41 @@ def test_fuzzy_join_k2_full_recall_all_edit_pairs(spark):
     }
     assert got == expect
     assert len(expect) >= 36  # at least the planted pairs
+
+
+def test_fuzzy_join_k3_hof_fallback_recall(spark):
+    """k >= 3 takes the composed higher-order-function path (the
+    scalar explode is specialized for k <= 2) — recall must still be
+    exact for triple edits on short strings."""
+    from week4_musemotion_spark.operators.fuzzy import fuzzy_join
+
+    clean = [(i, f"w{chr(65 + i)}xyz{chr(97 + i)}") for i in range(8)]
+    dirty = [
+        (100, clean[0][1][1:] + "Q"),        # delete pos1 + append = 2..3 edits
+        (101, clean[1][1][:2] + "AB" + clean[1][1][4:]),  # 2 substitutions
+        (102, "QQ" + clean[2][1][2:] + "R"),  # 2 subs + 1 insert = 3 edits
+        (103, clean[3][1]),                   # exact
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    expect = {
+        (di, ci, lev(dt, cs))
+        for di, dt in dirty
+        for ci, cs in clean
+        if lev(dt, cs) <= 3
+    }
+    cdf = spark.createDataFrame(clean, "cid long, cname string")
+    ddf = spark.createDataFrame(dirty, "did long, dname string")
+    got = {
+        (r.did, r.cid, r.dist)
+        for r in fuzzy_join(cdf, ddf, "cname", "dname", k=3).collect()
+    }
+    assert got == expect
+    assert len(expect) >= 4
