@@ -157,3 +157,33 @@ def test_zscore_outliers_broadcasts_moments(spark):
 
     # the 5-row per-type moment table must broadcast back over the scan
     assert_broadcast_join(_q("q_zscore_outliers")(spark, SF_SMOKE))
+
+
+def test_lifecycle_queries_stay_equi_join_shaped(spark):
+    """Funnel, cohort, and PageRank must plan every join as an
+    equi-join (hash/sort-merge/broadcast on a key) — never cartesian
+    or nested-loop: the property that keeps the staged funnel and the
+    Pregel join+agg loop linear in |events| / |edges| at scale."""
+    for name in ("q_funnel_conversion", "q_cohort_retention", "q_pagerank_parts"):
+        plan = _q(name)(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    from week4_musemotion_spark.plans.audit import assert_broadcast_join
+
+    # the per-flag median / MAD tables are tiny and must broadcast
+    # back over the stream — the stream itself is never sorted
+    assert_broadcast_join(_q("q_mad_outliers")(spark, SF_SMOKE))
+
+
+def test_morton_tiles_single_scan_partial_agg(spark):
+    from week4_musemotion_spark.plans.audit import (
+        assert_column_pruned,
+        assert_partial_aggregation,
+    )
+
+    df = _q("q_morton_tiles")(spark, SF_SMOKE)
+    assert_partial_aggregation(df)  # 64-key agg combines map-side
+    assert_column_pruned(df, "o_totalprice")  # scan reads only key cols

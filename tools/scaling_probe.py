@@ -5,7 +5,7 @@ Amplifies lineitem/orders by unioning key-shifted copies (scan cost
 factor.  Near-linear growth = the plan scales with data, not with
 plan pathology (quadratic joins, driver materialization).
 
-Usage: python tools/scaling_probe.py [sf_dir] [factors...]
+Usage: python tools/scaling_probe.py [sf_dir] [factors...] [--shapes a,b]
 Emits one JSON line: {shape: {factor: sec}}.
 """
 
@@ -18,8 +18,14 @@ from functools import reduce
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    args = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--shapes" in args:
+        i = args.index("--shapes")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    factors = [int(a) for a in args[1:]] or [1, 4, 16]
 
     from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
@@ -183,6 +189,64 @@ def main() -> int:
         jdocs = reduce(DataFrame.unionByName, doc_copies)
         jdocs.count()
         jacc = jaccard_self_join(jdocs, "doc_id", "toks", tau_e4=8000, within=["source"])
+        # lifecycle shapes (queries/lifecycle.py): funnel's per-stage
+        # joins shrink monotonically; cohort is keyed agg + join-back;
+        # pagerank is the Pregel join+agg loop — per-copy key shifts
+        # keep graphs/users disjoint so work grows linearly
+        ev0 = load_table(spark, sf_dir, "events")
+        ev = amplify(ev0.select("user_id", "event_type", "ts"), ["user_id"], n)
+        ev.count()
+        prev = None
+        for etype in ("view", "click", "purchase"):
+            cur = ev.filter(F.col("event_type") == etype)
+            if prev is not None:
+                cur = cur.join(
+                    prev.select("user_id", F.col("t").alias("_pt")), "user_id"
+                ).filter(F.col("ts") > F.col("_pt"))
+            cur = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+            prev = cur
+        funnel = prev
+        firsts = orders.groupBy("o_custkey").agg(
+            F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+        )
+        mon = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+        cohort = (
+            orders.join(firsts, "o_custkey")
+            .select(
+                "o_custkey", "cohort",
+                (mon(F.col("o_orderdate")) - mon(F.col("cohort"))).alias("off"),
+            )
+            .distinct()
+            .groupBy("cohort", "off")
+            .agg(F.count(F.lit(1)).alias("active"))
+        )
+        items = li.select("l_orderkey", "l_partkey").distinct()
+        bb = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+        prs = (
+            items.join(bb, "l_orderkey")
+            .filter(F.col("l_partkey") < F.col("pb"))
+            .groupBy(F.col("l_partkey").alias("pa"), "pb")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .select("pa", "pb")
+        )
+        pedges = prs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+            prs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+        )
+        pdeg = pedges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        ped = pedges.join(pdeg, "u")
+        pranks = pdeg.select(F.col("u").alias("node"), F.lit(1_000_000).cast("long").alias("r"))
+        for _ in range(2):
+            contrib = ped.join(pranks, ped["u"] == pranks["node"]).select(
+                "v",
+                (
+                    (85 * ((F.col("r") - F.pmod(F.col("r"), F.col("d"))) / F.col("d")).cast("long"))
+                    / 100
+                ).cast("long").alias("c"),
+            )
+            pranks = contrib.groupBy(F.col("v").alias("node")).agg(
+                (F.lit(150000) + F.sum("c")).cast("long").alias("r")
+            )
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -195,7 +259,12 @@ def main() -> int:
             ("fuzzy_edit1_join", fuzzy1),
             ("fuzzy_edit2_join", fuzzy2),
             ("jaccard_prefix_join", jacc),
+            ("funnel_staged_joins", funnel),
+            ("cohort_retention", cohort),
+            ("pagerank_2iter", pranks),
         ]:
+            if only is not None and shape not in only:
+                continue
             results.setdefault(shape, {})[n] = run(df)
 
     rows = {n: li0.count() * n for n in factors}
