@@ -193,3 +193,48 @@ def test_orc_roundtrip_matches_parquet(spark, tmp_path):
     from week4_musemotion_spark.plans.audit import plan_string
 
     assert "orc" in plan_string(plan_df, "simple").lower()
+
+
+def test_dq_violations_counts_on_dirty_fixture(spark, tmp_path):
+    """Each audit rule must count exactly its planted violations."""
+    import datetime as dt
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 10, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", None),
+         (1, 11, 1, 2, -2.0, 1.0, 0.0, 0.0, "N", "O", None),   # nonpositive qty
+         (99, 12, 1, 1, 3.0, 1.0, 0.0, 0.0, "N", "O", None)],  # orphan order 99
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 1, "O", 10.0, dt.datetime(1995, 1, 1), "1-URGENT"),
+         (2, 1, "O", 10.0, dt.datetime(1999, 6, 1), "1-URGENT")],  # future date
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "hello", "en", "web", 5), (2, "   ", "en", "web", 3), (3, None, "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "view", 0.0, "{}"),
+         (1, dt.datetime(2024, 1, 2), 2, "view", 0.0, "{}"),   # dup event_id
+         (2, dt.datetime(2024, 1, 3), 1, "click", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    from week4_musemotion_spark.queries import REGISTRY
+
+    got = {
+        r["rule"]: (r["n_violations"], r["n_checked"])
+        for r in REGISTRY["q_dq_violations"].builder(spark, d).collect()
+    }
+    assert got == {
+        "orphan_lineitem": (1, 3),
+        "nonpositive_quantity": (1, 3),
+        "blank_document_text": (2, 3),
+        "duplicate_event_id": (1, 3),
+        "future_orderdate": (1, 2),
+    }

@@ -447,3 +447,139 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     scored = quality_stats(d).filter(F.col("n_tokens") > 0)
     return weighted_hash_sample(scored, "doc_id", "quality_e4").select("doc_id", "quality_e4")
+
+
+@query(
+    "q_orc_roundtrip",
+    covers=("S2", "X-ORC"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion end-to-end: a filtered lineitem projection is
+    written to ORC (Spark's second native columnar format — the
+    interchange path when an upstream warehouse emits ORC instead of
+    parquet), re-read, and aggregated; the oracle computes the same
+    aggregate from the original parquet, so write+read round-trip
+    fidelity is value-hash-checked.  The fixture write is keyed by
+    sf_dir and guarded by ORC's _SUCCESS marker, so steady-state runs
+    only pay the read.  Scale note: the roundtrip inherits parquet's
+    scan properties (columnar projection, predicate pushdown on
+    stripe stats); the filter is applied BEFORE the write so the
+    fixture holds exactly the audited subset."""
+    import hashlib
+    import os
+    import tempfile
+
+    from week4_musemotion_spark.functions.exact import sum_money
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "musemotion_orc",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            .select("l_returnflag", "l_extendedprice")
+            .write.mode("overwrite")
+            .orc(out)
+        )
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        sum_money("l_extendedprice").alias("revenue_cents"),
+    )
+
+
+@query(
+    "q_dq_violations",
+    covers=("X-DQ-AUDIT",),
+    oracle="""
+    SELECT 'orphan_lineitem' AS rule,
+           CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           CAST(count(*) FILTER (l_quantity <= 0) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'blank_document_text',
+           CAST(count(*) FILTER (text IS NULL OR trim(text) = '') AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'duplicate_event_id',
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'future_orderdate',
+           CAST(count(*) FILTER (o_orderdate > TIMESTAMP '1998-12-31') AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality audit — one row per constraint with
+    violation and population counts: referential orphans (lineitems
+    whose order is missing — LEFT-join-null form so violations and
+    population come from ONE pass), domain violations (non-positive
+    quantities, future order dates), blank documents, and key
+    duplication (count minus count-distinct).  This is the
+    contract-check stage a pipeline runs before promoting a batch;
+    the declarative single-pass variant lives in
+    operators/expectations.py (``df.observe`` ride-along — zero
+    extra scans when the batch is being written anyway).
+
+    Scale shape: each rule is one scan-plus-aggregate (the orphan
+    check a shuffled count-distinct-free outer join on the fact key);
+    rules over different tables run as independent stages and union
+    five 1-row aggregates — nothing global, nothing quadratic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+
+    orphan = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left")
+        .agg(
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).cast("long").alias("n_violations"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+        )
+        .select(F.lit("orphan_lineitem").alias("rule"), "n_violations", "n_checked")
+    )
+    nonpos = li.agg(
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).cast("long").alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    ).select(F.lit("nonpositive_quantity").alias("rule"), "n_violations", "n_checked")
+    blank = docs.agg(
+        F.count(F.when(F.col("text").isNull() | (F.trim("text") == ""), 1))
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    ).select(F.lit("blank_document_text").alias("rule"), "n_violations", "n_checked")
+    dup = ev.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("event_id")))
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    ).select(F.lit("duplicate_event_id").alias("rule"), "n_violations", "n_checked")
+    future = o.agg(
+        F.count(F.when(F.col("o_orderdate") > F.lit("1998-12-31").cast("timestamp"), 1))
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    ).select(F.lit("future_orderdate").alias("rule"), "n_violations", "n_checked")
+    return orphan.unionByName(nonpos).unionByName(blank).unionByName(dup).unionByName(future)
