@@ -223,3 +223,23 @@ def test_star_contraction_equals_propagation(spark):
         # measured: identical round counts on these shapes (both are
         # O(log diameter)); fail if star ever regresses past jump+1
         assert s_star["rounds"] <= s_jump["rounds"] + 1, (name, s_star, s_jump)
+
+
+def test_embed_media_feeds_similarity_operators(spark):
+    """The stub encoder's output must plug into the similarity
+    operators unchanged: fixed dim, float64, exact thousandths in
+    [-1, 1], deterministic across calls and partitionings."""
+    from week4_musemotion_spark.operators.multimodal import EMBED_DIM, embed_media
+    from week4_musemotion_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    emb = embed_media(docs)
+    rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert rows and all(len(v) == EMBED_DIM for v in rows.values())
+    for v in rows.values():
+        for x in v:
+            assert -1.0 <= x <= 1.0
+            assert abs(x * 1000 - round(x * 1000)) < 1e-9  # exact thousandths
+    again = {r["doc_id"]: r["embedding"] for r in embed_media(docs.repartition(7)).collect()}
+    assert rows == again

@@ -193,3 +193,57 @@ def thumbnail_stub(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return binary.mapInPandas(_thumb, schema=schema)
+
+
+#: dimensionality of the stub media embedding
+EMBED_DIM = 8
+
+
+def _fake_embed(payload: bytes, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic fake feature-extraction: per dimension a
+    60-bit md5-derived integer mapped onto exact thousandths in
+    [-1, 1] (mirrors functions.hashing.stable_hash64 so SQL replays
+    it).  Stands in for a real vision/audio encoder forward pass."""
+    out = []
+    for i in range(dim):
+        h = int(
+            hashlib.md5(b"emb:" + payload + b":" + str(i).encode()).hexdigest()[:15], 16
+        )
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def embed_media(df: DataFrame, id_col: str = "doc_id", dim: int = EMBED_DIM) -> DataFrame:
+    """Media feature extraction through the Arrow-batched
+    ``mapInPandas`` path: each binary payload emits one fixed-dim
+    float64 embedding row — the binary→vector bridge that feeds the
+    similarity-search operators (knn_brute_force / cosine_pairs /
+    IVF take its output unchanged via ``vec_col``).
+
+    STUB decode (no codecs in this container): the "encoder" is the
+    deterministic md5 feature map above — swap ``_fake_embed`` for a
+    real model forward pass (ONNX/torch batch inference fits the same
+    Arrow batch shape) and nothing else changes: schema, batching,
+    partition behavior, and every downstream similarity operator stay
+    as-is.  At scale this is the classic embed stage: embarrassingly
+    parallel, output is dim×8 bytes/row regardless of payload size,
+    so the vector table is usually orders of magnitude smaller than
+    the media it summarizes."""
+    binary = attach_binary(df, id_col=id_col) if "payload" not in df.columns else df
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "embedding": [_fake_embed(bytes(p), dim) for p in pdf["payload"]],
+                }
+            )
+
+    return binary.mapInPandas(_embed, schema=schema)

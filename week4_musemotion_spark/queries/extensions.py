@@ -686,3 +686,77 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("match_id"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal → similarity bridge
+# ---------------------------------------------------------------------------
+
+
+def _media_embed_sql_parts(dim: int = 8) -> tuple[str, str, str]:
+    """(per-dim SELECT exprs, norm chain, dot chain) for the stub
+    media embedding — generated from ONE loop so the oracle cannot
+    drift from operators/multimodal._fake_embed.  Sums are written as
+    left-associated chains, matching the sequential accumulation in
+    similarity._seq_matmul/_seq_norm term for term."""
+    parts = []
+    for i in range(dim):
+        h = stable_hash64_sql(f"('emb:' || text || ':{i}')")
+        parts.append(f"({h} % 2001 - 1000) / 1000.0 AS v{i}")
+    vals = ", ".join(parts)
+    norm = " + ".join(f"v{i} * v{i}" for i in range(dim))
+    dot = " + ".join(f"c.v{i} * q.v{i}" for i in range(dim))
+    return vals, norm, dot
+
+
+_MEDIA_VALS, _MEDIA_NORM, _MEDIA_DOT = _media_embed_sql_parts()
+
+
+@query(
+    "q_media_knn",
+    covers=("X-MULTIMODAL", "X-KNN-BRUTE"),
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_MEDIA_VALS} FROM documents
+    ),
+    e AS (
+        SELECT doc_id, {", ".join(f"v{i}" for i in range(8))},
+               sqrt({_MEDIA_NORM}) AS nrm
+        FROM raw
+    ),
+    q AS (SELECT * FROM e WHERE doc_id % 100 = 0),
+    scored AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+               ({_MEDIA_DOT}) / (c.nrm * q.nrm) AS cos
+        FROM e c CROSS JOIN q
+        WHERE c.doc_id <> q.doc_id AND c.nrm > 0 AND q.nrm > 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_media_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal→similarity bridge end-to-end: binary payloads run
+    through the Arrow-batched stub encoder (operators/multimodal.
+    embed_media — one fixed-dim float64 vector per media row), and
+    the resulting vector table feeds knn_brute_force UNCHANGED for
+    cosine top-3 per probe (every 100th doc).  This is the pipeline a
+    multimodal corpus actually runs — embed once, then search/dedup
+    on vectors — and the whole chain is value-hash-checked because
+    the stub encoder is an md5 feature map the oracle replays and the
+    scorer accumulates in deterministic sequential order.  Scale: the
+    embed stage is embarrassingly parallel and emits dim×8 bytes/row;
+    the search stage broadcasts only the probe vectors."""
+    from week4_musemotion_spark.operators.multimodal import embed_media
+    from week4_musemotion_spark.operators.similarity import knn_brute_force
+
+    emb = embed_media(load_table(spark, sf_dir, "documents"))
+    probes = emb.filter(F.col("doc_id") % 100 == 0)
+    return knn_brute_force(emb, probes, k=3, id_col="doc_id", vec_col="embedding")
