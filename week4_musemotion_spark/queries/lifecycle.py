@@ -292,18 +292,20 @@ def q_rank_freq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a synthetic or boilerplate-heavy corpus shows up as a flat tail.
 
     Scale shape: one token aggregate (partial+final), then ranking
-    the |vocab|-sized frequency table.  The global row_number over
-    the vocab is the one single-partition step — vocab grows
-    sublinearly with corpus size (Heaps' law), and at extreme vocab
-    the same contract is served by operators/ranks.with_global_index
-    (partition-counted offsets, no single-partition sort)."""
+    the |vocab|-sized frequency table DISTRIBUTED via
+    operators/ranks.with_global_index (range-partitioned sort +
+    partition-counted offsets — no single-partition window even when
+    the vocabulary itself is huge; rank desc is expressed by ordering
+    on negated frequency with the token as unique tie-break)."""
     from week4_musemotion_spark.functions.text import tokens
+    from week4_musemotion_spark.operators.ranks import with_global_index
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
-    ranked = freq.select("freq", F.row_number().over(w).alias("rnk"))
+    ranked = with_global_index(
+        freq.withColumn("_negf", -F.col("freq")), ["_negf", "tok"], index_col="_gidx"
+    ).select("freq", (F.col("_gidx") + 1).alias("rnk"))
     return (
         ranked.groupBy(F.length(F.bin("rnk")).cast("long").alias("rank_bucket"))
         .agg(
