@@ -156,3 +156,52 @@ def test_pagerank_fixed_point_on_path_graph(spark):
     # iteration 2: ends: 150000 + 85*(1850000//2)//100 = 150000+786250 = 936250
     #              mid:  150000 + 2*(85*(575000//1)//100) = 150000+977500 = 1127500
     assert got == {1: (1, 936250), 3: (1, 936250), 2: (2, 1127500)}
+
+
+def _graph_fixture(spark, tmpdir, orders):
+    """lineitem parquet where each (pa, pb) order pair appears twice
+    (clearing the cnt>=2 edge threshold)."""
+    rows, lid = [], 0
+    ok_ = 9
+    for pa, pb in orders:
+        for _ in range(2):
+            ok_ += 1
+            for pk in (pa, pb):
+                lid += 1
+                rows.append((ok_, pk, 1, lid, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(f"{tmpdir}/lineitem.parquet")
+
+
+def test_kcore_peels_tail_keeps_clique(spark, tmp_path):
+    """K4 clique (all degree 3) survives 3-core peeling; a pendant
+    chain hanging off it peels away round by round."""
+    from week4_musemotion_spark.queries import REGISTRY
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6)]
+    _graph_fixture(spark, str(tmp_path), k4 + chain)
+    got = {
+        r["node"]: r["degree"]
+        for r in REGISTRY["q_kcore_parts"].builder(spark, str(tmp_path)).collect()
+    }
+    # nodes 5,6 peel (degree < 3); node 4 keeps its clique edges only
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_degree_histogram_buckets(spark, tmp_path):
+    """Star graph: hub degree 5 (bucket 3 = lengths of bin(4..7)),
+    leaves degree 1 (bucket 1)."""
+    from week4_musemotion_spark.queries import REGISTRY
+
+    star = [(10, leaf) for leaf in (11, 12, 13, 14, 15)]
+    _graph_fixture(spark, str(tmp_path), star)
+    got = {
+        r["degree_bucket"]: (r["n_nodes"], r["min_degree"], r["max_degree"])
+        for r in REGISTRY["q_degree_histogram"].builder(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (5, 1, 1), 3: (1, 5, 5)}
