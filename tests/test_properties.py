@@ -301,3 +301,75 @@ def test_fuzzy_join_k3_hof_fallback_recall(spark):
     }
     assert got == expect
     assert len(expect) >= 4
+
+
+def test_exact_int_div_round_matches_fraction_reference(spark):
+    """int_div_round / ratio_e4 must equal round-half-away-from-zero
+    of the true rational, checked against Python Fractions over a
+    deterministic batch sweeping remainder edge cases (exact halves,
+    q=1, p=0, large p near 2^40)."""
+    import random
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.functions.exact import int_div_round, ratio_e4
+
+    rng = random.Random(42)
+    cases = [(0, 1), (1, 2), (3, 2), (5, 2), (7, 2), (1, 1), (10**12 + 7, 3)]
+    cases += [(rng.randrange(0, 1 << 40), rng.randrange(1, 1 << 20)) for _ in range(500)]
+    # exact-half constructions: p = k*q + q/2 for even q
+    for _ in range(100):
+        q = rng.randrange(1, 1 << 16) * 2
+        cases.append((rng.randrange(0, 1 << 20) * q + q // 2, q))
+
+    df = spark.createDataFrame(cases, "p long, q long")
+    got = df.select(
+        "p", "q",
+        int_div_round(F.col("p"), F.col("q")).alias("d"),
+        ratio_e4(F.col("p"), F.col("q")).alias("r"),
+    ).collect()
+
+    def half_away(fr: Fraction) -> int:
+        fl = fr.numerator // fr.denominator
+        rem = fr - fl
+        return fl + (1 if rem >= Fraction(1, 2) else 0)
+
+    for row in got:
+        fr = Fraction(row["p"], row["q"])
+        assert row["d"] == half_away(fr), (row["p"], row["q"])
+        assert row["r"] == half_away(fr * 10_000), (row["p"], row["q"])
+
+
+def test_exact_avg_money_matches_fraction_reference(spark):
+    """avg_money (grouped) must equal the Fraction-exact rounded
+    mean of cents, including nulls excluded from the denominator."""
+    import random
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.functions.exact import avg_money
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(40):
+        for _ in range(rng.randrange(1, 12)):
+            v = None if rng.random() < 0.15 else rng.randrange(0, 10**7) / 100.0
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "g int, price double")
+    got = {
+        r["g"]: r["avg_cents"]
+        for r in df.groupBy("g").agg(avg_money("price").alias("avg_cents")).collect()
+    }
+
+    def half_away(fr: Fraction) -> int:
+        sign = -1 if fr < 0 else 1
+        fr = abs(fr)
+        fl = fr.numerator // fr.denominator
+        return sign * (fl + (1 if fr - fl >= Fraction(1, 2) else 0))
+
+    for g in {r[0] for r in rows}:
+        cents = [round(v * 100) for gg, v in rows if gg == g and v is not None]
+        expected = half_away(Fraction(sum(cents), len(cents))) if cents else None
+        assert got[g] == expected, g

@@ -50,11 +50,9 @@ def avg_money(col: Column | str) -> Column:
     c = cents(col)
     p = F.sum(c)
     q = F.count(c)
-    num = (2 * F.abs(p) + q).cast("long")
-    den = (2 * q).cast("long")
-    # exact integer division: strip the remainder first, then the
-    # double division of exactly-divisible longs (< 2^53) is exact
-    mag = ((num - F.pmod(num, den)) / den).cast("long")
+    # decimal(38,0) throughout: a long/double path is exact only under
+    # 2^53, and a global cents sum at warehouse scale can exceed that
+    mag = int_div_round_dec(F.abs(p), q)
     return F.when(p >= 0, mag).otherwise(-mag)
 
 
@@ -70,10 +68,15 @@ def avg_money_sql(expr: str) -> str:
 
 def int_div_round(p: Column, q: Column) -> Column:
     """round-half-away-from-zero of p/q for non-negative integer
-    columns, in pure integer arithmetic: (2p + q) div 2q."""
-    num = (2 * p + q).cast("long")
-    den = (2 * q).cast("long")
-    return ((num - F.pmod(num, den)) / den).cast("long")
+    columns, in pure integer arithmetic: (2p + q) div 2q.
+
+    All arithmetic runs in decimal(38,0): the earlier long/double
+    formulation was exact only while ``2p + q`` stayed within 2^53 —
+    beyond that the double division rounded the exact multiple before
+    dividing (caught by a Fraction-reference property test at
+    p ≈ 10^12 with the e4 pre-scale applied).  Decimal keeps every
+    intermediate exact for any long input."""
+    return int_div_round_dec(p, q)
 
 
 def int_div_round_sql(p: str, q: str) -> str:
@@ -87,8 +90,9 @@ def ratio_e4(num: Column, den: Column) -> Column:
     rational's shortest decimal repr ends in a half at the 5th place
     (e.g. 3/160 = 0.01875: Spark string-rounds up, DuckDB
     binary-rounds the slightly-low double down) — integer arithmetic
-    sidesteps the whole class."""
-    return int_div_round(num * 10_000, den)
+    sidesteps the whole class.  The ×10⁴ pre-scale is applied AFTER
+    widening to decimal so a large numerator cannot wrap the long."""
+    return int_div_round_dec(dec(num) * 10_000, den)
 
 
 def ratio_e4_sql(num: str, den: str) -> str:
@@ -136,10 +140,11 @@ def dec(col: Column) -> Column:
 
 
 def int_div_round_dec(p: Column, q: Column) -> Column:
-    """:func:`int_div_round` for decimal(38,0) operands (q > 0,
-    p ≥ 0): strip the remainder with pmod, then the division of an
-    exact multiple is exactly representable at the result scale, so
-    the quotient is engine-stable."""
-    num = dec(2 * p + q)
-    den = dec(2 * q)
+    """:func:`int_div_round` in decimal(38,0) (q > 0, p ≥ 0): strip
+    the remainder with pmod, then the division of an exact multiple
+    is exactly representable at the result scale, so the quotient is
+    engine-stable.  Operands are widened BEFORE the doubling so a
+    long input near 2^62 cannot wrap on ``2 * p``."""
+    num = 2 * dec(p) + dec(q)
+    den = 2 * dec(q)
     return ((num - F.pmod(num, den)) / den).cast("long")
