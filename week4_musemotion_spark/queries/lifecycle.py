@@ -46,7 +46,7 @@ _FUNNEL = ("view", "click", "purchase")
 
 @query(
     "q_funnel_conversion",
-    covers=("X-FUNNEL",),
+    covers=("X-FUNNEL-STAGED",),
     oracle=f"""
     WITH s1 AS (
         SELECT user_id, min(ts) AS t FROM events
@@ -80,7 +80,10 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered funnel view → click → purchase: a user counts
     at stage k only with an event AFTER their stage-k-1 entry time
     (first-touch semantics, ``min(ts)`` per stage).  Conversion is an
-    exact e4 ratio against stage-1 entrants.
+    exact e4 ratio against stage-1 entrants.  Complements ``q_funnel``
+    (pipeline_ops.py), which reports the per-user view→purchase DELAY
+    pair; this one is the k-stage conversion-rate aggregate with a
+    strict-order click stage in between.
 
     Scale shape: each stage is one filtered keyed aggregate joined to
     the previous stage's (user, ts) table — the join input shrinks
@@ -122,7 +125,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cohort_retention",
-    covers=("X-COHORT",),
+    covers=("X-COHORT-MATRIX",),
     oracle=f"""
     WITH firsts AS (
         SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
@@ -151,7 +154,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     members active that month and the exact e4 retention vs the
     cohort's size at offset 0.  Month offsets are pure integer
     calendar arithmetic (year·12+month), immune to timestamp
-    subtraction pitfalls.
+    subtraction pitfalls.  Complements ``q_retention_cohorts``
+    (pipeline_ops.py), the week-over-week rolling retention curve on
+    the event stream; this is the acquisition-cohort × age matrix on
+    the order history.
 
     Scale shape: one keyed min per customer, one equi-join back to
     orders (key = custkey — co-partitioned with the agg that produced
