@@ -209,7 +209,14 @@ def triangles(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataF
     are true cliques show up here; chains (A~B~C without A~C) do not
     — the clique-ness signal of a near-dup cluster.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # the edge list is consumed THREE times (e, bc, ac) — pin it so an
+    # expensive upstream pair-generation pipeline (e.g. jaccard_pairs'
+    # shingle join + verify) executes once, not once per join branch
+    # (plan audit showed 25 scans / 50 exchanges for the near-dup
+    # triangle query without this)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
+    )
     bc = e.select(F.col("a").alias("_b"), F.col("b").alias("c"))
     ac = e.select(F.col("a").alias("_a2"), F.col("b").alias("_c2"))
     return (
