@@ -205,3 +205,24 @@ def test_degree_histogram_buckets(spark, tmp_path):
         for r in REGISTRY["q_degree_histogram"].builder(spark, str(tmp_path)).collect()
     }
     assert got == {1: (5, 1, 1), 3: (1, 5, 5)}
+
+
+def test_funnel_empty_stage_yields_null_conversion(spark, tmp_path):
+    """Testdata regeneration guard: if a stage's event type vanishes
+    from the stream, stage counts go to 0 and the conversion ratio
+    degrades to NULL identically in Spark (pmod by zero -> NULL) and
+    DuckDB (`// 0` -> NULL) — never an error."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 10, "error", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    from week4_musemotion_spark.queries import REGISTRY
+
+    rows = {
+        r["stage"]: r
+        for r in REGISTRY["q_funnel_conversion"].builder(spark, str(tmp_path)).collect()
+    }
+    assert {r["users"] for r in rows.values()} == {0}
+    assert all(r["conv_from_entry_e4"] is None for r in rows.values())
