@@ -243,3 +243,19 @@ def test_embed_media_feeds_similarity_operators(spark):
             assert abs(x * 1000 - round(x * 1000)) < 1e-9  # exact thousandths
     again = {r["doc_id"]: r["embedding"] for r in embed_media(docs.repartition(7)).collect()}
     assert rows == again
+
+
+def test_multimodal_ops_drop_null_payload_rows(spark, tmp_path):
+    """Testdata regeneration guard: a NULL text row must be dropped by
+    attach_binary, not crash the Arrow stubs with bytes(None)."""
+    spark.createDataFrame(
+        [(1, "hello world", "en", "web", 11), (2, None, "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from week4_musemotion_spark.queries import REGISTRY
+
+    for name in ("q_multimodal_meta", "q_frame_sample", "q_media_knn"):
+        rows = REGISTRY[name].builder(spark, str(tmp_path)).collect()
+        assert all(r["doc_id"] != 2 for r in rows), name
+    meta = REGISTRY["q_multimodal_meta"].builder(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in meta] == [1]

@@ -39,8 +39,16 @@ MEDIA_META_SCHEMA = T.StructType(
 
 def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Materialize an opaque binary payload column (here: utf-8 bytes
-    of the text — stands in for image/audio bytes) plus source id."""
-    return df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload"))
+    of the text — stands in for image/audio bytes) plus source id.
+
+    NULL-source rows are dropped: a media row without a payload has
+    nothing to decode, and letting NULLs through would crash the
+    Arrow-batched stubs (``bytes(None)``) the first time the driver
+    regenerates testdata with missing text.  Every multimodal oracle
+    carries the matching ``WHERE text IS NOT NULL``."""
+    return df.select(
+        F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload")
+    ).filter(F.col("payload").isNotNull())
 
 
 def decode_media(payload: bytes):  # pragma: no cover - requires optional dep

@@ -509,7 +509,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
         SELECT doc_id, strlen(text) AS n_bytes,
                {stable_hash64_sql("('dim:' || text)")} AS hv
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
            CAST(64 + hv % 960 AS BIGINT) AS width,
@@ -532,7 +532,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
         SELECT doc_id, text,
                8 + {stable_hash64_sql("('vid:' || text)")} % 56 AS n_frames
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     u AS (
         SELECT doc_id, text, n_frames,
@@ -717,7 +717,7 @@ _MEDIA_VALS, _MEDIA_NORM, _MEDIA_DOT = _media_embed_sql_parts()
     covers=("X-MULTIMODAL", "X-KNN-BRUTE"),
     oracle=f"""
     WITH raw AS (
-        SELECT doc_id, {_MEDIA_VALS} FROM documents
+        SELECT doc_id, {_MEDIA_VALS} FROM documents WHERE text IS NOT NULL
     ),
     e AS (
         SELECT doc_id, {", ".join(f"v{i}" for i in range(8))},
