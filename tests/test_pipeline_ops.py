@@ -238,3 +238,28 @@ def test_dq_violations_counts_on_dirty_fixture(spark, tmp_path):
         "duplicate_event_id": (1, 3),
         "future_orderdate": (1, 2),
     }
+
+
+def test_apply_cdc_latest_change_wins_and_deletes(spark):
+    """Multi-change-per-key ordering: within a key, the highest seq
+    wins; a winning delete removes the key even if an earlier upsert
+    exists; a delete superseded by a later upsert keeps the row."""
+    from week4_musemotion_spark.operators.upsert import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1), (1, None, "D", 2),   # delete wins (seq 2)
+            (2, None, "D", 1), (2, "b2", "U", 2),   # upsert wins (seq 2)
+            (4, "d", "U", 1),                        # insert of absent key
+            (5, None, "D", 1),                       # delete of absent key: no-op
+        ],
+        "k long, v string, op string, seq long",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(snap, chg, ["k"], order_by=["seq"]).drop("seq").collect()
+    }
+    assert got == {2: "b2", 3: "c", 4: "d"}

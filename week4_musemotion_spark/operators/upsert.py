@@ -95,3 +95,41 @@ def upsert_parquet_snapshot(
     os.rename(staging, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def apply_cdc(
+    snapshot: DataFrame | None,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    order_by: list | None = None,
+) -> DataFrame:
+    """Apply an insert/update/delete change log to a snapshot — the
+    CDC-merge underneath every table format's ``MERGE ... WHEN
+    MATCHED AND s.op = 'D' THEN DELETE``.
+
+    ``changes`` carries the snapshot columns plus ``op_col`` with
+    ``'U'`` (upsert: insert-or-update) or ``'D'`` (delete).  Per key
+    the LATEST change wins (``order_by`` must totally order changes
+    within a key — a version/sequence column); a winning delete
+    removes the key, a winning upsert replaces the row, keys without
+    changes pass through.  One shuffle on the merge key, same cost
+    model as :func:`merge_upsert`.
+    """
+    tagged = changes.withColumn("_src", F.lit(1))
+    # allowMissingColumns: the change log may carry columns the
+    # snapshot lacks (a version/sequence column used only for
+    # ordering) — snapshot rows get NULLs there, which never decide a
+    # winner because the _src tag dominates the sort
+    base = (
+        tagged
+        if snapshot is None
+        else snapshot.withColumn(op_col, F.lit("U"))
+        .withColumn("_src", F.lit(0))
+        .unionByName(tagged, allowMissingColumns=True)
+    )
+    if order_by is None:
+        order_by = []
+    order = [F.col("_src").desc(), *[F.col(c).desc() if isinstance(c, str) else c for c in order_by]]
+    won = last_wins(base, keys, order)
+    return won.filter(F.col(op_col) != "D").drop(op_col, "_src")

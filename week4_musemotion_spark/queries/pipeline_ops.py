@@ -583,3 +583,52 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_checked"),
     ).select(F.lit("future_orderdate").alias("rule"), "n_violations", "n_checked")
     return orphan.unionByName(nonpos).unionByName(blank).unionByName(dup).unionByName(future)
+
+
+@query(
+    "q_cdc_apply",
+    covers=("K4", "X-CDC"),
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderkey % 4 != 3
+    ),
+    chg AS (
+        SELECT o_orderkey AS k, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS price_cents,
+               CASE WHEN o_orderkey % 8 = 1 THEN 'D' ELSE 'U' END AS op
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT k, o_custkey, price_cents FROM chg WHERE op = 'U'
+    UNION ALL
+    SELECT b.k, b.o_custkey, b.price_cents
+    FROM base b LEFT JOIN chg c ON b.k = c.k
+    WHERE c.k IS NULL
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (SURVEY §2 K4 generalized to deletes): a synthetic
+    change log — upserts with a +500-cent price revision, deletes for
+    every key ≡1 (mod 8), inserts for keys absent from the snapshot —
+    applied to a snapshot of orders via operators/upsert.apply_cdc
+    (latest-change-wins window + delete filter, one shuffle on the
+    key).  The oracle is the INDEPENDENT set-algebra formulation
+    (surviving changes UNION unchanged snapshot keys via anti-join),
+    so an implementation bug in either formulation breaks the hash.
+    Deletes of absent keys are no-ops on both sides.  All values in
+    exact integer cents."""
+    from week4_musemotion_spark.functions.exact import cents
+    from week4_musemotion_spark.operators.upsert import apply_cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 3).select(
+        F.col("o_orderkey").alias("k"), "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    chg = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        (cents("o_totalprice") + 500).alias("price_cents"),
+        F.when(F.col("o_orderkey") % 8 == 1, "D").otherwise("U").alias("op"),
+    )
+    return apply_cdc(base, chg, ["k"])
