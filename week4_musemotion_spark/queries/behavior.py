@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.exact import (
     dec,
-    int_div_round,
     int_div_round_dec,
     int_div_round_sql,
     sum_money,

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from week4_musemotion_spark.functions.exact import avg_money, avg_money_sql
+from week4_musemotion_spark.functions.exact import avg_money
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
 

@@ -84,8 +84,6 @@ def streaming_funnel(stream: DataFrame) -> DataFrame:
     column convertible to epoch micros (uses functions/eventtime so
     MICROS-NTZ and legacy BIGINT encodings both work).
     """
-    from pyspark.sql import functions as F
-
     from week4_musemotion_spark.functions.eventtime import epoch_micros
 
     keyed = stream.select(
