@@ -101,7 +101,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = cur.join(prev.select("user_id", F.col("t").alias("_pt")), "user_id").filter(
                 F.col("ts") > F.col("_pt")
             )
-        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        # each stage table is consumed twice (its count + the next
+        # stage's join) and the chain compounds — without pinning,
+        # stage 1's subtree executes once per later branch and the
+        # event scan count grows with funnel depth
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t")).localCheckpoint(eager=False)
         stage_counts.append(
             cur.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
                 F.lit(i).cast("long").alias("stage"),
