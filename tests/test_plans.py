@@ -187,3 +187,26 @@ def test_morton_tiles_single_scan_partial_agg(spark):
     df = _q("q_morton_tiles")(spark, SF_SMOKE)
     assert_partial_aggregation(df)  # 64-key agg combines map-side
     assert_column_pruned(df, "o_totalprice")  # scan reads only key cols
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Writing the fact partitioned by its join/filter key lets
+    Catalyst inject a dynamic-pruning subquery: the fact scan reads
+    only partitions whose keys survive the dim filter — at 100 TB the
+    difference between scanning one priority's files and all of them."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    fact = str(tmp_path / "orders_part")
+    o.write.partitionBy("o_orderpriority").parquet(fact)
+    dim = (
+        o.select("o_orderpriority").distinct()
+        .withColumn("keep", F.col("o_orderpriority").startswith("1"))
+    )
+    f = spark.read.parquet(fact)
+    joined = f.join(dim.filter("keep"), "o_orderpriority").select("o_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    # and the result only contains the kept partition's rows
+    expect = o.filter(F.col("o_orderpriority").startswith("1")).count()
+    assert joined.count() == expect
