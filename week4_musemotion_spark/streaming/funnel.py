@@ -6,6 +6,10 @@ of the batch ``q_funnel_conversion`` (queries/lifecycle.py), with
 first-touch semantics: stage k's entry time is the earliest event of
 its type that is strictly AFTER the stage-k-1 entry time.
 
+Reference parity: the reference aspires to "long-term tracking"
+analytics (/root/reference/README.md:41-45) with no streaming code;
+this is that capability on Structured Streaming's keyed-state model.
+
 State per user: the three entry timestamps in epoch-micros longs
 (-1 = not reached).  Rows within a micro-batch are applied in
 timestamp order, so with all of a user's events in one batch (or
