@@ -36,13 +36,22 @@ def test_windowed_counts_match_batch(spark):
 
 
 def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
-    """A row older than the advanced watermark must be DISCARDED, and
-    only watermark-finalized windows emit in append mode — the
-    bounded-state contract (late stragglers reconcile downstream via
-    the batch upsert, not by keeping every window open forever)."""
-    import datetime as dt
+    """A row arriving AFTER its window was watermark-finalized must be
+    discarded — it must neither re-open the window nor re-emit it with
+    a different count (the bounded-state contract: late stragglers
+    reconcile downstream via the batch upsert, not by keeping every
+    window open forever).
 
-    from pyspark.sql import functions as F
+    Spark applies a new watermark with one micro-batch of lag and only
+    drops rows whose window state was already evicted, so the drop is
+    observable only with the window finalized strictly BEFORE the late
+    row's batch: file2 advances max event time, file3 triggers
+    finalization under the advanced watermark, file4 carries the late
+    row."""
+    import datetime as dt
+    import glob
+    import os
+    import time
 
     from week4_musemotion_spark.streaming.ingest import windowed_event_counts
 
@@ -51,21 +60,24 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
         "value double, props string"
     )
     src = str(tmp_path / "ev")
-    # batch 1: two rows in the 00:00 window + one at 05:00 that pushes
-    # the watermark (delay 1h) to 04:00
-    spark.createDataFrame(
+    batches = [
+        # the 00:00 window
         [(1, dt.datetime(2024, 1, 1, 0, 10), 1, "view", 0.0, "{}"),
-         (2, dt.datetime(2024, 1, 1, 0, 20), 2, "view", 0.0, "{}"),
-         (3, dt.datetime(2024, 1, 1, 5, 0), 3, "view", 0.0, "{}")],
-        schema,
-    ).write.mode("append").parquet(src)
-    # batch 2: a LATE row for the 00:00 window (below the 04:00
-    # watermark -> dropped) + one at 06:30 (keeps its window open)
-    spark.createDataFrame(
-        [(4, dt.datetime(2024, 1, 1, 0, 30), 4, "view", 0.0, "{}"),
-         (5, dt.datetime(2024, 1, 1, 6, 30), 5, "view", 0.0, "{}")],
-        schema,
-    ).write.mode("append").parquet(src)
+         (2, dt.datetime(2024, 1, 1, 0, 20), 2, "view", 0.0, "{}")],
+        # advances max event time -> watermark 04:00 takes effect next batch
+        [(3, dt.datetime(2024, 1, 1, 5, 0), 3, "view", 0.0, "{}")],
+        # processed under watermark 04:00 -> finalizes + evicts the 00:00 window
+        [(4, dt.datetime(2024, 1, 1, 5, 1), 4, "view", 0.0, "{}")],
+        # LATE row for the evicted 00:00 window + one open-window row
+        [(5, dt.datetime(2024, 1, 1, 0, 30), 5, "view", 0.0, "{}"),
+         (6, dt.datetime(2024, 1, 1, 6, 30), 6, "view", 0.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        # one file per micro-batch (coalesce), mtime-ordered
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        if i < len(batches) - 1:
+            time.sleep(1.1)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == len(batches)
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
@@ -80,7 +92,10 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     )
     q.awaitTermination()
     rows = spark.table("t_late_drop").collect()
-    got = {(r["window_start"], r["event_type"]): r["cnt"] for r in rows}
-    # only the 00:00 window finalized; its count is 2 — the late row
-    # (event 4) was dropped, and the 05:00/06:30 windows are still open
-    assert got == {(dt.datetime(2024, 1, 1, 0, 0), "view"): 2}
+    got = {}
+    for r in rows:
+        got.setdefault((r["window_start"], r["event_type"]), []).append(r["cnt"])
+    # the 00:00 window emitted EXACTLY ONCE with count 2: the late row
+    # (event 5) neither re-opened nor re-emitted it; the 05:00/06:30
+    # windows are still open (no emission)
+    assert got == {(dt.datetime(2024, 1, 1, 0, 0), "view"): [2]}, got
