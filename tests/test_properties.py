@@ -373,3 +373,25 @@ def test_exact_avg_money_matches_fraction_reference(spark):
         cents = [round(v * 100) for gg, v in rows if gg == g and v is not None]
         expected = half_away(Fraction(sum(cents), len(cents))) if cents else None
         assert got[g] == expected, g
+
+
+def test_exact_cents_roundtrip_across_magnitudes(spark):
+    """cents() premise ("×100 of 2-dp data lands within 1e-10 of an
+    integer") must hold to 10^13 dollars: for any integer cent amount
+    k, storing k/100 as a double and re-extracting cents returns k
+    exactly.  Deterministic sweep over magnitude decades plus the
+    half-cent-adjacent values that would break a naive round."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.functions.exact import cents
+
+    rng = random.Random(99)
+    ks = [0, 1, 49, 50, 51, 99, 100, 10**15 - 1]
+    for mag in range(2, 16):
+        ks += [rng.randrange(10 ** (mag - 1), 10**mag) for _ in range(40)]
+    df = spark.createDataFrame([(k, k / 100.0) for k in ks], "k long, price double")
+    got = df.select("k", cents("price").alias("c")).collect()
+    for r in got:
+        assert r["c"] == r["k"], r
