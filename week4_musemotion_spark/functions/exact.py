@@ -139,6 +139,19 @@ def dec(col: Column) -> Column:
     return col.cast("decimal(38,0)")
 
 
+def int_div_trunc(p: Column, q: Column) -> Column:
+    """Truncating integer division (q > 0, p ≥ 0) in decimal(38,0),
+    exact for ANY long input — the safe general-purpose twin of
+    :func:`int_div_round_dec`.  Strip the remainder with pmod, then
+    dividing an exact multiple is exactly representable at the result
+    scale, so the quotient is engine-stable.  Mirrors DuckDB's ``//``
+    for non-negative operands.  Prefer this over hand-rolled
+    ``((p - pmod(p,q)) / q).cast("long")`` on raw longs: that double
+    quotient is exact only for p < 2^53."""
+    pd_, qd = dec(p), dec(q)
+    return ((pd_ - F.pmod(pd_, qd)) / qd).cast("long")
+
+
 def int_div_round_dec(p: Column, q: Column) -> Column:
     """:func:`int_div_round` in decimal(38,0) (q > 0, p ≥ 0): strip
     the remainder with pmod, then the division of an exact multiple

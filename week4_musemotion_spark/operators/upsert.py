@@ -115,6 +115,12 @@ def apply_cdc(
     removes the key, a winning upsert replaces the row, keys without
     changes pass through.  One shuffle on the merge key, same cost
     model as :func:`merge_upsert`.
+
+    Output schema: exactly the snapshot's columns when a snapshot is
+    given (change-log-only columns such as the ordering sequence are
+    dropped after the merge decides winners); with ``snapshot=None``
+    the surviving change rows keep the change-log schema minus
+    ``op_col``.
     """
     tagged = changes.withColumn("_src", F.lit(1))
     # allowMissingColumns: the change log may carry columns the
@@ -132,4 +138,10 @@ def apply_cdc(
         order_by = []
     order = [F.col("_src").desc(), *[F.col(c).desc() if isinstance(c, str) else c for c in order_by]]
     won = last_wins(base, keys, order)
-    return won.filter(F.col(op_col) != "D").drop(op_col, "_src")
+    alive = won.filter(F.col(op_col) != "D").drop(op_col, "_src")
+    if snapshot is not None:
+        # project back to the snapshot contract: ordering/sequence
+        # columns that exist only in the change log must not leak
+        # (they would be NULL on pass-through rows anyway)
+        alive = alive.select(*snapshot.columns)
+    return alive

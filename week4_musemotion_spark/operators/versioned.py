@@ -9,13 +9,22 @@ version — time travel), and old versions remain until an explicit
 ``vacuum``.  Writers never mutate a committed version, so readers
 are isolated from concurrent writes for free.
 
-Commit protocol: the version directory is only visible to
-``list_versions`` once parquet's ``_SUCCESS`` marker exists — a
-crashed half-write leaves a directory without the marker, which every
-reader skips and the next ``write_version`` cleans up.  Local-FS
-implementation; on an object store this is the table-format commit
-layer (Delta/Iceberg), which this module is a conscious stand-in
-for — the API (write/read/list/vacuum) maps 1:1.
+Commit protocol: every write lands in a ``.staging-*`` directory (a
+name the version regex never matches, so no other writer's cleanup
+can touch an in-flight write), then is atomically ``rename``d to the
+next free ``v_<n>`` — the rename either claims the number or fails
+because a concurrent writer claimed it first, in which case this
+writer retries with the next number.  A version directory is only
+visible to ``list_versions`` once parquet's ``_SUCCESS`` marker
+exists; since rename publishes only COMPLETE staging output, readers
+can never observe a torn version, and any ``v_*`` without the marker
+is definitionally garbage (pre-protocol crash) that the next
+``write_version`` removes.  Crashed staging dirs are swept by age.
+Concurrent writers thus serialize safely on rename atomicity
+(last-committer gets the higher number); local-FS implementation —
+on an object store this is the table-format commit layer
+(Delta/Iceberg), which this module is a conscious stand-in for — the
+API (write/read/list/vacuum) maps 1:1.
 """
 
 from __future__ import annotations
@@ -23,6 +32,8 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,21 +56,49 @@ def list_versions(base: str) -> list[int]:
     return _committed(base)
 
 
+_STAGING_TTL_S = 24 * 3600
+
+
 def write_version(df: DataFrame, base: str) -> int:
     """Write ``df`` as the next snapshot version; returns its number.
 
-    Uncommitted leftovers from crashed writes (no ``_SUCCESS``) are
-    removed first so version numbers never collide with garbage.
+    Stage → atomic rename: the parquet lands in ``.staging-*`` first
+    (complete, ``_SUCCESS`` and all), then a rename claims the next
+    free ``v_<n>``.  Rename is atomic on a local FS, so two
+    concurrent writers can never publish into the same number — the
+    loser's rename fails and it retries with the next one.  ``v_*``
+    leftovers lacking ``_SUCCESS`` (crashes under the old in-place
+    protocol) and day-old staging dirs are swept first.
     """
     os.makedirs(base, exist_ok=True)
     committed = set(_committed(base))
+    now = time.time()
     for name in list(os.listdir(base)):
         m = _VERSION_RE.match(name)
         if m and int(m.group(1)) not in committed:
-            shutil.rmtree(os.path.join(base, name))
-    n = (max(committed) + 1) if committed else 1
-    df.write.parquet(os.path.join(base, f"v_{n:05d}"))
-    return n
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        elif name.startswith(".staging-"):
+            p = os.path.join(base, name)
+            try:
+                stale = now - os.stat(p).st_mtime > _STAGING_TTL_S
+            except OSError:
+                continue
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
+    staging = os.path.join(base, f".staging-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(staging)
+        n = (max(committed) + 1) if committed else 1
+        while True:
+            try:
+                os.rename(staging, os.path.join(base, f"v_{n:05d}"))
+                return n
+            except OSError:
+                if not os.path.exists(os.path.join(base, f"v_{n:05d}")):
+                    raise  # not a claim collision — surface it
+                n += 1  # a concurrent writer took this number
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_version(spark: SparkSession, base: str, version: int | None = None) -> DataFrame:

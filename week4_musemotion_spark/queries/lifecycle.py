@@ -29,12 +29,13 @@ from week4_musemotion_spark.sources.tables import load_table
 
 
 def _int_div(p: Column, q: Column) -> Column:
-    """Truncating integer division of non-negative longs, exact on
-    the JVM side: strip the remainder first, then dividing an exact
-    multiple is representable and engine-stable (the bare ``p / q``
-    double quotient can round across an integer boundary).  Mirrors
-    DuckDB's ``//`` for non-negative operands."""
-    return ((p - F.pmod(p, q)) / q).cast("long")
+    """Truncating integer division of non-negative longs, exact for
+    ANY long magnitude — delegates to the decimal(38,0) path (the raw
+    long→double formulation is exact only below 2^53, a trap when
+    PageRank mass operands near 1e13 get reused at larger scale)."""
+    from week4_musemotion_spark.functions.exact import int_div_trunc
+
+    return int_div_trunc(p, q)
 
 
 # --------------------------------------------------------------------------
@@ -238,28 +239,23 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two grouped (exact) medians over a handful of flag
     groups plus two broadcast joins of the tiny per-group stats back
     onto the stream — the stream itself is never sorted globally; at
-    much larger scale swap the exact median for a t-digest/quantile
-    sketch without changing the dataflow."""
+    much larger scale pass ``exact=False`` to
+    ``operators/robust.mad_outliers`` and the same dataflow runs on
+    the GK quantile sketch (divergence bound pinned in
+    tests/test_robust.py)."""
     from week4_musemotion_spark.functions.exact import cents
+    from week4_musemotion_spark.operators.robust import mad_outliers
 
     c = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", cents("l_extendedprice").alias("cents")
     )
-    med = c.groupBy("l_returnflag").agg(F.median("cents").alias("med"))
-    dev = c.join(F.broadcast(med), "l_returnflag").select(
-        "l_returnflag", F.abs(F.col("cents") - F.col("med")).alias("dev"), "med"
-    )
-    mad = dev.groupBy("l_returnflag").agg(F.median("dev").alias("mad"))
-    return (
-        dev.join(F.broadcast(mad), "l_returnflag")
-        .groupBy(F.col("l_returnflag").alias("returnflag"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.min("med").cast("double").alias("median_cents"),
-            F.min("mad").cast("double").alias("mad_cents"),
-            F.count(F.when(F.col("dev") > 3 * F.col("mad"), 1)).cast("long").alias("n_outliers"),
-            F.max("dev").cast("double").alias("max_dev_cents"),
-        )
+    return mad_outliers(c, "l_returnflag", "cents", k=3.0, exact=True).select(
+        F.col("l_returnflag").alias("returnflag"),
+        "n",
+        F.col("median").alias("median_cents"),
+        F.col("mad").alias("mad_cents"),
+        "n_outliers",
+        F.col("max_dev").alias("max_dev_cents"),
     )
 
 
@@ -456,7 +452,7 @@ def _pr_edges_sql() -> str:
     """,
 )
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank ({_PR_ITERS} power iterations, damping 0.85) over the
+    """PageRank (2 power iterations — ``_PR_ITERS``, damping 0.85) over the
     part co-purchase graph (parts bought together in ≥ 2 orders,
     symmetric edges), in FIXED-POINT e6 integer arithmetic: each
     contribution is ``(85 · (r // deg)) // 100`` with truncating
@@ -548,7 +544,7 @@ def _kcore_round_sql(i: int) -> str:
     """,
 )
 def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-round {_KCORE_ROUNDS}-peel k-core (k={_KCORE_K}) of the
+    """Bounded-round 3-peel k-core (k=3; ``_KCORE_ROUNDS``/``_KCORE_K``) of the
     co-purchase graph: each round drops nodes with degree < k and the
     edges they carried; the surviving dense core is the
     recommendation-quality subgraph (peripheral one-off pairings
@@ -557,8 +553,8 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit convergence budget — at scale the same loop runs to
     fixpoint with a stopping condition on the peeled count, each
     round one keyed degree-agg plus two semi-joins (never quadratic;
-    the edge set only shrinks).  Emits the post-round-{_KCORE_ROUNDS}
-    nodes with their induced degree.
+    the edge set only shrinks).  Emits the post-final-round nodes
+    with their induced degree.
 
     SF note: at sf0.01 the dense core holds ~1000 nodes; at sf0.1 the
     part space grows 10× while orders/part stays constant, repeat

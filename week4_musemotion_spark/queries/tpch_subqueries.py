@@ -450,8 +450,8 @@ def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     val AS (
         SELECT l.l_partkey,
-               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                   * CAST(l.l_quantity AS BIGINT)) AS value_cq
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS value_cq
         FROM lineitem l JOIN nat ON l.l_suppkey = nat.s_suppkey
         GROUP BY l.l_partkey
     )
