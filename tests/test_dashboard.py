@@ -42,3 +42,18 @@ def test_render_text_and_empty_guard(dash):
     assert "--- Vehicles by Make ---" in full
     empty = render_text(dash, city=["no-such-city"])
     assert empty == "No data available based on the current filter settings!"
+
+
+def test_streamlit_shell_guards_missing_dep():
+    """The UI shell (streamlit_app.py) must stay optional: without
+    streamlit installed, importing it exits with a clear message
+    instead of an ImportError traceback, and the engine package never
+    imports it."""
+    import importlib
+    import importlib.util
+
+    if importlib.util.find_spec("streamlit") is not None:
+        pytest.skip("streamlit installed - guard path not reachable")
+    with pytest.raises(SystemExit) as ei:
+        importlib.import_module("streamlit_app")
+    assert "optional" in str(ei.value)
