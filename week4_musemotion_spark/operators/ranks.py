@@ -84,6 +84,56 @@ def with_global_index(
     )
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "_cum",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """``df`` plus the inclusive running sum of ``value_col`` over the
+    global total order — same two-pass range-partition scheme as
+    :func:`with_global_index` (the single-partition work is the P-row
+    offset table, never the data), so ``SUM(...) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)`` runs distributed.
+
+    ``order_cols`` must yield a TOTAL order (unique tie-break, no
+    NULLs); ``value_col`` must be integral (sums accumulate in long —
+    widen to decimal upstream if the global sum can pass 2^63).
+    """
+    cols = [F.col(c) for c in order_cols]
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    ranged = ranged.sortWithinPartitions(*cols).withColumn("_pid", F.spark_partition_id())
+    # pin one materialization: the subtree feeds both the offsets agg
+    # and the data pass (see with_global_index for the rationale)
+    ranged = ranged.localCheckpoint(eager=False)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(value_col).cast("long").alias("_psum"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_psum").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_psum")
+    )
+    within = F.sum(value_col).over(
+        Window.partitionBy("_pid").orderBy(*cols).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_offset") + within).cast("long"))
+        .drop("_pid", "_offset")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: Sequence[str],

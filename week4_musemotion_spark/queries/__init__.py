@@ -22,3 +22,4 @@ from week4_musemotion_spark.queries import tpch_subqueries  # noqa: E402,F401
 from week4_musemotion_spark.queries import mining  # noqa: E402,F401
 from week4_musemotion_spark.queries import behavior  # noqa: E402,F401
 from week4_musemotion_spark.queries import lifecycle  # noqa: E402,F401
+from week4_musemotion_spark.queries import mixing  # noqa: E402,F401

@@ -1,0 +1,179 @@
+"""Corpus-mixing queries: temperature rebalancing, token-budget
+selection, curriculum ordering, deterministic shuffle.
+
+These are the between-cleaning-and-training knobs of an LLM data
+pipeline (the reference has no counterpart; the closest surface is
+its quality-weighted sampling exercises) — each is implemented in
+``operators/mixing`` on top of the distributed two-pass rank/cumsum
+operators and oracle-checked against the identical windowed SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.functions.hashing import stable_hash64_sql
+from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.sources.tables import load_table
+
+_DOC_HASH = stable_hash64_sql("CAST(doc_id AS VARCHAR)")
+
+#: Shared oracle fragment: per-document token counts + quality score
+#: (the exact integer formulation of operators/textstats.quality_stats).
+_QUALITY_CTE = """
+    t AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source, len(ts) AS n_tokens,
+               len(list_filter(ts, w -> w IN ('the','a','of','and','to','in','is','on','for','with')))
+                   AS stop_cnt
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST((2 * 50 * least(n_tokens, 200) * (n_tokens - stop_cnt) + n_tokens)
+                    // (2 * n_tokens) AS BIGINT) AS quality_e4
+        FROM s WHERE n_tokens > 0
+    )
+"""
+
+
+@query(
+    "q_source_mixture",
+    covers=("X-MIX-TEMPERATURE",),
+    oracle=f"""
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    mn AS (SELECT min(n) AS n_min FROM cnt),
+    acc AS (
+        SELECT lang,
+               least(CAST(10000 AS BIGINT),
+                     CAST(floor(10000 * sqrt(CAST(n_min AS DOUBLE) / n)) AS BIGINT))
+                   AS accept_e4
+        FROM cnt CROSS JOIN mn
+    )
+    SELECT d.doc_id, d.lang, a.accept_e4
+    FROM documents d JOIN acc a ON d.lang = a.lang
+    WHERE {_DOC_HASH} % 10000 < a.accept_e4
+    """,
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (τ=0.5) language rebalancing: language ``s`` keeps
+    rows with probability ``min(1, sqrt(n_min/n_s))``, so effective
+    sizes flatten toward the rare languages — the mixture-reweighting
+    step of a multilingual training corpus (the testdata's languages
+    are genuinely skewed ~3.4:1 en:fr, so the filter actively
+    down-samples; its ``source`` column is uniform and would make the
+    rejection path vacuous).  Membership is hash-keyed (reproducible,
+    RNG-free) and the only aggregate is the |langs|-row count table
+    broadcast into a filter; sqrt is used precisely because IEEE
+    mandates correct rounding, so the acceptance integers are
+    engine-identical (a general ``pow`` is not).  At 100 TB: one scan
+    + one tiny broadcast, no fact-table shuffle."""
+    from week4_musemotion_spark.operators.mixing import temperature_rebalance
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_rebalance(d, "lang", "doc_id").select("doc_id", "lang", "accept_e4")
+
+
+@query(
+    "q_token_budget_select",
+    covers=("X-MIX-BUDGET",),
+    oracle=f"""
+    WITH {_QUALITY_CTE},
+    c AS (
+        SELECT doc_id, n_tokens, quality_e4,
+               sum(n_tokens) OVER (ORDER BY quality_e4 DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, n_tokens, quality_e4, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 10000
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped curation: keep the highest-quality documents
+    whose running token total stays within a 10k-token budget — the
+    greedy "best N tokens" selection pass.  The running total is the
+    distributed two-pass cumsum (range partition on (quality desc,
+    id) → P-row offset table → local windows), so the plan has no
+    single-partition sort at any scale; the budget line falls where
+    the inclusive cumsum crosses 10 000."""
+    from week4_musemotion_spark.operators.mixing import select_token_budget
+    from week4_musemotion_spark.operators.textstats import quality_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = quality_stats(d).filter(F.col("n_tokens") > 0).select(
+        "doc_id", "n_tokens", "quality_e4"
+    )
+    return select_token_budget(scored, budget=10_000).select(
+        "doc_id", "n_tokens", "quality_e4", "cum_tokens"
+    )
+
+
+@query(
+    "q_curriculum_order",
+    covers=("X-MIX-CURRICULUM",),
+    oracle=f"""
+    WITH {_QUALITY_CTE},
+    st AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens < 40 THEN 0 WHEN n_tokens < 80 THEN 1 ELSE 2 END AS stage,
+               {_DOC_HASH} AS h
+        FROM q
+    )
+    SELECT doc_id, CAST(stage AS INTEGER) AS stage,
+           CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT) AS pos
+    FROM st
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: three length-based difficulty stages
+    (short < 40 tokens, medium < 80, long), ascending, with a
+    deterministic hash shuffle inside each stage — the "easy first,
+    reproducibly shuffled" training order.  Positions come from the
+    two-pass distributed global index over (stage, hash, id); the
+    oracle is the equivalent single window, which Spark would
+    serialize into one task — the operator exists exactly so it
+    doesn't have to."""
+    from week4_musemotion_spark.operators.mixing import curriculum_order
+    from week4_musemotion_spark.operators.textstats import quality_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = quality_stats(d).filter(F.col("n_tokens") > 0).select("doc_id", "n_tokens")
+    stage = (
+        F.when(F.col("n_tokens") < 40, 0).when(F.col("n_tokens") < 80, 1).otherwise(2)
+    ).cast("int")
+    return curriculum_order(scored, stage, "doc_id").select(
+        "doc_id", F.col("stage").cast("int").alias("stage"), "pos"
+    )
+
+
+@query(
+    "q_det_shuffle",
+    covers=("X-MIX-SHUFFLE",),
+    oracle=f"""
+    WITH h AS (
+        SELECT o_orderkey, {stable_hash64_sql("CAST(o_orderkey AS VARCHAR)")} AS hh
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY hh, o_orderkey) - 1 AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle of a FACT table: position = rank
+    of (hash(key), key), a pure function of the keys — re-runs,
+    backfills, and other engines produce the identical training
+    order, where ``orderBy(rand())`` is partition-layout-dependent.
+    Runs as the two-pass distributed global index (range partition on
+    the hash → offsets → local row_number); the single-window oracle
+    formulation is what it replaces at scale."""
+    from week4_musemotion_spark.operators.mixing import deterministic_shuffle
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return deterministic_shuffle(o, "o_orderkey").select("o_orderkey", "pos")
