@@ -209,6 +209,60 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", _jaccard_e4())
 
 
+def minhash_lsh_join(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-frame near-dup join: candidates only between ``batch``
+    and ``corpus`` (never corpus×corpus) — the incremental-ingest
+    shape, where yesterday's curated corpus is settled and only the
+    new batch must be checked against it.
+
+    Same machinery as :func:`minhash_lsh_pairs` (one shingle pass,
+    one signature aggregate, band explode, band-bucket equi-join,
+    exact-Jaccard verification of candidates), but the band join is
+    batch-side × corpus-side, so candidate volume is O(batch-band
+    collisions), independent of corpus×corpus density.  At 100 TB the
+    corpus band table is a materialized index you append to; here it
+    is recomputed per call.  Ids must be distinct across frames.
+
+    Output: ``(doc_a=batch id, doc_b=corpus id, jaccard_e4)`` for
+    verified Jaccard ≥ threshold.
+    """
+    tagged = batch.select(F.col(id_col), F.col(text_col), F.lit(1).alias("_is_batch")).unionByName(
+        corpus.select(F.col(id_col), F.col(text_col), F.lit(0).alias("_is_batch"))
+    )
+    sh = shingle_sets(tagged, text_col, id_col, n).persist()
+    sides = tagged.select(F.col(id_col).alias("_id"), "_is_batch")
+    sigs = minhash_signatures(sh).join(sides, "_id")
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.lit(10_000 + b),
+                *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            ).alias("bh"),
+        )
+        for b in range(BANDS)
+    ]
+    exploded = sigs.select("_id", "_is_batch", F.explode(F.array(*bands)).alias("k")).select(
+        "_id", "_is_batch", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
+    )
+    a = exploded.filter(F.col("_is_batch") == 1).alias("a")
+    b = exploded.filter(F.col("_is_batch") == 0).alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _intersections(cands, sh).filter(F.col("jac") >= threshold)
+    return verified.select("doc_a", "doc_b", _jaccard_e4())
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

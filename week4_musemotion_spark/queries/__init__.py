@@ -23,3 +23,5 @@ from week4_musemotion_spark.queries import mining  # noqa: E402,F401
 from week4_musemotion_spark.queries import behavior  # noqa: E402,F401
 from week4_musemotion_spark.queries import lifecycle  # noqa: E402,F401
 from week4_musemotion_spark.queries import mixing  # noqa: E402,F401
+from week4_musemotion_spark.queries import textmix  # noqa: E402,F401
+from week4_musemotion_spark.queries import semantic  # noqa: E402,F401

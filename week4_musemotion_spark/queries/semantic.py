@@ -1,0 +1,251 @@
+"""Semantic-similarity curation queries: incremental near-dup ingest,
+SemDeDup-style cluster dedup, and source-centroid drift.
+
+These extend the dedup/similarity families toward the operations a
+continuously-ingesting training corpus runs nightly: only-the-new-
+batch near-dup checks, embedding-space dedup inside coarse clusters,
+and distribution drift between sources measured in embedding space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.queries.extensions import (
+    _COSINE_SQL_FRAG,
+    _jaccard_ctes,
+    EMBED_DUP_THRESHOLD,
+    JACCARD_THRESHOLD,
+)
+from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.sources.tables import load_table
+
+#: Number of coarse clusters for the SemDeDup pass (the k lowest
+#: vec_ids seed the centroids — deterministic, no RNG k-means here;
+#: operators/similarity.kmeans_fit provides the trained variant).
+_SEM_K = 8
+
+
+@query(
+    "q_neardup_incremental",
+    covers=("X-DEDUP-NEARDUP-INC",),
+    oracle=f"""
+    WITH {_jaccard_ctes(JACCARD_THRESHOLD)}
+    SELECT doc_a, doc_b,
+           CAST((2 * i * 10000 + (na + nb - i)) // (2 * (na + nb - i)) AS BIGINT)
+               AS jaccard_e4
+    FROM pairs
+    WHERE (doc_a % 10 = 0) != (doc_b % 10 = 0)
+    """,
+)
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest gate: the day's batch (doc_id ≡ 0
+    mod 10) is LSH-checked against the settled corpus (the rest) —
+    candidates are generated only batch-side × corpus-side, so cost
+    tracks the batch, not the corpus's internal pair density (the
+    exact-dedup twin is q_dedup_incremental).  MinHash signatures +
+    banded join + exact-Jaccard verification; the oracle is the
+    brute-force cross-partition Jaccard, equal because verification
+    removes LSH false positives and the banding margin (≈1-2e-6 miss
+    at s=0.9) makes false negatives vanish.  Output orientation is
+    normalized (doc_a = min id) to match the symmetric oracle."""
+    from week4_musemotion_spark.operators.dedup import minhash_lsh_join
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    out = minhash_lsh_join(batch, corpus, JACCARD_THRESHOLD)
+    return out.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        "jaccard_e4",
+    )
+
+
+def _dot(a, b):
+    """Sequential left-to-right float64 dot product of two array
+    columns — the fold order DuckDB's list_sum replays, so identical
+    inputs give bit-identical doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query(
+    "q_semantic_dedup",
+    covers=("X-DEDUP-SEMANTIC",),
+    oracle=f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cvec
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_SEM_K})
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cidx,
+               {_COSINE_SQL_FRAG.format(a="e.embedding", b="c.cvec")} AS cos
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cidx AS cluster
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos DESC, cidx ASC) AS rk
+              FROM scored)
+        WHERE rk = 1
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_COSINE_SQL_FRAG.format(a="a.embedding", b="b.embedding")}
+              >= {EMBED_DUP_THRESHOLD}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: vectors are assigned to their
+    nearest of k=8 deterministic coarse centroids (the k lowest
+    vec_ids — the oracle-checkable stand-in for a trained k-means
+    quantizer, see operators/similarity.kmeans_fit), then a vector is
+    dropped when a LOWER-id vector in the SAME cluster has cosine ≥
+    0.45 — pairwise work is confined to clusters, never global.
+
+    Scale shape: the k×dim centroid table is a broadcast literal;
+    assignment is per-row expression work (k sequential-fold dot
+    products in codegen); the within-cluster pair join shuffles on
+    the cluster id, and with k ∝ n (fixed expected cluster size, as
+    SemDeDup prescribes) the pair stage is linear in n.  Keeps the
+    earliest representative per semantic neighborhood; emits every
+    vector with its cluster and keep/drop verdict so the decision
+    itself is hash-audited."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(_SEM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cidx"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cidx",
+        (_dot(F.col("embedding"), F.col("cvec")) / (norm(F.col("embedding")) * norm(F.col("cvec")))).alias("cos"),
+    )
+    rk = F.row_number().over(Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cidx").asc()))
+    assigned = scored.withColumn("rk", rk).filter(F.col("rk") == 1).select(
+        "vec_id", "embedding", F.col("cidx").cast("long").alias("cluster")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        norm(F.col("a.embedding")) * norm(F.col("b.embedding"))
+    )
+    dup = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(pair_cos >= EMBED_DUP_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assigned.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        )
+    )
+
+
+@query(
+    "q_source_centroid_sim",
+    covers=("X-EMBED-DRIFT",),
+    oracle="""
+    WITH j AS (
+        SELECT d.source, e.embedding
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    comp AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'dim': i,
+                            'qx': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                                       AS BIGINT)})) AS u
+        FROM j
+    ),
+    cent AS (
+        SELECT source, u.dim AS dim, sum(u.qx) AS s
+        FROM comp GROUP BY source, u.dim
+    ),
+    dots AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               sum(a.s * b.s) AS dot
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    norms AS (SELECT source, sum(s * s) AS n2 FROM cent GROUP BY source)
+    SELECT d.source_a, d.source_b,
+           CAST(floor(CAST(d.dot AS DOUBLE)
+                      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) AS cos_e6
+    FROM dots d
+    JOIN norms na ON d.source_a = na.source
+    JOIN norms nb ON d.source_b = nb.source
+    """,
+)
+def q_source_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between sources: per-source centroid (mean
+    direction) similarity matrix — the audit that shows which data
+    sources occupy the same semantic region (redundant) and which are
+    far apart (coverage).  Components are quantized to e6 integers
+    FIRST, so the per-(source,dim) sums are exact integer aggregates
+    (order-independent, engine-identical) and only the final
+    dot/norm ratio touches floats — summation-order nondeterminism,
+    the classic failure of naive float centroids, is designed out.
+
+    Scale shape: posexplode to (source, dim) → one keyed integer agg
+    (|sources|·dim rows), pairwise join on dim over that TINY frame —
+    the fact table is scanned once; everything pairwise happens on
+    aggregates.  Unnormalized sums stand in for means: cosine is
+    scale-invariant, so dividing by counts would only add float
+    noise."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id).select("source", "embedding")
+    comp = j.select("source", F.posexplode("embedding").alias("dim0", "x")).select(
+        "source",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5)).cast("long").alias("qx"),
+    )
+    cent = comp.groupBy("source", "dim").agg(F.sum("qx").alias("s"))
+    a, b = cent.alias("a"), cent.alias("b")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dots = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.sum(dec(F.col("a.s")) * dec(F.col("b.s"))).alias("dot"))
+    )
+    norms = cent.groupBy("source").agg(F.sum(dec(F.col("s")) * dec(F.col("s"))).alias("n2"))
+    na, nb = norms.alias("na"), norms.alias("nb")
+    return (
+        dots.join(F.broadcast(na), F.col("source_a") == F.col("na.source"))
+        .join(F.broadcast(nb), F.col("source_b") == F.col("nb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            F.floor(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double")))
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )

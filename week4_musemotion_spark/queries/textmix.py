@@ -1,0 +1,133 @@
+"""Text-distribution analysis: LM-proxy bigram coverage and unicode
+script mix — curation signals computed at scan speed / one keyed
+shuffle, oracle-checked in exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.sources.tables import load_table
+
+#: A bigram is "covered" when the corpus contains it at least this
+#: many times (across all documents, occurrences counted with repeats).
+_COVER_MIN = 3
+
+
+@query(
+    "q_bigram_coverage",
+    covers=("X-TEXT-BIGRAM-LM",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS s
+        FROM tok WHERE len(ts) >= 2
+    ),
+    freq AS (SELECT s, count(*) AS f FROM bg GROUP BY s),
+    hit AS (
+        SELECT bg.doc_id,
+               count(*) AS n_bigrams,
+               count(*) FILTER (freq.f >= {_COVER_MIN}) AS covered
+        FROM bg JOIN freq ON bg.s = freq.s
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(covered AS BIGINT) AS covered,
+           CAST((2 * covered * 10000 + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+               AS coverage_e4
+    FROM hit
+    """,
+)
+def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-proxy quality signal: the fraction of each
+    document's bigram occurrences that the corpus itself contains ≥ 3
+    times.  A document full of corpus-frequent bigrams reads like the
+    corpus (high coverage ≈ low perplexity under a count LM); one
+    full of rare bigrams is an outlier/noise candidate — the same
+    signal KenLM-style perplexity filters give, but in pure integer
+    arithmetic (count joins), so it is engine-exact and needs no
+    model artifact.
+
+    Scale shape: explode to bigram occurrences → one grouped count
+    (the corpus LM, map-side combined) → one hash equi-join back on
+    the 8-byte-comparable bigram string → per-doc agg.  Linear in
+    token volume; the frequency table is the only broadcast-or-
+    shuffle decision, and Catalyst/AQE picks per its actual size."""
+    from week4_musemotion_spark.functions.exact import ratio_e4
+    from week4_musemotion_spark.operators.dedup import shingle_strings
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = shingle_strings(d, n=2)  # (_id, s) with repeats
+    freq = bg.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        bg.join(freq, "s")
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.count(F.when(F.col("f") >= _COVER_MIN, 1)).cast("long").alias("covered"),
+        )
+        .withColumn("coverage_e4", ratio_e4(F.col("covered"), F.col("n_bigrams")))
+    )
+
+
+def _strip_count(pattern: str) -> F.Column:
+    """Chars matching ``pattern`` = total length minus length after
+    deleting every match (regex class semantics identical in Java
+    regex and RE2 for these ASCII classes)."""
+    return (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), pattern, ""))
+    ).cast("long")
+
+
+@query(
+    "q_script_mix",
+    covers=("X-TEXT-SCRIPT",),
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT)
+               AS latin_chars,
+           CAST(sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT)
+               AS digit_chars,
+           CAST(sum(length(text) - length(regexp_replace(text, '[ \t]', '', 'g'))) AS BIGINT)
+               AS space_chars,
+           CAST(sum(length(regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'), '[ \t]', '', 'g'))) AS BIGINT)
+               AS other_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script mix per declared language: latin / digit /
+    whitespace / other character counts — the audit that catches
+    mislabeled languages (a 'zh' shard that is 90% latin) and
+    transliteration noise before training.  Pure per-row
+    ``regexp_replace`` length arithmetic inside whole-stage codegen +
+    one tiny grouped sum; the regex classes are ASCII so Java regex
+    and RE2 agree byte-for-byte.  'other' is computed by actual
+    deletion (not subtraction) so the three classes and the remainder
+    are each independently oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    other = F.length(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col("text"), "[A-Za-z]", ""), "[0-9]", ""),
+            "[ \t]",
+            "",
+        )
+    ).cast("long")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text").cast("long")).cast("long").alias("n_chars"),
+        F.sum(_strip_count("[A-Za-z]")).cast("long").alias("latin_chars"),
+        F.sum(_strip_count("[0-9]")).cast("long").alias("digit_chars"),
+        F.sum(_strip_count("[ \t]")).cast("long").alias("space_chars"),
+        F.sum(other).cast("long").alias("other_chars"),
+    )
