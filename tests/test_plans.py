@@ -210,3 +210,18 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     # and the result only contains the kept partition's rows
     expect = o.filter(F.col("o_orderpriority").startswith("1")).count()
     assert joined.count() == expect
+
+
+def test_partitioned_write_prunes_directories(spark):
+    """q_partitioned_roundtrip's lang filter must be satisfied by
+    partition pruning: the scan's PartitionFilters carry the lang
+    predicate, and the selected partition count is 1 of 5."""
+    df = _q("q_partitioned_roundtrip")(spark, SF_SMOKE)
+    df.collect()  # materialize the fixture, resolve AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pruning predicate mentions the partition column
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:2000]

@@ -635,3 +635,83 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("long").alias("min_degree"),
         F.max("d").cast("long").alias("max_degree"),
     )
+
+
+# --------------------------------------------------------------------------
+# 8. Bounded-round label propagation (community detection)
+# --------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _lp_round_sql(i: int) -> str:
+    """One min-label round as a CTE: each node takes the minimum of
+    its own label and its neighbors' labels."""
+    return f"""
+    l{i + 1} AS (
+        SELECT l.node, least(l.lab, m.mn) AS lab
+        FROM l{i} l JOIN (
+            SELECT e.v AS node, min(n.lab) AS mn
+            FROM edges e JOIN l{i} n ON n.node = e.u
+            GROUP BY e.v
+        ) m ON l.node = m.node
+    )"""
+
+
+@query(
+    "q_label_prop",
+    covers=("X-LABELPROP",),
+    oracle=f"""
+    WITH {_pr_edges_sql()},
+    l0 AS (SELECT u AS node, u AS lab FROM deg),
+    {",".join(_lp_round_sql(i) for i in range(_LP_ROUNDS))}
+    SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label
+    FROM l{_LP_ROUNDS}
+    """,
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round min-label propagation (3 rounds — ``_LP_ROUNDS``)
+    over the part co-purchase graph: every node starts labeled with
+    its own id and each round adopts the minimum label in its closed
+    neighborhood — after r rounds, labels identify communities up to
+    radius r (run to fixpoint it converges to connected components;
+    the pointer-jumping operator in operators/graph.py gets there in
+    O(log n) rounds, this is the cheap local variant used for
+    community seeding).  Min-label update is deterministic — no vote
+    counting, no tie RNG — which is what makes it oracle-expressible
+    as unrolled CTEs.
+
+    Scale shape per round: one edges⋈labels equi-join + one keyed min
+    — O(|edges|), hash-partitioned on the node key so successive
+    rounds reuse the shuffle layout; per-round ``localCheckpoint``
+    keeps lineage one round deep (branch-reuse idiom, see
+    q_kcore_parts)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    prs = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pb"))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("pa", "pb")
+    )
+    edges = prs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        prs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    edges = edges.localCheckpoint(eager=False)
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
+    for _ in range(_LP_ROUNDS):
+        nb_min = (
+            edges.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("lab").alias("mn"))
+        )
+        labels = (
+            labels.join(nb_min, "node")
+            .select("node", F.least(F.col("lab"), F.col("mn")).alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("node"), F.col("lab").cast("long").alias("label")
+    )

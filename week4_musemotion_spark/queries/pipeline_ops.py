@@ -518,6 +518,70 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_partitioned_roundtrip",
+    covers=("X-PARTITIONED-LAKE",),
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout end-to-end: documents are written
+    ``partitionBy("lang")`` (the layout a 100 TB corpus actually
+    lives in — one directory family per language), re-read with a
+    ``lang = 'en'`` predicate, and aggregated per source; the oracle
+    computes the same numbers from the original parquet, so the
+    partitioned write+read round-trips value-exactly (including the
+    partition column's string→value round-trip through directory
+    names).
+
+    The point at scale: the lang filter is satisfied by PARTITION
+    PRUNING — non-matching directories are never opened (pinned by
+    ``tests/test_plans.py::test_partitioned_write_prunes_directories``)
+    — and the per-partition writes are the unit of incremental
+    refresh (rewrite one lang, leave the rest).  Fixture caching:
+    content-fingerprint key + atomic rename, same protocol as
+    q_orc_roundtrip."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    finger = hashlib.md5(b"partitioned:" + os.path.abspath(sf_dir).encode())
+    paths = [src] if os.path.isfile(src) else sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs
+    )
+    for p in paths:
+        st = os.stat(p)
+        finger.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    out = os.path.join(
+        tempfile.gettempdir(), "musemotion_partitioned", finger.hexdigest()[:16]
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = f"{out}.tmp-{os.getpid()}"
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
+
+
+@query(
     "q_dq_violations",
     covers=("X-DQ-AUDIT",),
     oracle="""
