@@ -177,3 +177,114 @@ def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     return deterministic_shuffle(o, "o_orderkey").select("o_orderkey", "pos")
+
+
+@query(
+    "q_quantile_normalize",
+    covers=("X-MIX-QNORM",),
+    oracle=f"""
+    WITH {_QUALITY_CTE},
+    r AS (
+        SELECT doc_id, source, quality_e4,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality_e4 ASC, doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM q
+    )
+    SELECT doc_id, source, quality_e4, CAST(rk AS BIGINT) AS rk,
+           CAST((2 * rk * 10000 + (n + 1)) // (2 * (n + 1)) AS BIGINT) AS qnorm_e4
+    FROM r
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the quality score:
+    qnorm = rank/(n+1) in ten-thousandths — the rank-based feature
+    transform that makes quality thresholds comparable ACROSS sources
+    whose raw score distributions differ (a 0.7 cut on web text and
+    on code are different animals; the 70th percentile is the same
+    animal).  Ties broken by doc_id so the rank — hence the hash — is
+    total.  One keyed window per source partition; no global sort."""
+    from week4_musemotion_spark.functions.exact import ratio_e4
+    from week4_musemotion_spark.operators.textstats import quality_stats
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = (
+        quality_stats(d)
+        .filter(F.col("n_tokens") > 0)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "quality_e4")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality_e4").asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("source")
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality_e4",
+        F.row_number().over(w).cast("long").alias("rk"),
+        ratio_e4(
+            F.row_number().over(w).cast("long"), (F.count(F.lit(1)).over(wn) + 1).cast("long")
+        ).alias("qnorm_e4"),
+    )
+
+
+#: Packed-sequence capacity for the efficiency audit (tokens).
+_PACK_CAP = 256
+
+
+@query(
+    "q_packing_efficiency",
+    covers=("X-MIX-PACKEFF",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+        FROM tok WHERE n_tokens > 0 GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST((total_tokens + {_PACK_CAP - 1}) // {_PACK_CAP} AS BIGINT) AS n_seqs,
+           CAST(((total_tokens + {_PACK_CAP - 1}) // {_PACK_CAP}) * {_PACK_CAP}
+                - total_tokens AS BIGINT) AS waste_tokens,
+           CAST((2 * total_tokens * 10000
+                 + ((total_tokens + {_PACK_CAP - 1}) // {_PACK_CAP}) * {_PACK_CAP})
+                // (2 * ((total_tokens + {_PACK_CAP - 1}) // {_PACK_CAP}) * {_PACK_CAP})
+               AS BIGINT) AS util_e4
+    FROM s
+    """,
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit per source shard: sequences of
+    capacity 256 packed per shard (the operators/curation.pack_sequences
+    contract), so a shard wastes at most one partial sequence —
+    emitted as total tokens, sequence count ceil(total/cap), wasted
+    pad tokens, and utilization in ten-thousandths.  The number a
+    training-infra owner actually watches: pad waste is pure burned
+    compute.  One grouped integer aggregate; exact arithmetic
+    throughout."""
+    from week4_musemotion_spark.functions.exact import ratio_e4
+    from week4_musemotion_spark.functions.text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    s = (
+        tok.filter(F.col("n_tokens") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    n_seqs = F.floor((F.col("total_tokens") + _PACK_CAP - 1) / _PACK_CAP).cast("long")
+    return s.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        n_seqs.alias("n_seqs"),
+        (n_seqs * _PACK_CAP - F.col("total_tokens")).cast("long").alias("waste_tokens"),
+        ratio_e4(F.col("total_tokens"), n_seqs * _PACK_CAP).alias("util_e4"),
+    )

@@ -713,3 +713,107 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 8 == 1, "D").otherwise("U").alias("op"),
     )
     return apply_cdc(base, chg, ["k"])
+
+
+@query(
+    "q_key_skew_audit",
+    covers=("X-SKEW-AUDIT",),
+    oracle="""
+    WITH f AS (SELECT l_partkey, count(*) AS freq FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(length(bin(freq)) AS BIGINT) AS freq_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(freq) AS BIGINT) AS n_rows,
+           CAST(min(freq) AS BIGINT) AS min_freq,
+           CAST(max(freq) AS BIGINT) AS max_freq
+    FROM f GROUP BY length(bin(freq))
+    """,
+)
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the frequency-of-frequencies histogram of
+    the fact table's join key (l_partkey) in power-of-two buckets —
+    the number to look at BEFORE shuffling a fact⋈fact join: a heavy
+    top bucket says salt those keys (operators/skew.py) or lean on
+    AQE's skew-join split, a flat histogram says plain hash
+    partitioning is fine.  Two keyed aggregates (key counts → bucket
+    rollup); the second runs on the |keys|-sized frame, and bit-
+    length bucketing is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("freq"))
+    return f.groupBy(F.length(F.bin("freq")).cast("long").alias("freq_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("freq").cast("long").alias("n_rows"),
+        F.min("freq").cast("long").alias("min_freq"),
+        F.max("freq").cast("long").alias("max_freq"),
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    covers=("X-SNAPSHOT-DIFF",),
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderkey % 5 != 4
+    ),
+    v2 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                   + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS price_cents
+        FROM orders WHERE o_orderkey % 7 != 6
+    ),
+    d AS (
+        SELECT coalesce(v1.status, v2.status) AS status,
+               CASE WHEN v1.k IS NULL THEN 'added'
+                    WHEN v2.k IS NULL THEN 'removed'
+                    WHEN v1.price_cents != v2.price_cents THEN 'changed'
+                    ELSE 'unchanged' END AS kind
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT status,
+           CAST(count(*) FILTER (kind = 'added') AS BIGINT) AS n_added,
+           CAST(count(*) FILTER (kind = 'removed') AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (kind = 'changed') AS BIGINT) AS n_changed,
+           CAST(count(*) FILTER (kind = 'unchanged') AS BIGINT) AS n_unchanged
+    FROM d GROUP BY status
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the audit between two versioned
+    snapshots (operators/versioned.py) that answers "what did last
+    night's refresh actually do": per status, how many rows were
+    added, removed, changed (value drift on the same key), or
+    unchanged.  The two versions are synthesized deterministically
+    from orders (disjoint modular drops + a price revision on keys ≡0
+    mod 3) so the query is self-contained; the operator shape — one
+    FULL OUTER join on the snapshot key feeding a classification
+    aggregate — is exactly what runs between v_<n-1> and v_<n>.
+    All prices in exact integer cents; one key-partitioned shuffle."""
+    from week4_musemotion_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 5 != 4).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status1"),
+        cents("o_totalprice").alias("p1"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 7 != 6).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status2"),
+        (cents("o_totalprice") + F.when(F.col("o_orderkey") % 3 == 0, 100).otherwise(0)).alias("p2"),
+    )
+    kind = (
+        F.when(F.col("p1").isNull(), "added")
+        .when(F.col("p2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+    )
+    d = v1.join(v2, "k", "full_outer").select(
+        F.coalesce(F.col("status1"), F.col("status2")).alias("status"), kind.alias("kind")
+    )
+    return d.groupBy("status").agg(
+        F.count(F.when(F.col("kind") == "added", 1)).cast("long").alias("n_added"),
+        F.count(F.when(F.col("kind") == "removed", 1)).cast("long").alias("n_removed"),
+        F.count(F.when(F.col("kind") == "changed", 1)).cast("long").alias("n_changed"),
+        F.count(F.when(F.col("kind") == "unchanged", 1)).cast("long").alias("n_unchanged"),
+    )

@@ -131,3 +131,55 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_strip_count("[ \t]")).cast("long").alias("space_chars"),
         F.sum(other).cast("long").alias("other_chars"),
     )
+
+
+@query(
+    "q_ngram_novelty",
+    covers=("X-TEXT-NOVELTY",),
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        FROM tok WHERE len(ts) >= 3
+    ),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (first.first_doc = sh.doc_id) AS BIGINT) AS novel,
+           CAST((2 * count(*) FILTER (first.first_doc = sh.doc_id) * 10000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS novelty_e4
+    FROM sh JOIN first ON sh.s = first.s
+    GROUP BY sh.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty under ingestion order: the
+    fraction of a document's distinct shingles whose FIRST corpus
+    occurrence (minimum doc_id) is this document — late documents
+    full of already-seen shingles are near-dup/boilerplate suspects,
+    and the corpus-level novelty decay over doc_id is the
+    "diminishing returns" curve of continued crawling.  Shingle
+    first-occurrence is one keyed min; the audit is one equi-join
+    back on the shingle key — linear, the same shapes as dedup, and
+    the per-doc ratios are exact integers."""
+    from week4_musemotion_spark.functions.exact import ratio_e4
+    from week4_musemotion_spark.operators.dedup import shingle_sets
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(d, n=3)  # (_id, shingle-hash), distinct
+    first = sh.groupBy("shingle").agg(F.min("_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("_id"), 1)).cast("long").alias("novel"),
+        )
+        .withColumn("novelty_e4", ratio_e4(F.col("novel"), F.col("n_shingles")))
+    )
