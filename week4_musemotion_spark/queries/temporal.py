@@ -295,3 +295,99 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_value_cents",
         )
     )
+
+
+#: Fixed interval width for the coverage merge (5 minutes, in µs).
+_COVER_US = 5 * US_PER_MIN
+
+
+@query(
+    "q_interval_coverage",
+    covers=("X-INTERVAL-MERGE",),
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_COVER_US} AS e,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e, event_id,
+               CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island, min(s) AS ms, max(e) AS me
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(me - ms) AS BIGINT) AS covered_us,
+           CAST(min(ms) AS BIGINT) AS first_us,
+           CAST(max(me) AS BIGINT) AS last_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (gaps-and-islands MERGE): each event
+    opens a fixed 5-minute activity interval; overlapping intervals
+    per user are merged and the query emits merged-interval count and
+    total covered microseconds — the "how much wall-clock was this
+    user actually active" measure that naive ``count(*) × width``
+    double-counts.  The classic formulation: an interval starts a new
+    island iff its start exceeds the running max end of everything
+    before it (window max with a 1-preceding frame), islands are
+    numbered by a running sum, then two keyed aggregates.  All math
+    in integer epoch-µs.
+
+    Scale shape: everything is partitioned by user — one keyed
+    shuffle, window passes stream within each user's sorted run;
+    no global sort, no self-join (the interval self-join formulation
+    is quadratic per user and never needed)."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        epoch_micros(e).alias("s"),
+        (epoch_micros(e) + _COVER_US).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0).alias("new_island"),
+    )
+    # the running sum MUST replay the flag pass's (s, event_id) total
+    # order: e = s + const ties completely on (s, e), and an ambiguous
+    # tie order could attach a flag-0 row to the previous island while
+    # its tied flag-1 sibling opens the next one
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+        F.min("ms").cast("long").alias("first_us"),
+        F.max("me").cast("long").alias("last_us"),
+    )
