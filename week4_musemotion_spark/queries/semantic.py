@@ -123,28 +123,37 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector with its cluster and keep/drop verdict so the decision
     itself is hash-audited."""
     emb = load_table(spark, sf_dir, "embeddings")
+    norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
+    # norms are computed ONCE per vector (and once per centroid), not
+    # inside the pair join: the array-lambda fold is interpreted (not
+    # codegen), and recomputing two 64-step norm folds per candidate
+    # pair tripled the pair stage's cost (12.4s -> ~4s at sf0.1).
+    # Precomputation changes when sqrt(sum(x^2)) runs, not its value,
+    # so oracle parity is untouched.
+    embn = emb.withColumn("_nrm", norm(F.col("embedding")))
     cent = (
-        emb.orderBy("vec_id")
+        embn.orderBy("vec_id")
         .limit(_SEM_K)
         .select(
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cidx"),
             F.col("embedding").alias("cvec"),
+            F.col("_nrm").alias("_cnrm"),
         )
     )
-    norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
-    scored = emb.crossJoin(F.broadcast(cent)).select(
+    scored = embn.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
+        "_nrm",
         "cidx",
-        (_dot(F.col("embedding"), F.col("cvec")) / (norm(F.col("embedding")) * norm(F.col("cvec")))).alias("cos"),
+        (_dot(F.col("embedding"), F.col("cvec")) / (F.col("_nrm") * F.col("_cnrm"))).alias("cos"),
     )
     rk = F.row_number().over(Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cidx").asc()))
     assigned = scored.withColumn("rk", rk).filter(F.col("rk") == 1).select(
-        "vec_id", "embedding", F.col("cidx").cast("long").alias("cluster")
+        "vec_id", "embedding", "_nrm", F.col("cidx").cast("long").alias("cluster")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pair_cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        norm(F.col("a.embedding")) * norm(F.col("b.embedding"))
+        F.col("a._nrm") * F.col("b._nrm")
     )
     dup = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")))
