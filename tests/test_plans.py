@@ -225,3 +225,38 @@ def test_partitioned_write_prunes_directories(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan[:2000]
+
+
+def test_source_mixture_broadcasts_acceptance(spark):
+    """Temperature rebalancing must broadcast the tiny per-group
+    acceptance table into the filter — never shuffle the fact side."""
+    from week4_musemotion_spark.plans.audit import assert_broadcast_join
+
+    df = _q("q_source_mixture")(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+
+
+def test_global_cumsum_has_no_data_sized_global_window(spark):
+    """The distributed cumsum's only unpartitioned window runs on the
+    P-row offset table: the executed plan must show a range
+    repartition of the data, and any Window with an empty partition
+    spec must sit above the tiny per-partition aggregate, not the
+    ranged data."""
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.operators.ranks import with_global_cumsum
+    from week4_musemotion_spark.plans.audit import plan_string
+
+    df = spark.range(0, 10_000).select("id", (F.col("id") % 97).alias("v"))
+    out = with_global_cumsum(df, ["id"], "v", "cum", num_partitions=8)
+    plan = plan_string(out, mode="simple")
+    lines = plan.splitlines()
+    singles = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    # exactly one single-partition exchange, and it feeds the P-row
+    # per-partition-sum aggregate (the offsets table), never the data
+    assert len(singles) == 1, plan
+    assert "HashAggregate(keys=[_pid" in lines[singles[0] + 1], plan
+    # the data-side running-sum window is keyed by _pid (parallel)
+    assert any("Window" in ln and "], [_pid" in ln for ln in lines), plan
+    # and the offsets come back via broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan, plan

@@ -395,3 +395,25 @@ def test_exact_cents_roundtrip_across_magnitudes(spark):
     got = df.select("k", cents("price").alias("c")).collect()
     for r in got:
         assert r["c"] == r["k"], r
+
+
+def test_exact_int_div_trunc_matches_floor_division(spark):
+    """int_div_trunc must equal Python's // (floor division, same as
+    truncation for non-negative operands) for ANY long magnitude —
+    including far past 2^53, where the old long->double formulation
+    silently rounded across integer boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.functions.exact import int_div_trunc
+
+    rng = random.Random(7)
+    cases = [(0, 1), (1, 1), (1, 2), ((1 << 62) - 1, 3), ((1 << 62) - 1, (1 << 31) - 1)]
+    # the 2^53 danger zone: p where the double quotient rounds wrong
+    cases += [(rng.randrange(1 << 53, 1 << 62), rng.randrange(1, 1 << 30)) for _ in range(300)]
+    cases += [(rng.randrange(0, 1 << 40), rng.randrange(1, 1 << 20)) for _ in range(200)]
+    df = spark.createDataFrame(cases, "p long, q long")
+    got = df.select("p", "q", int_div_trunc(F.col("p"), F.col("q")).alias("d")).collect()
+    for row in got:
+        assert row["d"] == row["p"] // row["q"], (row["p"], row["q"])

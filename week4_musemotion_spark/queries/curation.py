@@ -725,3 +725,80 @@ def q_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("quality_e4").cast("long").alias("quality_e4_sum"),
         )
     )
+
+
+@query(
+    "q_curation_funnel",
+    covers=("X-CURATION-FUNNEL",),
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS u,
+               len(list_filter(ts, w -> w IN ('the','a','of','and','to','in','is','on','for','with')))
+                   AS st
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id,
+               n >= 20 AS g1,
+               n > 0 AND CAST((2 * 50 * least(n, 200) * (n - st) + n) // (2 * n) AS BIGINT) >= 1500 AS g2,
+               n > 0 AND u * 10000 >= 4000 * n AS g3
+        FROM s
+    )
+    SELECT 1 AS stage, 'min_length' AS gate,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(count(*) FILTER (g1) AS BIGINT) AS n_out
+    FROM f
+    UNION ALL
+    SELECT 2, 'quality_score',
+           CAST(count(*) FILTER (g1) AS BIGINT),
+           CAST(count(*) FILTER (g1 AND g2) AS BIGINT)
+    FROM f
+    UNION ALL
+    SELECT 3, 'uniqueness',
+           CAST(count(*) FILTER (g1 AND g2) AS BIGINT),
+           CAST(count(*) FILTER (g1 AND g2 AND g3) AS BIGINT)
+    FROM f
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel attrition report: how many documents each gate
+    of the quality pipeline admits — min-length (≥20 tokens), quality
+    score (≥0.15), token uniqueness (≥0.4) — the first artifact a
+    data-quality review asks for ("where did the corpus go?"), and
+    the regression alarm when a gate suddenly drops 80% of a crawl.
+    ONE scan computes all gate flags as expressions; the funnel is
+    conditional counts over cumulative conjunctions (a gate's n_in is
+    the previous gate's n_out by construction, so the report is
+    internally consistent even under concurrent data changes —
+    single-pass, not three queries racing the corpus)."""
+    from week4_musemotion_spark.operators.textstats import quality_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    s = quality_stats(d)
+    f = s.select(
+        (F.col("n_tokens") >= 20).alias("g1"),
+        ((F.col("n_tokens") > 0) & (F.col("quality_e4") >= 1500)).alias("g2"),
+        (
+            (F.col("n_tokens") > 0)
+            & (F.col("n_uniq_tokens") * 10_000 >= 4_000 * F.col("n_tokens"))
+        ).alias("g3"),
+    )
+    cnt = lambda c: F.count(F.when(c, 1)).cast("long")  # noqa: E731
+    agg = f.agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        cnt(F.col("g1")).alias("c1"),
+        cnt(F.col("g1") & F.col("g2")).alias("c2"),
+        cnt(F.col("g1") & F.col("g2") & F.col("g3")).alias("c3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "1, 'min_length', c0, c1, "
+            "2, 'quality_score', c1, c2, "
+            "3, 'uniqueness', c2, c3) AS (stage, gate, n_in, n_out)"
+        )
+    ).select(F.col("stage").cast("int").alias("stage"), "gate", "n_in", "n_out")

@@ -183,3 +183,62 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("novelty_e4", ratio_e4(F.col("novel"), F.col("n_shingles")))
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    covers=("X-TEXT-FERTILITY",),
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS ws,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe,
+               length(text) AS ch
+        FROM documents
+    ),
+    s AS (
+        SELECT lang, count(*) AS n_docs, sum(ws) AS ws_tokens,
+               sum(bpe) AS bpe_tokens, sum(ch) AS n_chars
+        FROM t WHERE ws > 0 GROUP BY lang
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(ws_tokens AS BIGINT) AS ws_tokens,
+           CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           CAST((2 * bpe_tokens * 10000 + ws_tokens) // (2 * ws_tokens) AS BIGINT)
+               AS fertility_e4,
+           CAST((2 * n_chars * 10000 + bpe_tokens) // (2 * bpe_tokens) AS BIGINT)
+               AS chars_per_bpe_e4
+    FROM s
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and chars per BPE token — the multilingual cost audit (a
+    language whose words explode into many subword tokens pays more
+    compute per unit of text, and a budget split by raw tokens
+    silently under-trains it).  Per-row regex counting at scan speed,
+    one tiny grouped sum, exact e4 ratios."""
+    from week4_musemotion_spark.functions.exact import ratio_e4
+    from week4_musemotion_spark.operators.textstats import token_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = token_counts(d).join(d.select("doc_id", "lang"), "doc_id")
+    s = (
+        tc.filter(F.col("n_ws_tokens") > 0)
+        .join(d.select("doc_id", F.length("text").cast("long").alias("ch")), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("long").alias("ws_tokens"),
+            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("ch").cast("long").alias("n_chars"),
+        )
+    )
+    return s.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        ratio_e4(F.col("bpe_tokens"), F.col("ws_tokens")).alias("fertility_e4"),
+        ratio_e4(F.col("n_chars"), F.col("bpe_tokens")).alias("chars_per_bpe_e4"),
+    )
