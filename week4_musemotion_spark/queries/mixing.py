@@ -71,8 +71,10 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG-free) and the only aggregate is the |langs|-row count table
     broadcast into a filter; sqrt is used precisely because IEEE
     mandates correct rounding, so the acceptance integers are
-    engine-identical (a general ``pow`` is not).  At 100 TB: one scan
-    + one tiny broadcast, no fact-table shuffle."""
+    engine-identical (a general ``pow`` is not).  At 100 TB: two fact
+    scans (the group-count pass, then the filter pass with the tiny
+    acceptance table broadcast in) and ZERO fact-table shuffles —
+    both aggregation sides are map-side-combined group counts."""
     from week4_musemotion_spark.operators.mixing import temperature_rebalance
 
     d = load_table(spark, sf_dir, "documents")

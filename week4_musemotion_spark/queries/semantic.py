@@ -232,7 +232,13 @@ def q_source_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).alias("dim"),
         F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5)).cast("long").alias("qx"),
     )
-    cent = comp.groupBy("source", "dim").agg(F.sum("qx").alias("s"))
+    # cent (|sources|·dim rows) feeds THREE consumers (both join sides
+    # + norms); pin it so the fact-table explode+agg runs once, not
+    # three times (branch-reuse idiom — at 100 TB each re-execution is
+    # a full corpus pass)
+    cent = (
+        comp.groupBy("source", "dim").agg(F.sum("qx").alias("s")).localCheckpoint(eager=False)
+    )
     a, b = cent.alias("a"), cent.alias("b")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     dots = (
