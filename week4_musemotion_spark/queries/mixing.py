@@ -290,3 +290,43 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_seqs * _PACK_CAP - F.col("total_tokens")).cast("long").alias("waste_tokens"),
         ratio_e4(F.col("total_tokens"), n_seqs * _PACK_CAP).alias("util_e4"),
     )
+
+
+@query(
+    "q_reservoir_per_group",
+    covers=("X-MIX-RESERVOIR",),
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, {_DOC_HASH} AS hh FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS pick
+        FROM h
+    )
+    SELECT doc_id, source, CAST(pick AS BIGINT) AS pick
+    FROM r WHERE pick <= 5
+    """,
+)
+def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample: the 5 hash-smallest documents
+    of every source — the "show me a few random-looking docs from
+    each domain" eval-set builder, with membership a pure function of
+    the keys (a true reservoir sample is RNG- and order-dependent;
+    rank-by-hash gives the same uniformity with reproducibility).
+    One keyed window per source partition; at scale this is the
+    standard top-k-per-group shape (partial top-k per map task under
+    AQE, never a global sort)."""
+    from pyspark.sql import Window
+
+    from week4_musemotion_spark.functions.hashing import stable_hash64
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        stable_hash64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= 5)
+        .select("doc_id", "source", "pick")
+    )

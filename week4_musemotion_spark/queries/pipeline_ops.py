@@ -817,3 +817,49 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("kind") == "changed", 1)).cast("long").alias("n_changed"),
         F.count(F.when(F.col("kind") == "unchanged", 1)).cast("long").alias("n_unchanged"),
     )
+
+
+@query(
+    "q_join_cardinality_estimate",
+    covers=("X-JOIN-CARD-EST",),
+    oracle="""
+    WITH fa AS (SELECT o_orderkey AS k, count(*) AS f FROM orders
+                WHERE o_orderstatus = 'F' GROUP BY o_orderkey),
+    fb AS (SELECT l_orderkey AS k, count(*) AS f FROM lineitem GROUP BY l_orderkey),
+    est AS (SELECT CAST(sum(fa.f * fb.f) AS BIGINT) AS predicted
+            FROM fa JOIN fb ON fa.k = fb.k),
+    act AS (SELECT CAST(count(*) AS BIGINT) AS actual
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F')
+    SELECT est.predicted, act.actual,
+           CAST(CASE WHEN est.predicted = act.actual THEN 1 ELSE 0 END AS INTEGER)
+               AS exact_match
+    FROM est CROSS JOIN act
+    """,
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality prediction from key-frequency sketches:
+    |A⋈B| = Σ_k f_A(k)·f_B(k) — computed here EXACTLY from the two
+    per-key count tables, which is what a CBO approximates with
+    count-min/histograms; the query emits predicted vs actual (equal
+    by identity, asserted in-row) as the audit that the estimator's
+    exact form is wired correctly before sketch error is layered on.
+    Shape: two keyed counts + one join over the (much smaller)
+    key-frequency tables — the estimate costs a fraction of the join
+    it predicts, which is the whole point at 100 TB (run the
+    estimator, THEN decide broadcast/shuffle/salt)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    fa = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("fa"))
+    fb = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("fb"))
+    est = fa.join(fb, "k").agg(
+        F.sum(F.col("fa") * F.col("fb")).cast("long").alias("predicted")
+    )
+    act = o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).cast("long").alias("actual")
+    )
+    return est.crossJoin(act).select(
+        "predicted",
+        "actual",
+        F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0).cast("int").alias("exact_match"),
+    )
