@@ -247,6 +247,24 @@ def main() -> int:
             pranks = contrib.groupBy(F.col("v").alias("node")).agg(
                 (F.lit(150000) + F.sum("c")).cast("long").alias("r")
             )
+        # round-4 shapes: the two-pass distributed cumsum (mixing's
+        # budget selection / det-shuffle machinery) and the corpus-LM
+        # bigram-coverage join — both must stay linear because their
+        # single-partition work is the P-row offset table / nothing
+        from week4_musemotion_spark.operators.ranks import with_global_cumsum
+
+        qty = li.select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("q"))
+        cum = with_global_cumsum(qty, ["l_orderkey", "l_linenumber"], "q", "cum")
+        from week4_musemotion_spark.operators.dedup import shingle_strings
+
+        bgr = shingle_strings(docs, n=2)
+        bfreq = bgr.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+        bcov = (
+            bgr.join(bfreq, "s")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("nb"), F.count(F.when(F.col("f") >= 3, 1)).alias("cov"))
+        )
+
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -262,6 +280,8 @@ def main() -> int:
             ("funnel_staged_joins", funnel),
             ("cohort_retention", cohort),
             ("pagerank_2iter", pranks),
+            ("global_cumsum_2pass", cum),
+            ("bigram_coverage_join", bcov),
         ]:
             if only is not None and shape not in only:
                 continue
