@@ -711,3 +711,49 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(docs, "doc_id", "toks", tau_e4=9000, within=["source"]).select(
         "id_a", "id_b", "common", "size_a", "cont_e4"
     )
+
+
+@query(
+    "q_user_path_top",
+    covers=("X-PATH-TRIGRAM",),
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS a,
+               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+               lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+        FROM events
+    ),
+    t AS (
+        SELECT a, b, c, count(*) AS cnt
+        FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+        GROUP BY a, b, c
+    )
+    SELECT a || '>' || b || '>' || c AS path, CAST(cnt AS BIGINT) AS cnt
+    FROM t
+    ORDER BY cnt DESC, path ASC
+    LIMIT 20
+    """,
+)
+def q_user_path_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type TRIGRAM paths across all user journeys — the
+    sequence-mining step above q_markov_transitions' bigrams: which
+    3-step behaviours dominate (view>view>click vs view>click>
+    purchase), the input to funnel design and to sequence-model
+    training-data selection.  Per-user double-LEAD over (ts,
+    event_id), one grouped count (at most |types|³ groups), top-20
+    with a total tie-break.  Scale: one user-keyed shuffle for the
+    window — same layout the markov/funnel/sessionize family already
+    shuffles on, so a multi-query pipeline reuses the exchange."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    t = seq.groupBy("a", "b", "c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return (
+        t.select(F.concat_ws(">", "a", "b", "c").alias("path"), "cnt")
+        .orderBy(F.col("cnt").desc(), F.col("path").asc())
+        .limit(20)
+    )

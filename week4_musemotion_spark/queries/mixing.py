@@ -330,3 +330,94 @@ def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") <= 5)
         .select("doc_id", "source", "pick")
     )
+
+
+@query(
+    "q_stratified_minibatch",
+    covers=("X-MIX-MINIBATCH",),
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, {_DOC_HASH} AS hh FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) - 1 AS rn
+        FROM h
+    )
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY rn, source, doc_id) - 1 AS BIGINT) AS batch_pos
+    FROM r
+    """,
+)
+def q_stratified_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balanced batch assembly: documents are dealt round-robin
+    across sources — position = rank of (within-source index, source)
+    — so every consecutive slice of the output order (a training
+    minibatch) holds a near-uniform source mix instead of long
+    single-source runs (the gradient-diversity property batch
+    construction wants; the same interleave builds modality-balanced
+    batches with a modality column).  Within-source order is the
+    deterministic hash shuffle.  Both ranks are distributed: the
+    within-source index is a keyed window, the global interleave rank
+    is the two-pass range-partitioned global index — no
+    single-partition window touches the corpus."""
+    from pyspark.sql import Window
+
+    from week4_musemotion_spark.functions.hashing import stable_hash64
+    from week4_musemotion_spark.operators.ranks import with_global_index
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        stable_hash64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = d.withColumn("rn", (F.row_number().over(w) - 1).cast("long"))
+    return with_global_index(r, ["rn", "source", "doc_id"], "batch_pos").select(
+        "doc_id", "source", "batch_pos"
+    )
+
+
+@query(
+    "q_seq_boundary_audit",
+    covers=("X-MIX-PACK-SPAN",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n,
+               sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM tok WHERE n > 0
+    ),
+    p AS (
+        SELECT source,
+               ((cum - 1) // {_PACK_CAP}) - ((cum - n) // {_PACK_CAP}) + 1 AS spanned
+        FROM c
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (spanned > 1) AS BIGINT) AS n_spanning,
+           CAST(max(spanned) AS BIGINT) AS max_spanned
+    FROM p GROUP BY source
+    """,
+)
+def q_seq_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-boundary audit over the packing layout
+    (operators/curation.pack_sequences, capacity 256): per source, how
+    many documents straddle a packed-sequence boundary and the worst
+    span — the documents whose attention window gets cut mid-text,
+    the quantity a packing-strategy review trades against pad waste
+    (see q_packing_efficiency for the other side of that trade).
+    Rides the operator's own output: one keyed window cumsum per
+    shard, then a grouped count."""
+    from week4_musemotion_spark.operators.curation import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    p = pack_sequences(d, capacity=_PACK_CAP)
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("n_seqs_spanned") > 1, 1)).cast("long").alias("n_spanning"),
+        F.max("n_seqs_spanned").cast("long").alias("max_spanned"),
+    )
