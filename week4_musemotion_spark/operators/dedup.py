@@ -227,8 +227,11 @@ def minhash_lsh_join(
     exact-Jaccard verification of candidates), but the band join is
     batch-side × corpus-side, so candidate volume is O(batch-band
     collisions), independent of corpus×corpus density.  At 100 TB the
-    corpus band table is a materialized index you append to; here it
-    is recomputed per call.  Ids must be distinct across frames.
+    corpus band table is a materialized index you append to — that
+    lifecycle (build/append/query over parquet) lives in
+    ``operators/lsh_index`` with this join as its output contract;
+    here it is recomputed per call.  Ids must be distinct across
+    frames.
 
     Output: ``(doc_a=batch id, doc_b=corpus id, jaccard_e4)`` for
     verified Jaccard ≥ threshold.
