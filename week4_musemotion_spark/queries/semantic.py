@@ -264,3 +264,48 @@ def q_source_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_e6"),
         )
     )
+
+
+@query(
+    "q_dedup_cluster_keep",
+    covers=("X-DEDUP-MATERIALIZE",),
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes(JACCARD_THRESHOLD)},
+    e2 AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM e2
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
+    ),
+    drop_ids AS (
+        SELECT u AS doc_id FROM reach GROUP BY u
+        HAVING least(u, min(v)) != u
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d LEFT JOIN drop_ids x ON d.doc_id = x.doc_id
+    WHERE x.doc_id IS NULL
+    """,
+)
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELIVERABLE of near-dedup: the corpus with every non-
+    representative near-dup-cluster member removed (cluster = conn.
+    component of the Jaccard≥0.8 pair graph; representative = min
+    doc_id, so transitively-linked A~B~C keep exactly one even when
+    A~C itself fell below threshold).  Composes the pair generation
+    (shingle equi-join here; MinHash-LSH at scale — identical output),
+    the pointer-jumping component operator, and one anti-join back
+    onto the corpus — the full gate→cluster→materialize pipeline as
+    one lazy plan.  Oracle re-derives the closure with a recursive
+    CTE and anti-joins independently."""
+    from week4_musemotion_spark.operators.dedup import jaccard_pairs
+    from week4_musemotion_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, JACCARD_THRESHOLD)
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("keep_id") != F.col("doc_id")).select("doc_id")
+    return d.join(drop, "doc_id", "left_anti").select("doc_id", "source", "lang")
