@@ -309,3 +309,37 @@ def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(pairs)
     drop = clusters.filter(F.col("keep_id") != F.col("doc_id")).select("doc_id")
     return d.join(drop, "doc_id", "left_anti").select("doc_id", "source", "lang")
+
+
+@query(
+    "q_media_dedup",
+    covers=("X-MULTIMODAL-DEDUP",),
+    oracle="""
+    SELECT md5(text) AS payload_md5,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_cnt,
+           CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY md5(text)
+    """,
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY modality: group opaque payloads by
+    content hash, keep the lowest id — byte-identical media (the same
+    image re-crawled under different ids) collapses without ever
+    decoding, the first dedup pass every multimodal pipeline runs
+    because it is free relative to perceptual hashing.  The payload
+    rides operators/multimodal.attach_binary (utf-8 stub bytes here —
+    md5 over binary is codec-agnostic, so the plumbing is exactly the
+    production shape); one hash-keyed aggregate, 8-byte-comparable
+    after hashing, linear at any scale."""
+    from week4_musemotion_spark.operators.multimodal import attach_binary
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary(d)
+    return media.groupBy(F.md5(F.col("payload")).alias("payload_md5")).agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("dup_cnt"),
+        F.min(F.length("payload")).cast("long").alias("n_bytes"),
+    )
