@@ -242,3 +242,60 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_e4(F.col("bpe_tokens"), F.col("ws_tokens")).alias("fertility_e4"),
         ratio_e4(F.col("n_chars"), F.col("bpe_tokens")).alias("chars_per_bpe_e4"),
     )
+
+
+@query(
+    "q_data_card",
+    covers=("X-DATA-CARD",),
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, lang, md5(text) AS th,
+               len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS n,
+               len(list_filter(list_filter(string_split_regex(text, '\\s+'), w -> w != ''),
+                   w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS st
+        FROM documents
+    ),
+    q AS (
+        SELECT source, lang, th, n,
+               CASE WHEN n > 0
+                    THEN CAST((2 * 50 * least(n, 200) * (n - st) + n) // (2 * n) AS BIGINT)
+                    ELSE 0 END AS qe4
+        FROM t
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(count(*) - count(DISTINCT th) AS BIGINT) AS n_exact_dup_rows,
+           CAST((2 * sum(qe4) + count(*)) // (2 * count(*)) AS BIGINT) AS quality_e4_mean,
+           CAST(round(median(n) * 2) AS BIGINT) AS median_tokens_x2
+    FROM q
+    GROUP BY source, lang
+    """,
+)
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATA CARD: one manifest row per (source, language) shard
+    with the numbers a dataset release documents — volume (docs,
+    tokens), exact-duplicate load (rows minus distinct content
+    hashes), mean quality score, and the median document length (×2:
+    an even-count median of integer lengths interpolates to an exact
+    half, so doubling keeps it integer-exact) — the single table a
+    data consumer reads before mixing a shard in, and the per-shard
+    regression baseline between corpus versions (diff two cards =
+    drift report).  One grouped pass over the corpus: every statistic
+    is a sum/count/count-distinct/median over the shard key, exact
+    integer arithmetic end to end."""
+    from week4_musemotion_spark.functions.exact import int_div_round
+    from week4_musemotion_spark.operators.textstats import quality_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    s = quality_stats(d).select(
+        "doc_id", "n_tokens", F.coalesce("quality_e4", F.lit(0)).alias("qe4")
+    )
+    base = d.select("doc_id", "source", "lang", F.md5("text").alias("th")).join(s, "doc_id")
+    return base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("th")).cast("long").alias("n_exact_dup_rows"),
+        int_div_round(F.sum("qe4"), F.count(F.lit(1))).alias("quality_e4_mean"),
+        F.round(F.median("n_tokens") * 2).cast("long").alias("median_tokens_x2"),
+    )
