@@ -343,3 +343,49 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("dup_cnt"),
         F.min(F.length("payload")).cast("long").alias("n_bytes"),
     )
+
+
+@query(
+    "q_dup_cluster_sizes",
+    covers=("X-DEDUP-CLUSTER-DIST",),
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes(JACCARD_THRESHOLD)},
+    e2 AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM e2
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
+    ),
+    lab AS (
+        SELECT u AS doc_id, least(u, min(v)) AS keep_id
+        FROM reach GROUP BY u
+    ),
+    csz AS (SELECT keep_id, count(*) AS csize FROM lab GROUP BY keep_id)
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(csize) AS BIGINT) AS n_docs
+    FROM csz GROUP BY csize
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution — the dedup report's
+    headline table: mostly pairs means organic duplication, a few
+    giant families means boilerplate/mirror domains (and a giant
+    cluster is also the skew warning for the component computation
+    itself).  Rides the same pairs→components plan as
+    q_dedup_cluster_keep plus two tiny aggregates over the
+    |clustered-docs| label table."""
+    from week4_musemotion_spark.operators.dedup import jaccard_pairs
+    from week4_musemotion_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(jaccard_pairs(d, JACCARD_THRESHOLD))
+    sz = clusters.groupBy("keep_id").agg(F.count(F.lit(1)).alias("csize"))
+    return sz.groupBy(F.col("csize").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("csize").cast("long").alias("n_docs"),
+    )

@@ -391,3 +391,34 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ms").cast("long").alias("first_us"),
         F.max("me").cast("long").alias("last_us"),
     )
+
+
+@query(
+    "q_hourly_event_profile",
+    covers=("X-HOURLY-PROFILE",),
+    oracle="""
+    SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hourly_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type activity profile (with distinct
+    users) — the seasonality baseline every ingest monitor diffs a
+    new day against, and the capacity-planning input for trigger
+    sizing on the streaming side.  Hour extraction happens on the
+    session-TZ-normalized event time (functions/eventtime); one
+    grouped count over at most 24×|types| cells, count-distinct
+    shuffles only (hour, type, user) triples."""
+    from week4_musemotion_spark.functions.eventtime import event_time
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour(event_time(e)).cast("long").alias("hour_of_day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
