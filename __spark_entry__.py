@@ -28,20 +28,26 @@ from week4_musemotion_spark.queries import REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _evidenced_names() -> set[str]:
-    """Names already driver-verified in a prior round's CORRECTNESS file.
+def _evidence_round() -> dict[str, int]:
+    """Latest round in which each query earned driver evidence.
 
     The driver's per-round correctness window covers a prefix of
-    ``queries()``, so ordering not-yet-evidenced queries first maximises
-    verified coverage across rounds.  A query counts as evidenced once a
-    prior round recorded either a full green row (rows+schema+hash) or the
-    declared rows-only outcome for oracle-less approximate ops.
+    ``queries()``.  Round 1–4 achieved first-time coverage for every
+    registered query; from round 5 on the window's job is to RE-validate
+    the stalest evidence, so queries are ordered by the age of their most
+    recent green driver row (never-evidenced first, then oldest round
+    first).  A query counts as evidenced in round N if CORRECTNESS_r0N
+    recorded either a full green row (rows+schema+hash) or the declared
+    rows-only outcome for oracle-less approximate ops.
     """
     import glob
     import json
+    import re
 
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -53,14 +59,15 @@ def _evidenced_names() -> set[str]:
             green = row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
             rows_only = row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0
             if green or (rows_only and REGISTRY.get(name) is not None and REGISTRY[name].oracle is None):
-                seen.add(name)
-    return seen
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _ordered_names() -> list[str]:
-    evidenced = _evidenced_names()
+    latest = _evidence_round()
     names = list(REGISTRY)
-    return [n for n in names if n not in evidenced] + [n for n in names if n in evidenced]
+    # stable: evidence age ascending (0 = never), registry order tie-break
+    return sorted(names, key=lambda n: latest.get(n, 0))
 
 
 def entry(spark: SparkSession) -> DataFrame:

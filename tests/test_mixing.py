@@ -73,3 +73,23 @@ def test_deterministic_shuffle_is_permutation_and_stable(spark):
     assert a.orderBy("k").collect() == b.orderBy("k").collect()
     # and it is not the identity order (hash actually shuffles)
     assert pos != list(range(500))
+
+
+def test_curriculum_order_rejects_stage_collision(spark):
+    """A pre-existing column named like the stage output must raise
+    (two identically-named columns would poison every downstream
+    reference) — and stage_out_col reroutes the name cleanly."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.operators.mixing import curriculum_order
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("stage")
+    )
+    with pytest.raises(ValueError, match="stage"):
+        curriculum_order(df, F.col("stage"), "doc_id")
+    out = curriculum_order(df, F.col("stage"), "doc_id", stage_out_col="cur_stage")
+    assert out.columns.count("cur_stage") == 1 and "pos" in out.columns
+    assert out.count() == 10

@@ -125,3 +125,39 @@ def test_concurrent_writer_claim_collision(spark, tmp_path, monkeypatch):
     assert versioned.list_versions(base) == [1, 2, 3]
     assert versioned.read_version(spark, base, 2).count() == 9
     assert versioned.read_version(spark, base, 3).count() == 7
+
+
+def test_sweep_never_dooms_concurrently_published_version(spark, tmp_path, monkeypatch):
+    """The garbage sweep decides at sweep time via the _SUCCESS marker,
+    never via the committed-set snapshotted earlier: a version published
+    by a concurrent writer BETWEEN write_version's _committed() snapshot
+    and its sweep listdir must survive the sweep (the old
+    membership-in-snapshot check rmtree'd it as presumed garbage)."""
+    from week4_musemotion_spark.operators import versioned
+
+    base = str(tmp_path / "tbl")
+    versioned.write_version(spark.range(5), base)
+
+    real_listdir = os.listdir
+    state = {"calls": 0}
+
+    def racing_listdir(path):
+        res = real_listdir(path)
+        state["calls"] += 1
+        if state["calls"] == 2:
+            # first call was _committed()'s snapshot (no v_00002 yet);
+            # a concurrent writer publishes a COMMITTED snapshot now,
+            # so the sweep's listing (this result is stale; the sweep
+            # loop re-lists nothing) — re-list so the sweep sees it.
+            spark.range(9).write.parquet(os.path.join(base, "v_00002"))
+            res = real_listdir(path)
+        return res
+
+    monkeypatch.setattr(versioned.os, "listdir", racing_listdir)
+    n = versioned.write_version(spark.range(7), base)
+    # the concurrently published v_00002 survived the sweep intact and
+    # this writer retried past the claimed number
+    assert n == 3
+    assert versioned.list_versions(base) == [1, 2, 3]
+    assert versioned.read_version(spark, base, 2).count() == 9
+    assert versioned.read_version(spark, base, 3).count() == 7

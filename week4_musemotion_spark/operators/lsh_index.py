@@ -2,7 +2,9 @@
 batches — the materialized form of the band table that
 ``dedup.minhash_lsh_join`` recomputes per call.
 
-Layout under ``path`` (plain parquet, ``_SUCCESS``-gated by Spark):
+Layout under ``path`` (plain parquet; note ``spark.read.parquet`` does
+NOT check ``_SUCCESS`` — reads are not commit-gated, see the crash
+contract below):
 
 - ``bands/``     — ``(_id, band, bh)``: one row per document per LSH
   band; the candidate-generation index.  The band join is an
@@ -15,10 +17,17 @@ Layout under ``path`` (plain parquet, ``_SUCCESS``-gated by Spark):
   index false positives never surface).
 
 Append-only contract: ids must be unique across all builds/appends
-(the ingest pipeline's natural monotonic doc ids).  A crashed append
-leaves parquet part-files without a committed ``_SUCCESS`` only at
-the Spark commit layer; for stronger multi-writer semantics wrap the
-directory in ``operators/versioned`` snapshots.
+(the ingest pipeline's natural monotonic doc ids).  Crash contract:
+``_materialize`` writes ``shingles/`` (the verification data) BEFORE
+``bands/`` (the candidate index), so a crash between the two leaves
+shingle sets with no band rows — those ids simply never become
+candidates, which is safe; the reverse order would leave band rows
+whose exact-Jaccard verification data is missing, silently dropping
+true near-dups in the inner ``_intersections`` join.  A crash
+mid-write can still leave partial part-files that a later read will
+see (parquet reads are not ``_SUCCESS``-gated); for replay-exact
+multi-writer semantics wrap the directory in ``operators/versioned``
+snapshots or use the streaming gate's batch-id commit log.
 """
 
 from __future__ import annotations
@@ -57,8 +66,12 @@ def _band_rows(sigs: DataFrame) -> DataFrame:
 
 def _materialize(df: DataFrame, path: str, mode: str, text_col: str, id_col: str, n: int) -> None:
     sh = shingle_sets(df, text_col, id_col, n).persist()
-    _band_rows(minhash_signatures(sh)).write.mode(mode).parquet(os.path.join(path, "bands"))
+    # shingles (verification data) FIRST: a crash after this write but
+    # before the band write only hides the batch from candidate
+    # generation; bands-first would emit candidates that verification
+    # silently drops (see module docstring crash contract).
     sh.write.mode(mode).parquet(os.path.join(path, "shingles"))
+    _band_rows(minhash_signatures(sh)).write.mode(mode).parquet(os.path.join(path, "bands"))
     sh.unpersist()
 
 

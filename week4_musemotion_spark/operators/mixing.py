@@ -100,6 +100,7 @@ def curriculum_order(
     stage_col,
     key_col: str = "doc_id",
     out_col: str = "pos",
+    stage_out_col: str = "stage",
 ) -> DataFrame:
     """Global training order: ascending curriculum stage, then a
     deterministic hash shuffle within each stage (so each stage is
@@ -108,13 +109,21 @@ def curriculum_order(
 
     Positions come from the two-pass distributed global index over
     ``(stage, hash(key), key)`` — total order, no single-partition
-    window.
+    window.  The computed stage lands in ``stage_out_col``; a caller
+    whose frame already carries a column of that name must rename one
+    side (erroring beats silently emitting two identically-named
+    columns that poison every downstream reference).
     """
+    if stage_out_col in df.columns:
+        raise ValueError(
+            f"curriculum_order: input already has a {stage_out_col!r} column; "
+            "pass stage_out_col=<other name> or drop/rename the existing one"
+        )
     d = df.withColumn("_stage", stage_col).withColumn(
         "_h", stable_hash64(F.col(key_col).cast("string"))
     )
     return with_global_index(d, ["_stage", "_h", key_col], out_col).withColumnRenamed(
-        "_stage", "stage"
+        "_stage", stage_out_col
     ).drop("_h")
 
 

@@ -75,7 +75,12 @@ def write_version(df: DataFrame, base: str) -> int:
     now = time.time()
     for name in list(os.listdir(base)):
         m = _VERSION_RE.match(name)
-        if m and int(m.group(1)) not in committed:
+        # Garbage is decided at sweep time by the _SUCCESS marker itself,
+        # never by membership in the `committed` snapshot above: a version
+        # published by a concurrent writer between the two listdirs appears
+        # WITH its marker atomically (rename publishes complete staging
+        # output), so this check can never doom a committed snapshot.
+        if m and not os.path.exists(os.path.join(base, name, "_SUCCESS")):
             shutil.rmtree(os.path.join(base, name), ignore_errors=True)
         elif name.startswith(".staging-"):
             p = os.path.join(base, name)
