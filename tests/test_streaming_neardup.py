@@ -89,3 +89,83 @@ def test_neardup_gate_quarantines_cross_batch_dups(spark, tmp_path):
     # the index grew: band rows exist for clean docs
     bands = spark.read.parquet(str(tmp_path / "idx" / "bands"))
     assert bands.filter(F.col("_id").isin(list(clean)[:5])).count() > 0
+
+
+def _gate_state(spark, root):
+    """(file-name sets, row multisets) for every gate output dir."""
+    import os
+
+    state = {}
+    for rel in ("quarantine/docs", "corpus/docs", "idx/shingles", "idx/bands"):
+        p = str(root / rel)
+        # seed-build part files carry write-UUID names; the gate's own
+        # contribution is exactly the bid-prefixed files
+        files = tuple(sorted(f for f in os.listdir(p) if f.startswith("bid-")))
+        rows = tuple(sorted(map(tuple, spark.read.parquet(p).collect())))
+        state[rel] = (files, rows)
+    state["commits"] = tuple(sorted(os.listdir(str(root / "idx" / "_ingest_commits"))))
+    return state
+
+
+def _run_gate(spark, root, batches, fail_on=None, monkeypatch=None):
+    """Drive make_ingest_fn directly (no stream) over ``batches``;
+    optionally inject one failure before the bands append of a batch."""
+    from week4_musemotion_spark.operators.lsh_index import build_index
+    from week4_musemotion_spark.sources.tables import load_table
+    from week4_musemotion_spark.streaming import neardup
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") % 10 > 1)
+    build_index(seed, str(root / "idx"))
+    ingest = neardup.make_ingest_fn(
+        str(root / "idx"), str(root / "corpus"), str(root / "quarantine")
+    )
+    if fail_on is not None:
+        real_append = neardup._append_keyed
+        state = {"armed": True}
+
+        def failing_append(df, target, tag):
+            if state["armed"] and tag == str(fail_on) and target.endswith("bands"):
+                state["armed"] = False
+                raise RuntimeError("injected crash before bands append")
+            real_append(df, target, tag)
+
+        monkeypatch.setattr(neardup, "_append_keyed", failing_append)
+    for bid, batch in enumerate(batches):
+        try:
+            ingest(batch, bid)
+        except RuntimeError:
+            ingest(batch, bid)  # the replay foreachBatch would issue
+    return ingest
+
+
+def test_neardup_gate_replay_idempotent(spark, tmp_path, monkeypatch):
+    """Replaying a batch_id — whether the first attempt fully
+    committed or died mid-write — leaves quarantine/corpus/index state
+    identical to a single clean run: same file names, same rows, same
+    commit log (the verdict's missing production guarantee)."""
+    from week4_musemotion_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    batches = [
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 == 1),
+    ]
+
+    ref_root = tmp_path / "ref"
+    _run_gate(spark, ref_root, batches)
+    reference = _gate_state(spark, ref_root)
+    assert reference["commits"] == ("0", "1")
+
+    # scenario A: replay of a fully committed batch is a no-op
+    gate_a = tmp_path / "a"
+    ingest = _run_gate(spark, gate_a, batches)
+    ingest(batches[1], 1)  # driver replays the last committed batch
+    assert _gate_state(spark, gate_a) == reference
+
+    # scenario B: batch 1's first attempt dies after quarantine+corpus+
+    # shingles but before bands+commit; the replay purges the torn
+    # files and reproduces the clean outcome exactly
+    gate_b = tmp_path / "b"
+    _run_gate(spark, gate_b, batches, fail_on=1, monkeypatch=monkeypatch)
+    assert _gate_state(spark, gate_b) == reference
