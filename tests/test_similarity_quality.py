@@ -120,3 +120,47 @@ def test_ivf_rebuild_invalidates_centroid_cache(spark, tmp_path):
     probed = S.ivf_probe(spark, index_dir, queries, k=3).collect()
     assert probed  # fresh centroids loaded and probe still answers
     assert S._CENTROID_CACHE[index_dir].shape[0] == 8
+
+
+def test_semantic_dedup_scaled_k_invariants(spark):
+    """semantic_dedup (trained-quantizer, applyInPandas SemDeDup):
+    output partitions the corpus, keep decisions match a numpy
+    recomputation of the within-cluster lower-id rule, and the k
+    default actually scales with n (the 100 TB contract)."""
+    import math
+
+    import numpy as np
+
+    from week4_musemotion_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n = emb.count()
+    out = S.semantic_dedup(emb, target_cluster_size=16).toPandas()
+
+    # partition: every vector verdict'd exactly once
+    assert sorted(out["vec_id"]) == sorted(
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    )
+    # k ∝ n: clusters actually used can't exceed ceil(n/16), and the
+    # quantizer must have split the corpus (not collapsed to 1 bucket)
+    k_expected = max(1, math.ceil(n / 16))
+    assert out["cluster"].nunique() <= k_expected
+    assert out["cluster"].nunique() > 1
+
+    # keep rule: recompute per cluster in numpy
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for _, grp in out.groupby("cluster"):
+        grp = grp.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack([vecs[v] for v in grp["vec_id"]])
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        unit = mat / np.where(nrm == 0, 1.0, nrm)[:, None]
+        cos = unit @ unit.T
+        dup = np.triu(cos >= 0.45 - 1e-9, k=1) & (nrm > 0)[:, None] & (nrm > 0)[None, :]
+        expect = ~dup.any(axis=0)
+        got = grp["keep"].to_numpy().astype(bool)
+        # tolerance band: pairs within 1e-9 of the threshold may flip
+        strict = ~(np.triu(cos >= 0.45 + 1e-9, k=1)).any(axis=0)
+        assert ((got == expect) | (got == strict)).all()
+    # dedup actually fires on this corpus at tau=0.45
+    assert (out["keep"] == 0).any()

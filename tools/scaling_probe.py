@@ -265,6 +265,21 @@ def main() -> int:
             .agg(F.count(F.lit(1)).alias("nb"), F.count(F.when(F.col("f") >= 3, 1)).alias("cov"))
         )
 
+        # k ∝ n SemDeDup (operators/similarity.semantic_dedup): the
+        # quantizer fit runs EAGERLY (kmeans_fit collects centroids),
+        # so construction is timed together with execution; with k
+        # scaled to n the per-cluster pair stage must stay linear
+        if only is None or "semantic_dedup_scaledk" in only:
+            from week4_musemotion_spark.operators.similarity import semantic_dedup
+
+            t0 = time.perf_counter()
+            semantic_dedup(emb, target_cluster_size=64, iters=1).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            results.setdefault("semantic_dedup_scaledk", {})[n] = round(
+                time.perf_counter() - t0, 2
+            )
+
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),

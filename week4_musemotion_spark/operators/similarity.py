@@ -553,6 +553,73 @@ def kmeans_fit(
     return cent
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    k: int | None = None,
+    threshold: float = 0.45,
+    target_cluster_size: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with the scale
+    contract wired in: ``k`` defaults to ``ceil(n / target_cluster_size)``
+    — k ∝ n keeps the EXPECTED CLUSTER SIZE constant as the corpus
+    grows, so the within-cluster pair stage is linear in n.  (The
+    fixed-k form ``queries/semantic.q_semantic_dedup`` is this
+    operator's deterministic oracle shape; at 100× data its clusters
+    grow 100× and its pair join ~quadratically — exactly the gap this
+    default closes.)
+
+    Plan shape: ``kmeans_fit`` collects only the k×dim centroid
+    matrix (never vectors); assignment is one Arrow-batched scan;
+    the dedup itself is ``applyInPandas`` per cluster — a single
+    shuffle on the cluster id, then an O(c²) numpy cosine block per
+    cluster with c bounded around the target size, instead of
+    interpreted per-pair expression folds.  A pathologically popular
+    centroid bounds nothing — if the corpus collapses onto one
+    cluster, raise ``iters``/``k`` or pre-split on metadata.
+
+    Returns ``(id_col, cluster, keep)``: ``keep = 0`` iff a LOWER-id
+    vector in the same cluster has cosine ≥ ``threshold`` (earliest
+    representative survives; zero-norm vectors never match anything).
+    """
+    if k is None:
+        k = max(1, math.ceil(emb.count() / target_cluster_size))
+    cent = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = _assign_clusters(emb, cent, id_col, vec_col, id_col)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("keep", T.IntegerType()),
+        ]
+    )
+
+    def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = _to_matrix(pdf[vec_col])
+        nrm = _seq_norm(mat)
+        valid = nrm > 0
+        keep = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            unit = np.where(valid[:, None], mat / np.where(nrm == 0, 1.0, nrm)[:, None], 0.0)
+            cos = _seq_matmul(unit, unit)
+            # dup[i, j]: row i (lower id after the sort) kills row j
+            dup = np.triu(cos >= threshold, k=1) & valid[:, None] & valid[None, :]
+            keep = ~dup.any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].to_numpy(dtype=np.int64),
+                "keep": keep.astype(np.int32),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(_dedup, schema=schema)
+
+
 def _ivf_probe_assigned(
     assigned: DataFrame,
     cent: np.ndarray,

@@ -123,6 +123,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector with its cluster and keep/drop verdict so the decision
     itself is hash-audited."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return _sem_dedup_plan(emb, _SEM_K)
+
+
+def _sem_dedup_plan(emb: DataFrame, k: int) -> DataFrame:
+    """The deterministic (lowest-id-seeded, sequential-fold cosine)
+    SemDeDup plan for a given centroid count — shared by the fixed-k
+    oracle form and the k ∝ n scaled form."""
     norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
     # norms are computed ONCE per vector (and once per centroid), not
     # inside the pair join: the array-lambda fold is interpreted (not
@@ -133,7 +140,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embn = emb.withColumn("_nrm", norm(F.col("embedding")))
     cent = (
         embn.orderBy("vec_id")
-        .limit(_SEM_K)
+        .limit(k)
         .select(
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cidx"),
             F.col("embedding").alias("cvec"),
@@ -170,6 +177,64 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_dup").isNull(), 1).otherwise(0).cast("int").alias("keep"),
         )
     )
+
+
+#: target expected cluster size for the k ∝ n scaled SemDeDup form —
+#: the quantity that stays CONSTANT as the corpus grows.
+_SEM_TARGET = 64
+
+
+@query(
+    "q_semantic_dedup_scaled",
+    covers=("X-DEDUP-SEMANTIC-SCALED",),
+    oracle=f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cvec
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+              LIMIT (SELECT CAST(ceil(count(*) / {_SEM_TARGET}.0) AS BIGINT)
+                     FROM embeddings))
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cidx,
+               {_COSINE_SQL_FRAG.format(a="e.embedding", b="c.cvec")} AS cos
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cidx AS cluster
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos DESC, cidx ASC) AS rk
+              FROM scored)
+        WHERE rk = 1
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_COSINE_SQL_FRAG.format(a="a.embedding", b="b.embedding")}
+              >= {EMBED_DUP_THRESHOLD}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    """,
+)
+def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the k ∝ n scale contract the fixed-k form lacks:
+    k = ceil(n / 64) lowest-id centroids, so the EXPECTED CLUSTER SIZE
+    stays constant as the corpus grows and the within-cluster pair
+    stage is linear in n (SemDeDup's own prescription; with fixed k it
+    grows ~quadratically).  Same deterministic seeding and
+    sequential-fold cosine as q_semantic_dedup — this is the
+    oracle-checkable twin of ``operators/similarity.semantic_dedup``,
+    which swaps the seeds for a trained ``kmeans_fit`` quantizer and
+    the pair join for per-cluster Arrow-batched numpy (rows-only
+    territory: Lloyd iterations are not SQL-expressible).  The one
+    driver-side scalar is n itself (a count, not data)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(1, math.ceil(emb.count() / _SEM_TARGET))
+    return _sem_dedup_plan(emb, k)
 
 
 @query(
