@@ -91,6 +91,41 @@ def append_index(
     _materialize(df, path, "append", text_col, id_col, n)
 
 
+def _bucket_candidates(bband: DataFrame, idx_bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a=batch, doc_b=corpus) candidate pairs from a
+    band-bucket join.  The equi-join key is ``bh`` ALONE: the band
+    index is already folded into the hash (``_band_rows`` seeds
+    xxhash64 with ``10_000 + band``), so a cross-band bh collision is
+    a ~2⁻⁶⁴ accident — and a harmless one, because every candidate is
+    exact-Jaccard verified (a band equality predicate here would be
+    extracted into the join keys by Catalyst and defeat the
+    single-column bucketing the table layout exists for).  The
+    single-key join is what lets a ``bh``-bucketed corpus table
+    satisfy the join's required distribution with ZERO exchange."""
+    return (
+        bband.alias("a")
+        .join(idx_bands.alias("b"), F.col("a.bh") == F.col("b.bh"))
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _query_against(
+    batch: DataFrame,
+    idx_bands: DataFrame,
+    idx_sh: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    bsh = shingle_sets(batch, text_col, id_col, n).persist()
+    cands = _bucket_candidates(_band_rows(minhash_signatures(bsh)), idx_bands)
+    sh_all = bsh.unionByName(idx_sh)
+    verified = _intersections(cands, sh_all).filter(F.col("jac") >= threshold)
+    return verified.select("doc_a", "doc_b", _jaccard_e4())
+
+
 def query_index(
     batch: DataFrame,
     path: str,
@@ -108,17 +143,98 @@ def query_index(
     spark: SparkSession = batch.sparkSession
     idx_bands = spark.read.parquet(os.path.join(path, "bands"))
     idx_sh = spark.read.parquet(os.path.join(path, "shingles"))
-    bsh = shingle_sets(batch, text_col, id_col, n).persist()
-    bband = _band_rows(minhash_signatures(bsh))
-    cands = (
-        bband.alias("a")
-        .join(
-            idx_bands.alias("b"),
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
-        )
-        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .distinct()
+    return _query_against(batch, idx_bands, idx_sh, threshold, text_col, id_col, n)
+
+
+def build_index_bucketed(
+    df: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets: int = 16,
+) -> None:
+    """The warehouse-scale layout: bands land in a metastore table
+    bucketed (hash-clustered) by ``bh``, shingles in one bucketed by
+    ``_id``.  Bucketing pre-shuffles at write time, so every later
+    batch lookup joins with ZERO exchange on the corpus side — only
+    the O(batch) side shuffles into the bucket layout.  At 100 TB the
+    band table is the big side of every ingest-gate join; never
+    re-shuffling it is the point of materializing the index at all.
+    Same band/shingle dataflow as :func:`build_index` (shingles
+    written first — same crash contract)."""
+    from week4_musemotion_spark.sources.sinks import write_bucketed_table
+
+    sh = shingle_sets(df, text_col, id_col, n).persist()
+    write_bucketed_table(sh, f"{table_prefix}_shingles", "_id", num_buckets)
+    write_bucketed_table(
+        _band_rows(minhash_signatures(sh)), f"{table_prefix}_bands", "bh", num_buckets
     )
-    sh_all = bsh.unionByName(idx_sh)
-    verified = _intersections(cands, sh_all).filter(F.col("jac") >= threshold)
-    return verified.select("doc_a", "doc_b", _jaccard_e4())
+    sh.unpersist()
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    trigger_files: int | None = None,
+) -> dict[str, int]:
+    """Small-files compaction for the parquet index: every streaming
+    append adds part-files to ``bands/`` and ``shingles/``; after N
+    micro-batches the band table is a small-files field and every
+    ``query_index`` scan pays N file opens.  Routes both directories
+    through ``operators/layout.compact_parquet`` (crash-safe
+    staging/rename swap).  Returns {subdir: output file count}
+    (-1 = skipped under the trigger).
+
+    Streaming-gate aware: files of UNCOMMITTED batches (a ``bid-*``
+    prefix with no ``_ingest_commits`` marker — a torn attempt) are
+    purged first, exactly what that batch's own replay would do, so
+    compaction never folds half-written output into the compacted
+    files.  Committed batches lose their ``bid-`` names but keep their
+    markers, so a post-compaction replay still skips them.
+
+    ``trigger_files``: only compact a subdir once it holds more than
+    this many parquet files (None = always).
+    """
+    import shutil
+
+    from week4_musemotion_spark.operators.layout import compact_parquet
+
+    commit_dir = os.path.join(path, "_ingest_commits")
+    committed = set(os.listdir(commit_dir)) if os.path.isdir(commit_dir) else set()
+    out: dict[str, int] = {}
+    for sub in ("shingles", "bands"):
+        d = os.path.join(path, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in list(os.listdir(d)):
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+            elif name.startswith("bid-") and name.split("-")[1] not in committed:
+                os.remove(os.path.join(d, name))
+        n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        if trigger_files is not None and n_files <= trigger_files:
+            out[sub] = -1
+            continue
+        out[sub] = compact_parquet(spark, d, target_file_bytes)
+    return out
+
+
+def query_index_bucketed(
+    batch: DataFrame,
+    table_prefix: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """:func:`query_index` against the bucketed-table layout —
+    identical output contract (same candidates, same verification);
+    the corpus-side band scan satisfies the join's required
+    distribution straight off its buckets (plan-asserted in
+    ``tests/test_lsh_index.py``)."""
+    spark: SparkSession = batch.sparkSession
+    idx_bands = spark.table(f"{table_prefix}_bands")
+    idx_sh = spark.table(f"{table_prefix}_shingles")
+    return _query_against(batch, idx_bands, idx_sh, threshold, text_col, id_col, n)
