@@ -882,3 +882,80 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual",
         F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0).cast("int").alias("exact_match"),
     )
+
+
+def _card_counts(df: DataFrame) -> DataFrame:
+    """The manifest body for the partitioned corpus export: per-shard
+    volume counts (the countable core of q_data_card)."""
+    return df.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
+
+
+@query(
+    "q_export_manifest_audit",
+    covers=("X-EXPORT-MANIFEST",),
+    oracle="""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           CAST(1 AS INTEGER) AS manifest_ok
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def q_export_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven corpus export, audited end-to-end: documents
+    are shipped ``partitionBy(source, lang)`` with a per-shard
+    manifest computed from the data AS WRITTEN and published last
+    (``sinks.export_with_manifest`` — manifest-present = export
+    complete), then this query re-reads the export, recounts every
+    shard, and emits the counts WITH the manifest-match verdict — the
+    check a downstream mixer runs before trusting a shard.  The
+    oracle computes the same counts from the original table, so the
+    partitioned write+re-read+manifest loop is value-hash-checked and
+    every manifest_ok must come back 1.
+
+    Scale shape: the export is one partitioned write (shards are the
+    unit of incremental refresh and of partition-pruned reads); the
+    audit is one grouped recount joined to the tiny manifest.
+    Fixture caching: content-fingerprint key + atomic rename, same
+    protocol as q_orc_roundtrip."""
+    import hashlib
+    import os
+    import tempfile
+
+    from week4_musemotion_spark.sources.sinks import export_with_manifest
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    finger = hashlib.md5(b"export_manifest:" + os.path.abspath(sf_dir).encode())
+    paths = [src] if os.path.isfile(src) else sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs
+    )
+    for p in paths:
+        st = os.stat(p)
+        finger.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    out = os.path.join(
+        tempfile.gettempdir(), "musemotion_export", finger.hexdigest()[:16]
+    )
+    if not os.path.exists(os.path.join(out, "_manifest")):
+        _publish_fixture(
+            out,
+            lambda tmp: export_with_manifest(
+                load_table(spark, sf_dir, "documents"), tmp, _card_counts
+            ),
+        )
+    back = spark.read.parquet(out)
+    manifest = spark.read.parquet(os.path.join(out, "_manifest"))
+    actual = _card_counts(back)
+    m = manifest.withColumnsRenamed({"n_docs": "m_docs", "chars_sum": "m_chars"})
+    return actual.join(m, ["source", "lang"], "left").select(
+        "source",
+        "lang",
+        "n_docs",
+        "chars_sum",
+        (
+            (F.col("n_docs") == F.col("m_docs")) & (F.col("chars_sum") == F.col("m_chars"))
+        ).cast("int").alias("manifest_ok"),
+    )

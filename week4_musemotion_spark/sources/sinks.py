@@ -61,6 +61,61 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def export_with_manifest(
+    df: DataFrame,
+    path: str,
+    manifest_fn,
+    partition_by: tuple[str, ...] = ("source", "lang"),
+) -> None:
+    """Manifest-driven partitioned corpus export (the writer twin of
+    ``queries/textmix.q_data_card``): the data lands
+    ``partitionBy(*partition_by)`` (one directory family per shard —
+    the layout a 100 TB training corpus ships in), then the manifest
+    (one row per shard: ``manifest_fn(re-read df)``) is computed from
+    the data AS WRITTEN — a re-read of the published files, so the
+    counts describe what is actually on disk, not the plan that
+    produced it — and published LAST to ``<path>/_manifest``.
+    Manifest-present ⇒ export complete: readers treat it as the
+    commit marker (the underscore prefix hides it from Spark's data
+    scan).  Consumers ``verify_export`` before mixing a shard in."""
+    import os
+
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    manifest_fn(back).write.mode("overwrite").parquet(os.path.join(path, "_manifest"))
+
+
+def verify_export(spark, path: str, manifest_fn, keys: tuple[str, ...] = ("source", "lang")) -> DataFrame:
+    """Audit an :func:`export_with_manifest` dataset: recompute the
+    manifest from the current files and full-outer-join it against the
+    stored one — any row returned is a shard whose on-disk content no
+    longer matches its manifest (torn rewrite, manual tampering, a
+    partition overwritten without re-carding).  Empty result = clean."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    stored = spark.read.parquet(os.path.join(path, "_manifest"))
+    actual = manifest_fn(spark.read.parquet(path))
+    val_cols = [c for c in stored.columns if c not in keys]
+    cond = F.lit(False)
+    for c in val_cols:
+        cond = cond | ~F.col(f"s.{c}").eqNullSafe(F.col(f"a.{c}"))
+    s, a = stored.alias("s"), actual.alias("a")
+    on = [F.col(f"s.{k}").eqNullSafe(F.col(f"a.{k}")) for k in keys]
+    joined = s.join(a, on, "full_outer")
+    mismatch = joined.filter(
+        cond
+        | F.col(f"s.{keys[0]}").isNull()  # shard on disk, not in manifest
+        | F.col(f"a.{keys[0]}").isNull()  # shard in manifest, gone on disk
+    )
+    return mismatch.select(
+        *[F.coalesce(F.col(f"s.{k}"), F.col(f"a.{k}")).alias(k) for k in keys],
+        *[F.col(f"s.{c}").alias(f"manifest_{c}") for c in val_cols],
+        *[F.col(f"a.{c}").alias(f"actual_{c}") for c in val_cols],
+    )
+
+
 def append_rows(spark, path: str, rows: list, schema=None) -> None:
     """Explicit single/few-row INSERT (SURVEY §2 C2, ref
     musemotion-queries.sql:56-57): literal rows → one-partition
