@@ -301,3 +301,51 @@ def q_lang_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             dev * dev * 10000, F.col("total") * F.col("row_tot") * F.col("col_tot")
         ).alias("chi2_e4"),
     )
+
+
+@query(
+    "q_halflife_decay_score",
+    covers=("X-DECAY-SCORE",),
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS j
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_recent,
+           CAST(sum(c * (CAST(1 AS BIGINT) << (16 - j))) AS BIGINT)
+               AS decay_cents_x32768
+    FROM ranked WHERE j <= 16
+    GROUP BY user_id
+    """,
+)
+def q_halflife_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed user engagement score — the half-life weighting
+    every freshness-sensitive ranking/curation pipeline wants, made
+    EXACT: each of a user's 16 most recent events contributes
+    ``cents(value) · 2^(16-j)`` (j = recency rank), i.e. the classic
+    α=½ exponential decay in fixed-point — halving is a binary shift,
+    so the score is a pure integer with zero float accumulation and
+    hash-matches any engine (the float formulation Σ v·0.5^j diverges
+    by summation order).  Most-recent weight is 2¹⁵ = 32768 (the
+    ``_x32768`` unit); the 16-step window is where 2⁻¹⁶ ≈ leverage
+    zero anyway.
+
+    Scale shape: one keyed window (row_number per user, ts+event_id
+    total order) + one keyed agg — a single shuffle on user_id; the
+    shift weighting is per-row codegen."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    c = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = e.select(
+        "user_id", c.alias("c"), F.row_number().over(w).alias("j")
+    ).filter(F.col("j") <= 16)
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recent"),
+        F.sum(F.expr("c * shiftleft(CAST(1 AS BIGINT), 16 - j)"))
+        .cast("long")
+        .alias("decay_cents_x32768"),
+    )

@@ -454,3 +454,58 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("csize").cast("long").alias("n_docs"),
     )
+
+
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@query(
+    "q_embedding_hygiene",
+    covers=("X-EMBED-HYGIENE",),
+    oracle=f"""
+    WITH n AS (
+        SELECT label,
+               CAST(floor({_NORM_SQL.format(v="embedding")} * 1000000 + 0.5) AS BIGINT)
+                   AS nrm_e6,
+               len(embedding) AS dim
+        FROM embeddings
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_seen,
+           CAST(count(*) FILTER (nrm_e6 = 0) AS BIGINT) AS n_zero_norm,
+           CAST(count(*) FILTER (nrm_e6 < 500000) AS BIGINT) AS n_low_norm,
+           CAST(min(nrm_e6) AS BIGINT) AS min_norm_e6,
+           CAST(max(nrm_e6) AS BIGINT) AS max_norm_e6
+    FROM n
+    GROUP BY label
+    """,
+)
+def q_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column hygiene audit, the gate an embedding corpus runs
+    BEFORE any indexing/dedup/ANN build: per label, the count of
+    zero-norm vectors (no defined cosine — they silently vanish from
+    every similarity op), low-norm vectors (< 0.5: quantization/
+    truncation suspects), the norm range, and the number of DISTINCT
+    dimensionalities seen (ragged arrays break every matrix kernel —
+    must be 1).  Norms are sequential-fold float64 then e6-floored,
+    the same numeric contract as the cosine family, so the audit
+    hash-matches the oracle.
+
+    Scale shape: one scan, per-row expression work, one tiny keyed
+    agg — no shuffle beyond |labels| groups."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm_e6 = F.floor(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * 1_000_000 + F.lit(0.5)).cast("long")
+    n = emb.select(
+        "label", nrm_e6.alias("nrm_e6"), F.size("embedding").alias("dim")
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.countDistinct("dim").cast("long").alias("n_dims_seen"),
+        F.count(F.when(F.col("nrm_e6") == 0, 1)).cast("long").alias("n_zero_norm"),
+        F.count(F.when(F.col("nrm_e6") < 500_000, 1)).cast("long").alias("n_low_norm"),
+        F.min("nrm_e6").alias("min_norm_e6"),
+        F.max("nrm_e6").alias("max_norm_e6"),
+    )

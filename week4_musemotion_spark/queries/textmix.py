@@ -299,3 +299,96 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_div_round(F.sum("qe4"), F.count(F.lit(1))).alias("quality_e4_mean"),
         F.round(F.median("n_tokens") * 2).cast("long").alias("median_tokens_x2"),
     )
+
+
+def _shard_card(d: DataFrame) -> DataFrame:
+    """Per-(source,lang) volume + quality card of one corpus version
+    (the countable core of q_data_card)."""
+    from week4_musemotion_spark.functions.exact import int_div_round
+    from week4_musemotion_spark.operators.textstats import quality_stats
+
+    s = quality_stats(d).select(
+        "doc_id", "n_tokens", F.coalesce("quality_e4", F.lit(0)).alias("qe4")
+    )
+    return (
+        d.select("doc_id", "source", "lang")
+        .join(s, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            int_div_round(F.sum("qe4"), F.count(F.lit(1))).alias("q_mean_e4"),
+        )
+    )
+
+
+_CARD_CTE = """
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST((2 * sum(qe4) + count(*)) // (2 * count(*)) AS BIGINT) AS q_mean_e4
+        FROM (
+            SELECT source, lang, n,
+                   CASE WHEN n > 0
+                        THEN CAST((2 * 50 * least(n, 200) * (n - st) + n) // (2 * n) AS BIGINT)
+                        ELSE 0 END AS qe4
+            FROM (
+                SELECT source, lang,
+                       len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS n,
+                       len(list_filter(list_filter(string_split_regex(text, '\\s+'), w -> w != ''),
+                           w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS st
+                FROM documents {pred}
+            )
+        )
+        GROUP BY source, lang
+"""
+
+
+@query(
+    "q_data_card_drift",
+    covers=("X-DATA-CARD-DRIFT",),
+    oracle=f"""
+    WITH old AS ({_CARD_CTE.format(pred="WHERE doc_id % 7 != 0")}),
+    new AS ({_CARD_CTE.format(pred="")})
+    SELECT new.source, new.lang,
+           CAST(coalesce(old.n_docs, 0) AS BIGINT) AS n_docs_old,
+           new.n_docs AS n_docs_new,
+           CAST(new.n_docs - coalesce(old.n_docs, 0) AS BIGINT) AS docs_added,
+           CAST(new.total_tokens - coalesce(old.total_tokens, 0) AS BIGINT)
+               AS tokens_added,
+           old.q_mean_e4 AS q_mean_old_e4,
+           new.q_mean_e4 AS q_mean_new_e4
+    FROM new LEFT JOIN old ON new.source = old.source AND new.lang = old.lang
+    """,
+)
+def q_data_card_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift report q_data_card's docstring promises: the cards of
+    two corpus versions (settled = doc_id % 7 != 0, refreshed = all —
+    the deterministic stand-in for yesterday's and today's snapshots)
+    are diffed per shard — docs/tokens added and the quality-mean
+    movement, in the same exact-integer arithmetic as the card itself,
+    so a shard whose refresh silently degrades mean quality or lands
+    zero new tokens is one filter away.  New shards show n_docs_old=0
+    with a NULL old mean.
+
+    Scale shape: two grouped passes (at production, the OLD card is
+    read from the previous export's _manifest — cost O(shards), not a
+    recount; the recount form here is what makes it oracle-checkable)
+    and a LEFT join on the tiny shard key."""
+    d = load_table(spark, sf_dir, "documents")
+    old = _shard_card(d.filter(F.col("doc_id") % 7 != 0)).withColumnsRenamed(
+        {"n_docs": "o_docs", "total_tokens": "o_tokens", "q_mean_e4": "q_mean_old_e4"}
+    )
+    new = _shard_card(d)
+    return new.join(old, ["source", "lang"], "left").select(
+        "source",
+        "lang",
+        F.coalesce("o_docs", F.lit(0)).cast("long").alias("n_docs_old"),
+        F.col("n_docs").alias("n_docs_new"),
+        (F.col("n_docs") - F.coalesce("o_docs", F.lit(0))).cast("long").alias("docs_added"),
+        (F.col("total_tokens") - F.coalesce("o_tokens", F.lit(0)))
+        .cast("long")
+        .alias("tokens_added"),
+        "q_mean_old_e4",
+        F.col("q_mean_e4").alias("q_mean_new_e4"),
+    )
