@@ -175,6 +175,73 @@ def knn_brute_force(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the negatives nearest the decision boundary, where the
+    gradient signal lives (random negatives are trivially separable).
+    Same plan shape as :func:`knn_brute_force` — the query
+    matrix+labels broadcast, the corpus streams through Arrow batches
+    with sequential-fold float64 math, each batch pre-prunes to its
+    local top-k under the global total order (cos desc, id asc), and
+    one window takes the global top-k; shuffle volume is
+    O(batches × queries × k), never O(corpus)."""
+    spark = emb.sparkSession
+    pdfq = queries.select(id_col, vec_col, label_col).toPandas()
+    q_ids = pdfq[id_col].to_numpy(dtype=np.int64)
+    if q_ids.size == 0:
+        return _empty_result(spark, "knn")
+    q_mat = _to_matrix(pdfq[vec_col])
+    q_lab = pdfq[label_col].to_numpy(dtype=np.int64)
+    q_norm = _seq_norm(q_mat)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_lab, q_norm))
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q, lab_q, norm_q = bq.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_lab = pdf[label_col].to_numpy(dtype=np.int64)
+            c_mat = _to_matrix(pdf[vec_col])
+            c_norm = _seq_norm(c_mat)
+            denom = c_norm[:, None] * norm_q[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _seq_matmul(c_mat, mat_q) / denom
+            valid = denom > 0
+            out = []
+            for j, qid in enumerate(ids_q):
+                col = cos[:, j]
+                cand = np.nonzero(
+                    (c_ids != qid) & (c_lab != lab_q[j]) & valid[:, j]
+                )[0]
+                if len(cand) > k:
+                    order = np.lexsort((c_ids[cand], -col[cand]))
+                    cand = cand[order[:k]]
+                out.append(
+                    pd.DataFrame({"query_id": qid, "neighbor_id": c_ids[cand], "cos": col[cand]})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = emb.select(id_col, vec_col, label_col).mapInPandas(_score, schema=_PAIR_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            cosine_e6(F.col("cos")).alias("cosine_e6"),
+        )
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,

@@ -509,3 +509,43 @@ def q_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nrm_e6").alias("min_norm_e6"),
         F.max("nrm_e6").alias("max_norm_e6"),
     )
+
+
+@query(
+    "q_hard_negatives",
+    covers=("X-HARD-NEGATIVES",),
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+        FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_COSINE_SQL_FRAG.format(a="qv", b="e.embedding")} AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.qlabel AND e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (the contrastive-training data op): for
+    each query vector (vec_id < 20), the 3 most-similar corpus vectors
+    with a DIFFERENT label — the near-boundary negatives that carry
+    the gradient signal random sampling misses.  Same broadcast-query
+    / Arrow-batched-corpus / local-top-k-pre-prune plan as
+    q_knn_cosine (``operators/similarity.hard_negatives``); the label
+    inequality rides inside the batch kernel, so no candidate ever
+    shuffles that the window would discard."""
+    from week4_musemotion_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=3)
