@@ -280,8 +280,48 @@ def main() -> int:
                 time.perf_counter() - t0, 2
             )
 
+        # round-5 shapes: hard-negative mining (broadcast query set,
+        # Arrow-batched corpus — must be corpus-linear) and the
+        # fixed-point half-life decay (one keyed window+agg with
+        # WindowGroupLimit pre-pruning — user-linear)
+        from week4_musemotion_spark.operators.similarity import hard_negatives
+
+        emb0l = load_table(spark, sf_dir, "embeddings")
+        lab_copies = [emb0l]
+        for i in range(1, n):
+            lab_copies.append(
+                emb0l.select(
+                    (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                    F.concat(
+                        F.slice("embedding", i % 63 + 2, 64 - (i % 63 + 1)),
+                        F.slice("embedding", 1, i % 63 + 1),
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+        emb_l = reduce(DataFrame.unionByName, lab_copies)
+        hardneg = hard_negatives(emb_l, emb0l.filter(F.col("vec_id") < 20), k=3)
+        ev_d = amplify(
+            ev0.select("event_id", "ts", "user_id", "value"), ["user_id", "event_id"], n
+        )
+        wdec = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        decay = (
+            ev_d.select(
+                "user_id",
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long").alias("c"),
+                F.row_number().over(wdec).alias("j"),
+            )
+            .filter(F.col("j") <= 16)
+            .groupBy("user_id")
+            .agg(F.sum(F.expr("c * shiftleft(CAST(1 AS BIGINT), 16 - j)")).alias("s"))
+        )
+
         for shape, df in [
             ("flagship_topk_join", flagship),
+            ("hard_negatives_topk", hardneg),
+            ("halflife_decay", decay),
             ("group_agg", agg),
             ("window_rank", win),
             ("factfact_join_having", factjoin),

@@ -196,6 +196,14 @@ def compact_index(
 
     ``trigger_files``: only compact a subdir once it holds more than
     this many parquet files (None = always).
+
+    NOT concurrent-writer safe: run only while no ingest gate is
+    active on this index — a live batch's not-yet-committed files
+    would be purged as torn mid-flight, and the directory swap races
+    the gate's renames.  (Same single-maintainer contract as any
+    OPTIMIZE/rewrite without a table-format lock manager; the
+    streaming gate's trigger(availableNow) drains to a natural
+    quiesce point.)
     """
     import shutil
 
