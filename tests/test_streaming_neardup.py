@@ -169,3 +169,42 @@ def test_neardup_gate_replay_idempotent(spark, tmp_path, monkeypatch):
     gate_b = tmp_path / "b"
     _run_gate(spark, gate_b, batches, fail_on=1, monkeypatch=monkeypatch)
     assert _gate_state(spark, gate_b) == reference
+
+
+def test_compact_gate_all_outputs(spark, tmp_path):
+    """compact_gate folds index + quarantine + corpus small files,
+    preserves every row, and committed-batch replays still no-op."""
+    import os
+
+    from week4_musemotion_spark.sources.tables import load_table
+    from week4_musemotion_spark.streaming.neardup import compact_gate
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    batches = [d.filter((F.col("doc_id") / 2 % 8).cast("int") == i) for i in range(8)]
+    _run_gate(spark, tmp_path, batches)
+    state_before = {
+        rel: sorted(map(tuple, spark.read.parquet(str(tmp_path / rel)).collect()))
+        for rel in ("quarantine/docs", "corpus/docs", "idx/bands", "idx/shingles")
+    }
+    res = compact_gate(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus"), str(tmp_path / "quarantine")
+    )
+    assert set(res) == {"shingles", "bands", "quarantine", "corpus"}
+    assert all(v >= 1 for v in res.values()), res
+    for rel, rows in state_before.items():
+        p = str(tmp_path / rel)
+        assert sorted(map(tuple, spark.read.parquet(p).collect())) == rows
+        assert sum(1 for f in os.listdir(p) if f.endswith(".parquet")) <= 8
+    # replay of a committed batch after compaction: still a no-op
+    from week4_musemotion_spark.streaming import neardup
+
+    ingest = neardup.make_ingest_fn(
+        str(tmp_path / "idx"), str(tmp_path / "corpus"), str(tmp_path / "quarantine")
+    )
+    ingest(batches[3], 3)
+    assert (
+        sorted(
+            map(tuple, spark.read.parquet(str(tmp_path / "corpus" / "docs")).collect())
+        )
+        == state_before["corpus/docs"]
+    )

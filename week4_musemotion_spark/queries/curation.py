@@ -802,3 +802,60 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "3, 'uniqueness', c2, c3) AS (stage, gate, n_in, n_out)"
         )
     ).select(F.col("stage").cast("int").alias("stage"), "gate", "n_in", "n_out")
+
+
+_PII_DOC = scrub_pii_sql("text")
+
+
+@query(
+    "q_pii_density",
+    covers=("X-PII-DENSITY",),
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source, n_chars,
+               {_PII_DOC['n_urls']} AS n_urls,
+               {_PII_DOC['n_emails']} AS n_emails,
+               {_PII_DOC['n_ips']} AS n_ips
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (n_urls + n_emails + n_ips > 0) AS BIGINT)
+               AS docs_with_pii,
+           CAST(sum(n_urls) AS BIGINT) AS n_urls,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(sum(n_ips) AS BIGINT) AS n_ips,
+           CAST((2 * sum(n_urls + n_emails + n_ips) * 1000000 + sum(n_chars))
+                // (2 * sum(n_chars)) AS BIGINT) AS pii_per_mchars
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure report — the monitoring twin of
+    q_pii_scrub (which transforms): how many documents carry any
+    email/URL/IPv4, the per-class totals, and the density per million
+    characters (exact int-div-round) — the number a privacy review
+    tracks per ingest source and the alarm when a new crawl source
+    spikes.  Counts reuse the scrub chain's exact class-order
+    semantics (emails counted after URL redaction, IPs after both),
+    so monitor and scrubber can never disagree.
+
+    Scale shape: per-row regexp counts at scan speed in codegen
+    (Catalyst prunes the unused redacted-text expression), one tiny
+    keyed agg — no shuffle beyond |sources| groups."""
+    from week4_musemotion_spark.functions.exact import int_div_round
+    from week4_musemotion_spark.operators.curation import scrub_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    pii = scrub_pii(d).select("doc_id", "n_urls", "n_emails", "n_ips")
+    tot = F.col("n_urls") + F.col("n_emails") + F.col("n_ips")
+    per_doc = d.select("doc_id", "source", "n_chars").join(pii, "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(tot > 0, 1)).cast("long").alias("docs_with_pii"),
+        F.sum("n_urls").cast("long").alias("n_urls"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_ips").cast("long").alias("n_ips"),
+        int_div_round(F.sum(tot) * 1_000_000, F.sum("n_chars")).alias("pii_per_mchars"),
+    )

@@ -139,6 +139,49 @@ def make_ingest_fn(
     return _ingest
 
 
+def compact_gate(
+    spark,
+    index_path: str,
+    corpus_path: str,
+    quarantine_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    trigger_files: int | None = None,
+) -> dict[str, int]:
+    """Small-files maintenance for ALL the gate's outputs: the index
+    (via ``lsh_index.compact_index``) plus the quarantine and corpus
+    doc dirs, each accreting one ``bid-*`` file per micro-batch.  Same
+    gate-aware rules everywhere: uncommitted (torn) batches' files are
+    purged first — what their own replay would do — and committed
+    batches keep their ``_ingest_commits`` markers, so post-compaction
+    replays still no-op.  Same single-maintainer contract as
+    ``compact_index``: run only while no ingest is active (the
+    ``trigger(availableNow)`` stream drains to a natural quiesce
+    point).  Returns {dir: output file count} (-1 = under trigger)."""
+    from week4_musemotion_spark.operators.layout import compact_parquet
+    from week4_musemotion_spark.operators.lsh_index import compact_index
+
+    commit_dir = os.path.join(index_path, "_ingest_commits")
+    committed = set(os.listdir(commit_dir)) if os.path.isdir(commit_dir) else set()
+    out = compact_index(spark, index_path, target_file_bytes, trigger_files)
+    for label, d in (
+        ("quarantine", os.path.join(quarantine_path, "docs")),
+        ("corpus", os.path.join(corpus_path, "docs")),
+    ):
+        if not os.path.isdir(d):
+            continue
+        for name in list(os.listdir(d)):
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+            elif name.startswith("bid-") and name.split("-")[1] not in committed:
+                os.remove(os.path.join(d, name))
+        n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        if trigger_files is not None and n_files <= trigger_files:
+            out[label] = -1
+            continue
+        out[label] = compact_parquet(spark, d, target_file_bytes)
+    return out
+
+
 def stream_neardup_ingest(
     stream: DataFrame,
     index_path: str,
