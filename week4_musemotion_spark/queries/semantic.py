@@ -549,3 +549,20 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+@query("q_semantic_dedup_trained", covers=("X-DEDUP-SEMANTIC-TRAINED",), oracle=None)
+def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SemDeDup path (``operators/similarity.
+    semantic_dedup``): trained k-means quantizer (Lloyd iterations —
+    not SQL-expressible, hence rows-only like the ANNs), k ∝ n
+    (ceil(n/64)), Arrow-batched assignment, per-cluster numpy dedup.
+    Emits one (vec_id, cluster, keep) verdict per vector, so the
+    rows-only check still pins totality; the keep-rule semantics are
+    pinned against a numpy recomputation in
+    ``tests/test_similarity_quality.py`` and the oracle-checkable
+    deterministic twin is q_semantic_dedup_scaled."""
+    from week4_musemotion_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, target_cluster_size=64, iters=1)
