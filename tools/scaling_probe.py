@@ -283,45 +283,52 @@ def main() -> int:
         # round-5 shapes: hard-negative mining (broadcast query set,
         # Arrow-batched corpus — must be corpus-linear) and the
         # fixed-point half-life decay (one keyed window+agg with
-        # WindowGroupLimit pre-pruning — user-linear)
-        from week4_musemotion_spark.operators.similarity import hard_negatives
+        # WindowGroupLimit pre-pruning — user-linear).  Guarded like
+        # semantic_dedup above: hard_negatives collects+broadcasts its
+        # query set EAGERLY at construction, so building it when
+        # --shapes excludes it would still run Spark jobs per factor.
+        if only is None or "hard_negatives_topk" in only:
+            from week4_musemotion_spark.operators.similarity import hard_negatives
 
-        emb0l = load_table(spark, sf_dir, "embeddings")
-        lab_copies = [emb0l]
-        for i in range(1, n):
-            lab_copies.append(
-                emb0l.select(
-                    (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
-                    F.concat(
-                        F.slice("embedding", i % 63 + 2, 64 - (i % 63 + 1)),
-                        F.slice("embedding", 1, i % 63 + 1),
-                    ).alias("embedding"),
-                    "label",
+            emb0l = load_table(spark, sf_dir, "embeddings")
+            lab_copies = [emb0l]
+            for i in range(1, n):
+                lab_copies.append(
+                    emb0l.select(
+                        (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                        F.concat(
+                            F.slice("embedding", i % 63 + 2, 64 - (i % 63 + 1)),
+                            F.slice("embedding", 1, i % 63 + 1),
+                        ).alias("embedding"),
+                        "label",
+                    )
                 )
+            emb_l = reduce(DataFrame.unionByName, lab_copies)
+            hardneg = hard_negatives(emb_l, emb0l.filter(F.col("vec_id") < 20), k=3)
+            results.setdefault("hard_negatives_topk", {})[n] = run(hardneg)
+        if only is None or "halflife_decay" in only:
+            from week4_musemotion_spark.functions.exact import cents
+
+            ev_d = amplify(
+                ev0.select("event_id", "ts", "user_id", "value"), ["user_id", "event_id"], n
             )
-        emb_l = reduce(DataFrame.unionByName, lab_copies)
-        hardneg = hard_negatives(emb_l, emb0l.filter(F.col("vec_id") < 20), k=3)
-        ev_d = amplify(
-            ev0.select("event_id", "ts", "user_id", "value"), ["user_id", "event_id"], n
-        )
-        wdec = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        decay = (
-            ev_d.select(
-                "user_id",
-                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long").alias("c"),
-                F.row_number().over(wdec).alias("j"),
+            wdec = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
             )
-            .filter(F.col("j") <= 16)
-            .groupBy("user_id")
-            .agg(F.sum(F.expr("c * shiftleft(CAST(1 AS BIGINT), 16 - j)")).alias("s"))
-        )
+            decay = (
+                ev_d.select(
+                    "user_id",
+                    cents(F.coalesce(F.col("value"), F.lit(0.0))).alias("c"),
+                    F.row_number().over(wdec).alias("j"),
+                )
+                .filter(F.col("j") <= 16)
+                .groupBy("user_id")
+                .agg(F.sum(F.expr("c * shiftleft(CAST(1 AS BIGINT), 16 - j)")).alias("s"))
+            )
+            results.setdefault("halflife_decay", {})[n] = run(decay)
 
         for shape, df in [
             ("flagship_topk_join", flagship),
-            ("hard_negatives_topk", hardneg),
-            ("halflife_decay", decay),
             ("group_agg", agg),
             ("window_rank", win),
             ("factfact_join_having", factjoin),

@@ -205,28 +205,42 @@ def compact_index(
     streaming gate's trigger(availableNow) drains to a natural
     quiesce point.)
     """
-    import shutil
-
-    from week4_musemotion_spark.operators.layout import compact_parquet
-
     commit_dir = os.path.join(path, "_ingest_commits")
     committed = set(os.listdir(commit_dir)) if os.path.isdir(commit_dir) else set()
     out: dict[str, int] = {}
     for sub in ("shingles", "bands"):
         d = os.path.join(path, sub)
-        if not os.path.isdir(d):
-            continue
-        for name in list(os.listdir(d)):
-            if name.startswith(".staging-"):
-                shutil.rmtree(os.path.join(d, name), ignore_errors=True)
-            elif name.startswith("bid-") and name.split("-")[1] not in committed:
-                os.remove(os.path.join(d, name))
-        n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
-        if trigger_files is not None and n_files <= trigger_files:
-            out[sub] = -1
-            continue
-        out[sub] = compact_parquet(spark, d, target_file_bytes)
+        if os.path.isdir(d):
+            out[sub] = _compact_dir(spark, d, committed, target_file_bytes, trigger_files)
     return out
+
+
+def _compact_dir(
+    spark: SparkSession,
+    d: str,
+    committed: set[str],
+    target_file_bytes: int,
+    trigger_files: int | None,
+) -> int:
+    """One gate-output directory's compaction step, shared by
+    :func:`compact_index` and ``streaming.neardup.compact_gate`` so
+    the purge/trigger rules can never diverge between the index and
+    the doc dirs: sweep staging leftovers, purge ``bid-*`` files of
+    uncommitted (torn) batches, then compact unless at-or-under the
+    file-count trigger (returns -1 when skipped)."""
+    import shutil
+
+    from week4_musemotion_spark.operators.layout import compact_parquet
+
+    for name in list(os.listdir(d)):
+        if name.startswith(".staging-"):
+            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+        elif name.startswith("bid-") and name.split("-")[1] not in committed:
+            os.remove(os.path.join(d, name))
+    n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    if trigger_files is not None and n_files <= trigger_files:
+        return -1
+    return compact_parquet(spark, d, target_file_bytes)
 
 
 def query_index_bucketed(

@@ -114,11 +114,14 @@ def curriculum_order(
     side (erroring beats silently emitting two identically-named
     columns that poison every downstream reference).
     """
-    if stage_out_col in df.columns:
-        raise ValueError(
-            f"curriculum_order: input already has a {stage_out_col!r} column; "
-            "pass stage_out_col=<other name> or drop/rename the existing one"
-        )
+    for col, param in ((stage_out_col, "stage_out_col"), (out_col, "out_col")):
+        if col in df.columns:
+            raise ValueError(
+                f"curriculum_order: input already has a {col!r} column; "
+                f"pass {param}=<other name> or drop/rename the existing one"
+            )
+    if stage_out_col == out_col:
+        raise ValueError("curriculum_order: stage_out_col and out_col must differ")
     d = df.withColumn("_stage", stage_col).withColumn(
         "_h", stable_hash64(F.col(key_col).cast("string"))
     )

@@ -337,8 +337,10 @@ def q_halflife_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one keyed window (row_number per user, ts+event_id
     total order) + one keyed agg — a single shuffle on user_id; the
     shift weighting is per-row codegen."""
+    from week4_musemotion_spark.functions.exact import cents
+
     e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    c = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    c = cents(F.coalesce(F.col("value"), F.lit(0.0)))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     ranked = e.select(
         "user_id", c.alias("c"), F.row_number().over(w).alias("j")

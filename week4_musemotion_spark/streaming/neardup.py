@@ -113,28 +113,33 @@ def make_ingest_fn(
         for d in (quarantine_dir, corpus_dir, shingles_dir, bands_dir):
             _purge_keyed(d, tag)
         batch_df = batch_df.persist()
+        clean = sh = None
         try:
             pairs = query_index(
                 batch_df, index_path, threshold=threshold, text_col=text_col, id_col=id_col
             )
             flagged_ids = pairs.select(F.col("doc_a").alias(id_col)).distinct()
             flagged = batch_df.join(flagged_ids, id_col, "left_semi")
-            clean = batch_df.join(flagged_ids, id_col, "left_anti")
+            clean = batch_df.join(flagged_ids, id_col, "left_anti").persist()
             _append_keyed(flagged, quarantine_dir, tag)
-            clean.persist()
             _append_keyed(clean, corpus_dir, tag)
             # shingles before bands — same crash contract as lsh_index
             sh = shingle_sets(clean, text_col, id_col, 3).persist()
             _append_keyed(sh, shingles_dir, tag)
             _append_keyed(_band_rows(minhash_signatures(sh)), bands_dir, tag)
-            sh.unpersist()
-            clean.unpersist()
             # all outputs in place: publish the commit marker LAST
             os.makedirs(commit_dir, exist_ok=True)
             with open(marker, "w") as fh:
                 fh.write("committed\n")
         finally:
+            # unpersist on EVERY path: a failed attempt is expected
+            # here (the replay protocol exists for it), and stranding
+            # cached frames per retry would bleed executor storage
             batch_df.unpersist()
+            if clean is not None:
+                clean.unpersist()
+            if sh is not None:
+                sh.unpersist()
 
     return _ingest
 
@@ -157,8 +162,7 @@ def compact_gate(
     ``compact_index``: run only while no ingest is active (the
     ``trigger(availableNow)`` stream drains to a natural quiesce
     point).  Returns {dir: output file count} (-1 = under trigger)."""
-    from week4_musemotion_spark.operators.layout import compact_parquet
-    from week4_musemotion_spark.operators.lsh_index import compact_index
+    from week4_musemotion_spark.operators.lsh_index import _compact_dir, compact_index
 
     commit_dir = os.path.join(index_path, "_ingest_commits")
     committed = set(os.listdir(commit_dir)) if os.path.isdir(commit_dir) else set()
@@ -167,18 +171,8 @@ def compact_gate(
         ("quarantine", os.path.join(quarantine_path, "docs")),
         ("corpus", os.path.join(corpus_path, "docs")),
     ):
-        if not os.path.isdir(d):
-            continue
-        for name in list(os.listdir(d)):
-            if name.startswith(".staging-"):
-                shutil.rmtree(os.path.join(d, name), ignore_errors=True)
-            elif name.startswith("bid-") and name.split("-")[1] not in committed:
-                os.remove(os.path.join(d, name))
-        n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
-        if trigger_files is not None and n_files <= trigger_files:
-            out[label] = -1
-            continue
-        out[label] = compact_parquet(spark, d, target_file_bytes)
+        if os.path.isdir(d):
+            out[label] = _compact_dir(spark, d, committed, target_file_bytes, trigger_files)
     return out
 
 
