@@ -46,3 +46,42 @@ def test_export_roundtrip_and_tamper_detection(spark, tmp_path):
     assert all(r["actual_n_docs"] is None for r in bad)
     src_val = shard.name.split("=", 1)[1]
     assert all(r["source"] == src_val for r in bad)
+
+
+def test_manifest_audit_flags_tampering_with_zero_not_null(spark, tmp_path):
+    """The audit query's join: a shard missing from the manifest reads
+    manifest_ok = 0 (never NULL), and a manifest-listed shard gone
+    from disk still surfaces as a row — the two tamper classes a LEFT
+    join with plain equality silently passed."""
+    from week4_musemotion_spark.queries.pipeline_ops import _card_counts, _manifest_audit
+    from week4_musemotion_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    actual = _card_counts(d)
+    manifest = _card_counts(d)
+
+    # clean: every shard ok=1, none NULL
+    clean = _manifest_audit(actual, manifest).toPandas()
+    assert (clean["manifest_ok"] == 1).all() and clean["manifest_ok"].notna().all()
+
+    keys = [(r["source"], r["lang"]) for r in manifest.select("source", "lang").collect()]
+    drop_src, drop_lang = keys[0]
+
+    # tamper A: manifest row deleted -> that shard reads ok=0, not NULL
+    m_missing = manifest.filter(
+        ~((F.col("source") == drop_src) & (F.col("lang") == drop_lang))
+    )
+    a = _manifest_audit(actual, m_missing).toPandas()
+    row = a[(a["source"] == drop_src) & (a["lang"] == drop_lang)]
+    assert len(row) == 1 and row["manifest_ok"].iloc[0] == 0
+    assert a["manifest_ok"].notna().all()
+
+    # tamper B: shard gone from disk but still in manifest -> row
+    # survives the join with ok=0 and zeroed counts
+    a_missing = actual.filter(
+        ~((F.col("source") == drop_src) & (F.col("lang") == drop_lang))
+    )
+    b = _manifest_audit(a_missing, manifest).toPandas()
+    row = b[(b["source"] == drop_src) & (b["lang"] == drop_lang)]
+    assert len(row) == 1 and row["manifest_ok"].iloc[0] == 0
+    assert row["n_docs"].iloc[0] == 0 and row["chars_sum"].iloc[0] == 0

@@ -119,7 +119,13 @@ def _query_against(
     id_col: str,
     n: int,
 ) -> DataFrame:
-    bsh = shingle_sets(batch, text_col, id_col, n).persist()
+    # deliberately NOT persisted: the shingle subtree appears twice in
+    # the plan (signatures + verification union), but it is O(batch)
+    # projection/explode work — recomputing it is cheaper than what a
+    # lazy builder cannot do, which is unpersist after the caller's
+    # action (each streaming micro-batch would strand one cached frame;
+    # the expensive corpus side is an index scan either way)
+    bsh = shingle_sets(batch, text_col, id_col, n)
     cands = _bucket_candidates(_band_rows(minhash_signatures(bsh)), idx_bands)
     sh_all = bsh.unionByName(idx_sh)
     verified = _intersections(cands, sh_all).filter(F.col("jac") >= threshold)
@@ -178,6 +184,7 @@ def compact_index(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     trigger_files: int | None = None,
+    committed: set[str] | None = None,
 ) -> dict[str, int]:
     """Small-files compaction for the parquet index: every streaming
     append adds part-files to ``bands/`` and ``shingles/``; after N
@@ -205,8 +212,12 @@ def compact_index(
     streaming gate's trigger(availableNow) drains to a natural
     quiesce point.)
     """
-    commit_dir = os.path.join(path, "_ingest_commits")
-    committed = set(os.listdir(commit_dir)) if os.path.isdir(commit_dir) else set()
+    # `committed` lets a caller coordinating multiple dirs (compact_gate)
+    # pass ONE commit-log snapshot, so every dir purges against the same
+    # view even if a batch commits mid-pass
+    if committed is None:
+        commit_dir = os.path.join(path, "_ingest_commits")
+        committed = set(os.listdir(commit_dir)) if os.path.isdir(commit_dir) else set()
     out: dict[str, int] = {}
     for sub in ("shingles", "bands"):
         d = os.path.join(path, sub)

@@ -622,7 +622,7 @@ def kmeans_fit(
 
 def semantic_dedup(
     emb: DataFrame,
-    k: int | None = None,
+    k: int | str | None = None,
     threshold: float = 0.45,
     target_cluster_size: int = 64,
     iters: int = 2,
@@ -638,9 +638,20 @@ def semantic_dedup(
     grow 100× and its pair join ~quadratically — exactly the gap this
     default closes.)
 
+    Honest two-term cost model: assignment is O(n·k·dim) (every vector
+    scores every centroid) and the pair stage is O(n·(n/k)·dim), so
+    k ∝ n makes PAIRS linear while pushing ASSIGNMENT toward n²/target
+    — fine through millions of vectors (the vectorized matmul constant
+    dominates; the 1–16× probe in SCALING.md is flat for exactly that
+    reason), but past that the balanced choice is ``k ≈ √n``, which
+    equalizes both terms at O(n^1.5·dim): pass ``k="balanced"`` for
+    that, or an explicit int.  (The driver/broadcast footprint is the
+    k×dim centroid matrix, so k ∝ n also grows that linearly — another
+    reason the extreme-n regime wants √n or a hierarchical quantizer.)
+
     Plan shape: ``kmeans_fit`` collects only the k×dim centroid
-    matrix (never vectors); assignment is one Arrow-batched scan;
-    the dedup itself is ``applyInPandas`` per cluster — a single
+    matrix (never corpus vectors); assignment is one Arrow-batched
+    scan; the dedup itself is ``applyInPandas`` per cluster — a single
     shuffle on the cluster id, then an O(c²) numpy cosine block per
     cluster with c bounded around the target size, instead of
     interpreted per-pair expression folds.  A pathologically popular
@@ -653,6 +664,8 @@ def semantic_dedup(
     """
     if k is None:
         k = max(1, math.ceil(emb.count() / target_cluster_size))
+    elif k == "balanced":
+        k = max(1, math.ceil(math.sqrt(emb.count())))
     cent = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = _assign_clusters(emb, cent, id_col, vec_col, id_col)
     schema = T.StructType(

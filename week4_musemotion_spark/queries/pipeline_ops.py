@@ -948,14 +948,26 @@ def q_export_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     back = spark.read.parquet(out)
     manifest = spark.read.parquet(os.path.join(out, "_manifest"))
-    actual = _card_counts(back)
+    return _manifest_audit(_card_counts(back), manifest)
+
+
+def _manifest_audit(actual: DataFrame, manifest: DataFrame) -> DataFrame:
+    """The audit join: FULL outer + null-safe verdict, because a shard
+    missing from the manifest must read manifest_ok = 0 (not NULL,
+    which a ``= 0`` consumer filter would miss), and a shard listed in
+    the manifest but gone on disk must still surface as a row — a LEFT
+    join from the actual side silently dropped it.  Clean exports are
+    unaffected: both sides carry identical keys, so the oracle's
+    per-shard counts still match.  Pinned by
+    ``tests/test_export_manifest.py``."""
     m = manifest.withColumnsRenamed({"n_docs": "m_docs", "chars_sum": "m_chars"})
-    return actual.join(m, ["source", "lang"], "left").select(
+    return actual.join(m, ["source", "lang"], "full_outer").select(
         "source",
         "lang",
-        "n_docs",
-        "chars_sum",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("chars_sum", F.lit(0)).cast("long").alias("chars_sum"),
         (
-            (F.col("n_docs") == F.col("m_docs")) & (F.col("chars_sum") == F.col("m_chars"))
+            F.col("n_docs").eqNullSafe(F.col("m_docs"))
+            & F.col("chars_sum").eqNullSafe(F.col("m_chars"))
         ).cast("int").alias("manifest_ok"),
     )

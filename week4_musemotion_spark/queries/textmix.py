@@ -244,24 +244,32 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_data_card",
-    covers=("X-DATA-CARD",),
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, source, lang, md5(text) AS th,
-               len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS n,
-               len(list_filter(list_filter(string_split_regex(text, '\\s+'), w -> w != ''),
-                   w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS st
-        FROM documents
-    ),
-    q AS (
-        SELECT source, lang, th, n,
+def _card_doc_sql(pred: str) -> str:
+    """Per-document card fragment (content hash, whitespace token
+    count, stopword-damped quality score) — the ONE copy of the card's
+    quality formula, shared by q_data_card's oracle and the per-version
+    instances inside q_data_card_drift's so the two can never drift
+    apart (same rationale as scrub_pii_sql)."""
+    return f"""
+        SELECT source, lang, md5(text) AS th, n,
                CASE WHEN n > 0
                     THEN CAST((2 * 50 * least(n, 200) * (n - st) + n) // (2 * n) AS BIGINT)
                     ELSE 0 END AS qe4
-        FROM t
-    )
+        FROM (
+            SELECT source, lang, text,
+                   len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS n,
+                   len(list_filter(list_filter(string_split_regex(text, '\\s+'), w -> w != ''),
+                       w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS st
+            FROM documents {pred}
+        )
+    """
+
+
+@query(
+    "q_data_card",
+    covers=("X-DATA-CARD",),
+    oracle=f"""
+    WITH q AS ({_card_doc_sql("")})
     SELECT source, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n) AS BIGINT) AS total_tokens,
@@ -322,24 +330,16 @@ def _shard_card(d: DataFrame) -> DataFrame:
     )
 
 
-_CARD_CTE = """
+def _card_cte(pred: str) -> str:
+    """One corpus version's shard card — aggregates the shared
+    :func:`_card_doc_sql` fragment, so the drift report's oracle uses
+    the exact same quality formula as the card's."""
+    return f"""
         SELECT source, lang,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n) AS BIGINT) AS total_tokens,
                CAST((2 * sum(qe4) + count(*)) // (2 * count(*)) AS BIGINT) AS q_mean_e4
-        FROM (
-            SELECT source, lang, n,
-                   CASE WHEN n > 0
-                        THEN CAST((2 * 50 * least(n, 200) * (n - st) + n) // (2 * n) AS BIGINT)
-                        ELSE 0 END AS qe4
-            FROM (
-                SELECT source, lang,
-                       len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS n,
-                       len(list_filter(list_filter(string_split_regex(text, '\\s+'), w -> w != ''),
-                           w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS st
-                FROM documents {pred}
-            )
-        )
+        FROM ({_card_doc_sql(pred)})
         GROUP BY source, lang
 """
 
@@ -348,8 +348,8 @@ _CARD_CTE = """
     "q_data_card_drift",
     covers=("X-DATA-CARD-DRIFT",),
     oracle=f"""
-    WITH old AS ({_CARD_CTE.format(pred="WHERE doc_id % 7 != 0")}),
-    new AS ({_CARD_CTE.format(pred="")})
+    WITH old AS ({_card_cte("WHERE doc_id % 7 != 0")}),
+    new AS ({_card_cte("")})
     SELECT new.source, new.lang,
            CAST(coalesce(old.n_docs, 0) AS BIGINT) AS n_docs_old,
            new.n_docs AS n_docs_new,

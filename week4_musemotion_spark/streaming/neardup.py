@@ -113,12 +113,18 @@ def make_ingest_fn(
         for d in (quarantine_dir, corpus_dir, shingles_dir, bands_dir):
             _purge_keyed(d, tag)
         batch_df = batch_df.persist()
-        clean = sh = None
+        flagged_ids = clean = sh = None
         try:
             pairs = query_index(
                 batch_df, index_path, threshold=threshold, text_col=text_col, id_col=id_col
             )
-            flagged_ids = pairs.select(F.col("doc_a").alias(id_col)).distinct()
+            # persist + materialize the flagged id set NOW: the
+            # quarantine write and the clean anti-join both derive from
+            # it, and without the cache each append re-runs the whole
+            # index-join + exact-verification subtree — the dominant
+            # per-batch cost, paid twice
+            flagged_ids = pairs.select(F.col("doc_a").alias(id_col)).distinct().persist()
+            flagged_ids.count()
             flagged = batch_df.join(flagged_ids, id_col, "left_semi")
             clean = batch_df.join(flagged_ids, id_col, "left_anti").persist()
             _append_keyed(flagged, quarantine_dir, tag)
@@ -136,10 +142,9 @@ def make_ingest_fn(
             # here (the replay protocol exists for it), and stranding
             # cached frames per retry would bleed executor storage
             batch_df.unpersist()
-            if clean is not None:
-                clean.unpersist()
-            if sh is not None:
-                sh.unpersist()
+            for frame in (flagged_ids, clean, sh):
+                if frame is not None:
+                    frame.unpersist()
 
     return _ingest
 
@@ -166,7 +171,9 @@ def compact_gate(
 
     commit_dir = os.path.join(index_path, "_ingest_commits")
     committed = set(os.listdir(commit_dir)) if os.path.isdir(commit_dir) else set()
-    out = compact_index(spark, index_path, target_file_bytes, trigger_files)
+    # one commit-log snapshot for ALL dirs: index and doc dirs must
+    # agree on which batches are torn
+    out = compact_index(spark, index_path, target_file_bytes, trigger_files, committed)
     for label, d in (
         ("quarantine", os.path.join(quarantine_path, "docs")),
         ("corpus", os.path.join(corpus_path, "docs")),
