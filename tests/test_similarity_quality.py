@@ -164,3 +164,28 @@ def test_semantic_dedup_scaled_k_invariants(spark):
         assert ((got == expect) | (got == strict)).all()
     # dedup actually fires on this corpus at tau=0.45
     assert (out["keep"] == 0).any()
+
+
+def test_hard_negatives_lsh_recall_floor(spark):
+    """The LSH scale path for hard-negative mining recovers nearly all
+    of the exact different-label top-k (measured ≈0.99 at oversample=4
+    on these embeddings); a broken sketch or a label filter applied
+    after a too-small pool collapses this."""
+    from week4_musemotion_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = {(r.query_id, r.neighbor_id) for r in hard_negatives(emb, q, k=3).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in hard_negatives_lsh(emb, q, k=3, oversample=4).collect()
+    }
+    assert exact, "exact baseline empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"hard-negative LSH recall collapsed: {recall:.3f}"
+    # every returned negative really has a different label
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[a] != labels[b] for a, b in approx)

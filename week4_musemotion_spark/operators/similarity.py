@@ -242,6 +242,50 @@ def hard_negatives(
     )
 
 
+def hard_negatives_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    oversample: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Scale path for :func:`hard_negatives`: LSH-bucketed candidates
+    instead of a full corpus sweep.  :func:`knn_lsh` retrieves
+    ``k·oversample`` approximate nearest neighbors per query (bucket
+    collisions + exact rerank — work scales with bucket occupancy,
+    never corpus²), the label join discards same-label hits, and the
+    survivors re-rank to the top-k different-label negatives.
+    ``oversample`` absorbs same-label crowd-out: if a query's own
+    class dominates its neighborhood, the k·oversample pool must
+    reach past it — raise it for strongly clustered label spaces.
+    Approximate by construction (bucket recall < 1 on top of the
+    crowd-out bound), so rows-only territory like the ANNs; the exact
+    twin :func:`hard_negatives` is the oracle shape."""
+    cand = knn_lsh(
+        emb, queries, k=k * oversample, id_col=id_col, vec_col=vec_col, **lsh_kwargs
+    )
+    nlab = emb.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nlab"))
+    # query labels come from the QUERY frame (small by contract — the
+    # corpus-wide label table would not be broadcastable)
+    qlab = queries.select(F.col(id_col).alias("query_id"), F.col(label_col).alias("_qlab"))
+    filtered = (
+        cand.join(F.broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .filter(F.col("_nlab") != F.col("_qlab"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        filtered.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cosine_e6")
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,
