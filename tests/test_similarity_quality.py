@@ -189,3 +189,31 @@ def test_hard_negatives_lsh_recall_floor(spark):
     # every returned negative really has a different label
     labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
     assert all(labels[a] != labels[b] for a, b in approx)
+
+
+def test_ivf_assignment_agreement_and_dedup_totality(spark):
+    """The IVF-accelerated assignment (the O(n*sqrt(k)) escalation of
+    semantic_dedup's assignment stage) agrees with the exact argmin on
+    ~all vectors at the probes=3 default, and semantic_dedup(assign=
+    'ivf') still emits exactly one verdict per vector."""
+    from week4_musemotion_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cent = S.kmeans_fit(emb, k=32, iters=1)
+    exact = {
+        r["vec_id"]: r["cluster"]
+        for r in S._assign_clusters(emb, cent, "vec_id", "embedding", "vec_id").collect()
+    }
+    ivf = {
+        r["vec_id"]: r["cluster"]
+        for r in S._assign_clusters_ivf(
+            emb, cent, "vec_id", "embedding", "vec_id"
+        ).collect()
+    }
+    assert set(ivf) == set(exact)
+    agree = sum(exact[v] == ivf[v] for v in exact) / len(exact)
+    assert agree >= 0.95, f"IVF assignment diverged from exact argmin: {agree:.3f}"
+
+    out = S.semantic_dedup(emb, target_cluster_size=16, iters=1, assign="ivf").toPandas()
+    assert sorted(out["vec_id"]) == sorted(exact)
+    assert set(out["keep"].unique()) <= {0, 1}

