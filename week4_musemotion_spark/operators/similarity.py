@@ -720,18 +720,38 @@ def _assign_clusters_ivf(
             mat = _to_matrix(pdf[vec_col])
             cd = crs_sq[None, :] - 2.0 * (mat @ crs.T)
             top_cells = np.argsort(cd, axis=1, kind="stable")[:, :p]
-            out = np.empty(len(mat), dtype=np.int32)
-            for i in range(len(mat)):
-                cand = np.concatenate([mem[c] for c in top_cells[i] if len(mem[c])])
-                if len(cand) == 0:
-                    cand = np.arange(cent.shape[0], dtype=np.int64)
-                scores = cent_sq[cand] - 2.0 * (cent[cand] @ mat[i])
-                out[i] = cand[np.argmin(scores)]
+            # vectorized per COARSE CELL (≤ p·√k small matmuls per
+            # batch), never per row — a row-wise Python loop here would
+            # put O(n) interpreter iterations on the hot path.  Ties
+            # across cells resolve to the first-processed cell (floats
+            # tie with measure zero; iteration order is fixed, so the
+            # result is deterministic either way).
+            best_score = np.full(len(mat), np.inf)
+            best_idx = np.zeros(len(mat), dtype=np.int64)
+            for c in range(len(mem)):
+                if len(mem[c]) == 0:
+                    continue
+                rows = np.nonzero((top_cells == c).any(axis=1))[0]
+                if len(rows) == 0:
+                    continue
+                cand = mem[c]
+                sc = cent_sq[cand][None, :] - 2.0 * (mat[rows] @ cent[cand].T)
+                loc = np.argmin(sc, axis=1)
+                val = sc[np.arange(len(rows)), loc]
+                upd = val < best_score[rows]
+                best_score[rows[upd]] = val[upd]
+                best_idx[rows[upd]] = cand[loc[upd]]
+            # empty probe unions (all probed cells empty) fall back to
+            # the full exact argmin for those rows
+            miss = np.nonzero(~np.isfinite(best_score))[0]
+            if len(miss):
+                sc = cent_sq[None, :] - 2.0 * (mat[miss] @ cent.T)
+                best_idx[miss] = np.argmin(sc, axis=1)
             yield pd.DataFrame(
                 {
                     out_id: pdf[id_col].to_numpy(dtype=np.int64),
                     vec_col: pdf[vec_col],
-                    "cluster": out,
+                    "cluster": best_idx.astype(np.int32),
                 }
             )
 
