@@ -85,3 +85,62 @@ def test_manifest_audit_flags_tampering_with_zero_not_null(spark, tmp_path):
     row = b[(b["source"] == drop_src) & (b["lang"] == drop_lang)]
     assert len(row) == 1 and row["manifest_ok"].iloc[0] == 0
     assert row["n_docs"].iloc[0] == 0 and row["chars_sum"].iloc[0] == 0
+
+
+def test_refresh_manifest_recards_only_named_shards(spark, tmp_path):
+    """Incremental re-card (sinks.refresh_manifest): append to ONE
+    shard, refresh only that shard, and the manifest is consistent
+    again (verify_export clean) while every OTHER shard's manifest
+    row is value-identical to before the refresh."""
+    from week4_musemotion_spark.sources.sinks import (
+        export_with_manifest,
+        refresh_manifest,
+        verify_export,
+    )
+    from week4_musemotion_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "corpus")
+    export_with_manifest(d, out, _card)
+    before = {
+        (r["source"], r["lang"]): (r["n_docs"], r["chars_sum"])
+        for r in spark.read.parquet(out + "/_manifest").collect()
+    }
+
+    # append rows to one existing shard, bypassing the manifest
+    tgt = d.limit(1).collect()[0]
+    extra = d.filter((F.col("source") == tgt["source"]) & (F.col("lang") == tgt["lang"])).limit(3)
+    n_extra = extra.count()
+    assert n_extra > 0
+    extra.write.mode("append").partitionBy("source", "lang").parquet(out)
+
+    # the stale manifest now flags exactly the touched shard
+    bad = verify_export(spark, out, _card).collect()
+    assert [(r["source"], r["lang"]) for r in bad] == [(tgt["source"], tgt["lang"])]
+
+    refresh_manifest(
+        spark, out, _card, [{"source": tgt["source"], "lang": tgt["lang"]}]
+    )
+    assert verify_export(spark, out, _card).count() == 0
+    after = {
+        (r["source"], r["lang"]): (r["n_docs"], r["chars_sum"])
+        for r in spark.read.parquet(out + "/_manifest").collect()
+    }
+    key = (tgt["source"], tgt["lang"])
+    assert after[key][0] == before[key][0] + n_extra
+    assert {k: v for k, v in after.items() if k != key} == {
+        k: v for k, v in before.items() if k != key
+    }
+
+
+def test_refresh_manifest_rejects_bad_partition_spec(spark, tmp_path):
+    import pytest
+
+    from week4_musemotion_spark.sources.sinks import export_with_manifest, refresh_manifest
+    from week4_musemotion_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "corpus")
+    export_with_manifest(d, out, _card)
+    with pytest.raises(ValueError, match="missing key"):
+        refresh_manifest(spark, out, _card, [{"source": "web"}])

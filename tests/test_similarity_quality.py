@@ -217,3 +217,82 @@ def test_ivf_assignment_agreement_and_dedup_totality(spark):
     out = S.semantic_dedup(emb, target_cluster_size=16, iters=1, assign="ivf").toPandas()
     assert sorted(out["vec_id"]) == sorted(exact)
     assert set(out["keep"].unique()) <= {0, 1}
+
+
+def test_semantic_dedup_fit_fraction_sampled_quantizer(spark):
+    """fit_fraction trains the quantizer on a seeded sample (the
+    FAISS-style cost cut for Lloyd's per-iteration assignment).  The
+    keep rule is exact WITHIN whatever clusters the quantizer
+    produces, so the invariants that must survive sampling are:
+    totality (every vector verdict'd once), a non-collapsed
+    quantizer, and per-cluster keep decisions that match a numpy
+    recomputation — identical to the full-fit contract."""
+    import numpy as np
+
+    from week4_musemotion_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = S.semantic_dedup(emb, target_cluster_size=16, fit_fraction=0.5).toPandas()
+
+    assert sorted(out["vec_id"]) == sorted(
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    )
+    assert out["cluster"].nunique() > 1
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for _, grp in out.groupby("cluster"):
+        grp = grp.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack([vecs[v] for v in grp["vec_id"]])
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        unit = mat / np.where(nrm == 0, 1.0, nrm)[:, None]
+        cos = unit @ unit.T
+        dup = np.triu(cos >= 0.45 - 1e-9, k=1) & (nrm > 0)[:, None] & (nrm > 0)[None, :]
+        expect = ~dup.any(axis=0)
+        got = grp["keep"].to_numpy().astype(bool)
+        strict = ~(np.triu(cos >= 0.45 + 1e-9, k=1)).any(axis=0)
+        assert ((got == expect) | (got == strict)).all()
+
+
+def test_kmeans_fit_fraction_guards(spark):
+    """A sample too thin to seed k clusters silently falls back to the
+    full corpus (centroid count stays k); out-of-range fractions and
+    bad string k / assign values are rejected up front."""
+    import pytest
+
+    from week4_musemotion_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(40)
+    cent = S.kmeans_fit(emb, k=8, iters=1, fit_fraction=0.01)
+    assert cent.shape[0] == 8
+
+    with pytest.raises(ValueError, match="fit_fraction"):
+        S.kmeans_fit(emb, k=4, fit_fraction=1.5)
+    with pytest.raises(ValueError, match="balanced"):
+        S.semantic_dedup(emb, k="sqrt")
+    with pytest.raises(ValueError, match="assign"):
+        S.semantic_dedup(emb, k=4, assign="fancy")
+
+
+def test_hard_negatives_null_label_contract(spark):
+    """Null labels are rejected with a clear contract error, not a
+    mid-kernel NaN→int cast failure."""
+    import pytest
+
+    from week4_musemotion_spark.operators import similarity as S
+
+    from pyspark.errors import PythonException
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(20)
+    nulled = emb.withColumn(
+        "label", F.when(F.col("vec_id") % 5 == 0, None).otherwise(F.col("label"))
+    )
+    q = emb.limit(3)
+
+    # query side: validated on the driver before any job runs
+    with pytest.raises(ValueError, match="non-null integer labels"):
+        S.hard_negatives(emb, nulled, k=2)
+
+    # corpus side: surfaces from the Arrow kernel at execution time
+    with pytest.raises(PythonException, match="non-null integer labels"):
+        S.hard_negatives(nulled, q, k=2).collect()

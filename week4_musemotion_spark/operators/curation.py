@@ -39,13 +39,23 @@ REDACT_EMAIL = "<EMAIL>"
 REDACT_IPV4 = "<IP>"
 
 
-def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Detect + redact emails / URLs / IPv4s in one projection.
 
     Counts are taken on the text *after* the previous class was
     redacted, so an email inside a URL is never double-counted.
     Pure per-row regexp expressions — at 100 TB this runs at scan
     speed inside whole-stage codegen, no shuffle, no Python.
+
+    ``keep_cols`` passes additional input columns through the same
+    projection, so monitoring queries that need e.g. ``source`` or
+    ``n_chars`` alongside the counts stay a single scan instead of
+    joining the counts back to the corpus on ``id_col``.
     """
     t0 = F.col(text_col)
     n_urls = F.regexp_count(t0, F.lit(PII_URL)).cast("long")
@@ -56,6 +66,7 @@ def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     t3 = F.regexp_replace(t2, PII_IPV4, REDACT_IPV4)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_urls.alias("n_urls"),
         n_emails.alias("n_emails"),
         n_ips.alias("n_ips"),

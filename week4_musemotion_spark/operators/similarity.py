@@ -192,12 +192,21 @@ def hard_negatives(
     with sequential-fold float64 math, each batch pre-prunes to its
     local top-k under the global total order (cos desc, id asc), and
     one window takes the global top-k; shuffle volume is
-    O(batches × queries × k), never O(corpus)."""
+    O(batches × queries × k), never O(corpus).
+
+    Contract: ``label_col`` must be non-null integers on BOTH sides
+    (labels are compared as int64 inside the Arrow kernel); null
+    labels are rejected up front with a clear error rather than
+    failing mid-kernel on the NaN→int cast."""
     spark = emb.sparkSession
     pdfq = queries.select(id_col, vec_col, label_col).toPandas()
     q_ids = pdfq[id_col].to_numpy(dtype=np.int64)
     if q_ids.size == 0:
         return _empty_result(spark, "knn")
+    if pdfq[label_col].isna().any():
+        raise ValueError(
+            f"hard_negatives requires non-null integer labels; query side has null {label_col!r}"
+        )
     q_mat = _to_matrix(pdfq[vec_col])
     q_lab = pdfq[label_col].to_numpy(dtype=np.int64)
     q_norm = _seq_norm(q_mat)
@@ -206,6 +215,10 @@ def hard_negatives(
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_q, mat_q, lab_q, norm_q = bq.value
         for pdf in batches:
+            if pdf[label_col].isna().any():
+                raise ValueError(
+                    f"hard_negatives requires non-null integer labels; corpus has null {label_col!r}"
+                )
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_lab = pdf[label_col].to_numpy(dtype=np.int64)
             c_mat = _to_matrix(pdf[vec_col])
@@ -639,18 +652,38 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float | None = None,
+    seed: int = 42,
 ) -> np.ndarray:
     """Lloyd's k-means with deterministic seeding (the ``k`` smallest
     ids), expressed Spark-first: assignment is an Arrow-batched map
     over the corpus, the centroid update is ``posexplode`` → one hash
     aggregate on (cluster, dim) — both linear scans, no all-pairs.
-    Only the (k × dim) centroid matrix ever reaches the driver."""
-    seeds = emb.select(id_col, vec_col).orderBy(id_col).limit(k)
+    Only the (k × dim) centroid matrix ever reaches the driver.
+
+    ``fit_fraction`` fits the quantizer on a seeded Bernoulli sample
+    of the corpus: each Lloyd iteration's assignment pass costs
+    O(n·fit_fraction·k·dim) instead of O(n·k·dim) — the standard
+    IVF-training move (FAISS trains coarse quantizers on samples for
+    the same reason).  Centroid QUALITY degrades only with sample
+    representativeness, not corpus size, so at extreme n a small
+    fraction loses almost nothing while cutting the dominant fit
+    cost.  Falls back to the full corpus when the sample is too small
+    to seed ``k`` clusters."""
+    if fit_fraction is not None and not 0.0 < fit_fraction <= 1.0:
+        raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction!r}")
+    if fit_fraction is not None and fit_fraction < 1.0:
+        fit_df = emb.select(id_col, vec_col).sample(fraction=fit_fraction, seed=seed)
+        if fit_df.limit(k).count() < k:  # sample too thin to seed k clusters
+            fit_df = emb
+    else:
+        fit_df = emb
+    seeds = fit_df.select(id_col, vec_col).orderBy(id_col).limit(k)
     _, cent = _collect_matrix(seeds, id_col, vec_col)
     if cent.shape[0] == 0:
         raise ValueError("empty embedding corpus")
     for _ in range(iters):
-        assigned = _assign_clusters(emb, cent, id_col, vec_col, "_id")
+        assigned = _assign_clusters(fit_df, cent, id_col, vec_col, "_id")
         means = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -767,6 +800,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: str = "exact",
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with the scale
     contract wired in: ``k`` defaults to ``ceil(n / target_cluster_size)``
@@ -792,8 +826,11 @@ def semantic_dedup(
     and scans only the probed cells' centroids — O(n·√k·dim) instead
     of O(n·k·dim), approximate only at cell boundaries (agreement with
     the exact argmin pinned by test).  At that scale, also fit the
-    quantizer on a sample (`emb.sample(...)`) — Lloyd's own assignment
-    steps pay the exact cost otherwise.
+    quantizer on a sample via ``fit_fraction`` — Lloyd's own
+    assignment steps pay the exact per-iteration cost otherwise;
+    sampling cuts it to O(n·fit_fraction·k·dim) with centroid quality
+    bounded by sample representativeness, not corpus size (agreement
+    pinned in ``tests/test_similarity_quality.py``).
 
     Plan shape: ``kmeans_fit`` collects only the k×dim centroid
     matrix (never corpus vectors); assignment is one Arrow-batched
@@ -808,11 +845,17 @@ def semantic_dedup(
     vector in the same cluster has cosine ≥ ``threshold`` (earliest
     representative survives; zero-norm vectors never match anything).
     """
+    if isinstance(k, str) and k != "balanced":
+        raise ValueError(f'k must be an int, None, or "balanced"; got {k!r}')
+    if assign not in ("exact", "ivf"):
+        raise ValueError(f'assign must be "exact" or "ivf"; got {assign!r}')
     if k is None:
         k = max(1, math.ceil(emb.count() / target_cluster_size))
     elif k == "balanced":
         k = max(1, math.ceil(math.sqrt(emb.count())))
-    cent = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cent = kmeans_fit(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, fit_fraction=fit_fraction
+    )
     if assign == "ivf":
         assigned = _assign_clusters_ivf(emb, cent, id_col, vec_col, id_col)
     else:

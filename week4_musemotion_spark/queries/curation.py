@@ -848,9 +848,10 @@ def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.operators.curation import scrub_pii
 
     d = load_table(spark, sf_dir, "documents")
-    pii = scrub_pii(d).select("doc_id", "n_urls", "n_emails", "n_ips")
+    per_doc = scrub_pii(d, keep_cols=("source", "n_chars")).select(
+        "source", "n_chars", "n_urls", "n_emails", "n_ips"
+    )
     tot = F.col("n_urls") + F.col("n_emails") + F.col("n_ips")
-    per_doc = d.select("doc_id", "source", "n_chars").join(pii, "doc_id")
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count(F.when(tot > 0, 1)).cast("long").alias("docs_with_pii"),

@@ -19,6 +19,7 @@ and cheapest IO saver).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 #: The reference batches JDBC writes at 500 rows (pipeline.py:168-169)
 #: — a pandas-era knob; Spark's JDBC writer batches per partition, and
@@ -77,12 +78,70 @@ def export_with_manifest(
     produced it — and published LAST to ``<path>/_manifest``.
     Manifest-present ⇒ export complete: readers treat it as the
     commit marker (the underscore prefix hides it from Spark's data
-    scan).  Consumers ``verify_export`` before mixing a shard in."""
-    import os
-
+    scan).  For the marker claim to hold on its own, the manifest is
+    written to a dot-prefixed staging dir and atomically ``os.rename``d
+    into place — a crash mid-manifest-write leaves only staging
+    litter, never a partial ``_manifest`` a presence-checking reader
+    would trust.  Consumers ``verify_export`` before mixing a shard
+    in."""
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     back = df.sparkSession.read.parquet(path)
-    manifest_fn(back).write.mode("overwrite").parquet(os.path.join(path, "_manifest"))
+    _publish_manifest(manifest_fn(back), path)
+
+
+def _publish_manifest(manifest_df: DataFrame, path: str) -> None:
+    """Atomically (re)publish ``<path>/_manifest``: write to a
+    ``.manifest_stage`` dir, remove any prior manifest, rename the
+    staging dir into place.  The reader-visible states are only
+    absent (not committed / being replaced) or complete."""
+    import os
+    import shutil
+
+    stage = os.path.join(path, ".manifest_stage")
+    final = os.path.join(path, "_manifest")
+    shutil.rmtree(stage, ignore_errors=True)
+    manifest_df.write.mode("overwrite").parquet(stage)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(stage, final)
+
+
+def refresh_manifest(
+    spark,
+    path: str,
+    manifest_fn,
+    partitions: list[dict],
+    keys: tuple[str, ...] = ("source", "lang"),
+) -> None:
+    """Incrementally re-card an :func:`export_with_manifest` dataset:
+    recompute manifest rows for ONLY the named shards (e.g. after a
+    single-shard append) and atomically republish the merged manifest.
+
+    ``export_with_manifest`` deliberately re-reads the whole dataset so
+    the manifest describes on-disk truth — but at 100 TB that makes
+    every single-shard touch a full-corpus scan.  This is the
+    incremental path: each entry of ``partitions`` is a dict keyed by
+    ``keys`` (``{"source": "web", "lang": "en"}``); only those shard
+    directories are re-read (``basePath`` keeps the partition columns),
+    their manifest rows are recomputed from the files as written, all
+    other shards' rows are carried over from the stored manifest
+    untouched, and the merge is published via the same
+    staging-dir + ``os.rename`` commit as the full export.  Cost is
+    O(touched shards), not O(corpus); ``verify_export`` remains the
+    full-scan auditor."""
+    import os
+
+    for p in partitions:
+        missing = [k for k in keys if k not in p]
+        if missing:
+            raise ValueError(f"partition spec {p!r} missing key(s) {missing}")
+    shard_paths = [os.path.join(path, *[f"{k}={p[k]}" for k in keys]) for p in partitions]
+    sub = spark.read.option("basePath", path).parquet(*shard_paths)
+    fresh = manifest_fn(sub)
+    stored = spark.read.parquet(os.path.join(path, "_manifest"))
+    refreshed = ["\x00".join(str(p[k]) for k in keys) for p in partitions]
+    key_expr = F.concat_ws("\x00", *[F.col(k).cast("string") for k in keys])
+    kept = stored.filter(~key_expr.isin(refreshed))
+    _publish_manifest(kept.unionByName(fresh).coalesce(1), path)
 
 
 def verify_export(spark, path: str, manifest_fn, keys: tuple[str, ...] = ("source", "lang")) -> DataFrame:

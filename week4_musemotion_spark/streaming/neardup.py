@@ -28,7 +28,7 @@ writer option implements at the table-format layer):
    prefix and lands via staging + rename, so a batch's output is
    identifiable and removable as a unit;
 2. a commit marker ``_ingest_commits/<batch_id>`` is created only
-   AFTER all five outputs (quarantine, corpus, index shingles, index
+   AFTER all four outputs (quarantine, corpus, index shingles, index
    bands) are in place — marker present ⇒ replay returns immediately;
 3. marker absent ⇒ any torn files from the failed attempt are purged
    by prefix BEFORE the batch is recomputed, so the near-dup decision
