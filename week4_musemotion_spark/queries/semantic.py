@@ -566,3 +566,38 @@ def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, target_cluster_size=64, iters=1)
+
+
+@query("q_semantic_dedup_ivf", covers=("X-DEDUP-SEMANTIC-IVF",), oracle=None)
+def q_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the IVF-accelerated assignment stage
+    (``semantic_dedup(assign="ivf")`` — ``operators/similarity.
+    _assign_clusters_ivf``): vectors score ~√k coarse cells first and
+    scan only the probed cells' centroids, cutting assignment from
+    O(n·k·dim) to O(n·√k·dim) — the escalation the k ∝ n default
+    needs at extreme n.  Approximate only at cell boundaries
+    (agreement with the exact argmin ≥0.99 pinned in
+    ``tests/test_similarity_quality.py``), hence rows-only like the
+    ANNs; the exact twin q_semantic_dedup_scaled is the oracle shape.
+    The rows-only check still pins totality (one verdict per
+    vector)."""
+    from week4_musemotion_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, target_cluster_size=64, iters=1, assign="ivf")
+
+
+@query("q_hard_negatives_lsh", covers=("X-HARDNEG-LSH",), oracle=None)
+def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining, LSH scale path (``operators/similarity.
+    hard_negatives_lsh``): hyperplane-LSH bucketed candidate retrieval
+    at k·oversample, label anti-match, exact rerank to top-k — never
+    a corpus sweep, work scales with bucket occupancy.  Approximate by
+    construction (bucket recall on top of the same-label crowd-out
+    bound), hence rows-only; the exact twin q_hard_negatives is the
+    oracle shape and the recall floor vs it is pinned in
+    ``tests/test_similarity_quality.py``."""
+    from week4_musemotion_spark.operators.similarity import hard_negatives_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives_lsh(emb, emb.filter(F.col("vec_id") < 20), k=3)
