@@ -25,3 +25,4 @@ from week4_musemotion_spark.queries import lifecycle  # noqa: E402,F401
 from week4_musemotion_spark.queries import mixing  # noqa: E402,F401
 from week4_musemotion_spark.queries import textmix  # noqa: E402,F401
 from week4_musemotion_spark.queries import semantic  # noqa: E402,F401
+from week4_musemotion_spark.queries import gatelog  # noqa: E402,F401

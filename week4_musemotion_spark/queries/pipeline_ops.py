@@ -893,6 +893,47 @@ def _card_counts(df: DataFrame) -> DataFrame:
     )
 
 
+def _sf_fingerprint(sf_dir: str, tag: bytes) -> str:
+    """Content fingerprint of a testdata table dir, used as a fixture
+    cache key: file paths + sizes + mtimes, so a driver-regenerated
+    testdata round invalidates every cached fixture."""
+    import hashlib
+    import os
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    finger = hashlib.md5(tag + b":" + os.path.abspath(sf_dir).encode())
+    paths = [src] if os.path.isfile(src) else sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs
+    )
+    for p in paths:
+        st = os.stat(p)
+        finger.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return finger.hexdigest()[:16]
+
+
+def _export_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Cached manifest-driven export of the documents table
+    (``sinks.export_with_manifest``, partitioned by (source, lang)) —
+    shared by every export-audit query so the write cost is paid once
+    per testdata generation."""
+    import os
+    import tempfile
+
+    from week4_musemotion_spark.sources.sinks import export_with_manifest
+
+    out = os.path.join(
+        tempfile.gettempdir(), "musemotion_export", _sf_fingerprint(sf_dir, b"export_manifest")
+    )
+    if not os.path.exists(os.path.join(out, "_manifest")):
+        _publish_fixture(
+            out,
+            lambda tmp: export_with_manifest(
+                load_table(spark, sf_dir, "documents"), tmp, _card_counts
+            ),
+        )
+    return out
+
+
 @query(
     "q_export_manifest_audit",
     covers=("X-EXPORT-MANIFEST",),
@@ -922,30 +963,9 @@ def q_export_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit is one grouped recount joined to the tiny manifest.
     Fixture caching: content-fingerprint key + atomic rename, same
     protocol as q_orc_roundtrip."""
-    import hashlib
     import os
-    import tempfile
 
-    from week4_musemotion_spark.sources.sinks import export_with_manifest
-
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    finger = hashlib.md5(b"export_manifest:" + os.path.abspath(sf_dir).encode())
-    paths = [src] if os.path.isfile(src) else sorted(
-        os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs
-    )
-    for p in paths:
-        st = os.stat(p)
-        finger.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
-    out = os.path.join(
-        tempfile.gettempdir(), "musemotion_export", finger.hexdigest()[:16]
-    )
-    if not os.path.exists(os.path.join(out, "_manifest")):
-        _publish_fixture(
-            out,
-            lambda tmp: export_with_manifest(
-                load_table(spark, sf_dir, "documents"), tmp, _card_counts
-            ),
-        )
+    out = _export_fixture(spark, sf_dir)
     back = spark.read.parquet(out)
     manifest = spark.read.parquet(os.path.join(out, "_manifest"))
     return _manifest_audit(_card_counts(back), manifest)
@@ -970,4 +990,197 @@ def _manifest_audit(actual: DataFrame, manifest: DataFrame) -> DataFrame:
             F.col("n_docs").eqNullSafe(F.col("m_docs"))
             & F.col("chars_sum").eqNullSafe(F.col("m_chars"))
         ).cast("int").alias("manifest_ok"),
+    )
+
+
+@query(
+    "q_manifest_card_reconcile",
+    covers=("X-EXPORT-CARD-RECONCILE",),
+    oracle="""
+    WITH card AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS card_docs,
+               CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                        w -> w != ''))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source, lang
+    ),
+    mani AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS manifest_docs,
+               CAST(sum(n_chars) AS BIGINT) AS manifest_chars
+        FROM documents GROUP BY source, lang
+    )
+    SELECT c.source, c.lang, c.card_docs, c.total_tokens,
+           m.manifest_docs, m.manifest_chars,
+           CAST(1 AS INTEGER) AS reconciled
+    FROM card c JOIN mani m USING (source, lang)
+    """,
+)
+def q_manifest_card_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-independent-count-path reconciliation: the export manifest
+    (counts computed from the data AS WRITTEN at export time,
+    ``sinks.export_with_manifest``) joined against the live data card
+    (q_data_card's token/volume pass over the SOURCE table).  The two
+    paths share no code below the scan — manifest rows were counted
+    from the partitioned re-read at export time, card rows from the
+    original parquet now — so agreement certifies the whole
+    export-write-recount loop, and a disagreement localizes the fault
+    (manifest stale → refresh; card drift → source mutated after
+    export).  ``reconciled`` must come back 1 on every shard; the
+    oracle derives both paths independently from the source table.
+
+    Scale shape: one corpus scan for the card, a tiny manifest read,
+    one broadcast join on the (source, lang) key — the manifest side
+    is |shards| rows at any corpus size."""
+    import os
+
+    from week4_musemotion_spark.operators.textstats import quality_stats
+
+    out = _export_fixture(spark, sf_dir)
+    manifest = spark.read.parquet(os.path.join(out, "_manifest")).select(
+        "source",
+        "lang",
+        F.col("n_docs").alias("manifest_docs"),
+        F.col("chars_sum").alias("manifest_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    card = (
+        d.select("doc_id", "source", "lang")
+        .join(quality_stats(d).select("doc_id", "n_tokens"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("card_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    return card.join(F.broadcast(manifest), ["source", "lang"]).select(
+        "source",
+        "lang",
+        "card_docs",
+        "total_tokens",
+        "manifest_docs",
+        "manifest_chars",
+        (F.col("card_docs") == F.col("manifest_docs")).cast("int").alias("reconciled"),
+    )
+
+
+@query(
+    "q_manifest_refresh_audit",
+    covers=("X-EXPORT-REFRESH",),
+    oracle="""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def q_manifest_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL manifest path, driver-checked end-to-end: the
+    fixture exports 90% of the corpus (doc_id % 10 != 7), appends the
+    held-out 10% directly to the partitioned dataset (bypassing the
+    manifest — the single-shard-append scenario), then calls
+    ``sinks.refresh_manifest`` on ONLY the touched (source, lang)
+    shards.  This query returns the refreshed manifest itself; the
+    oracle is the per-shard count over the FULL documents table, so a
+    stale row (refresh missed a touched shard) or a clobbered row
+    (refresh rewrote an untouched shard incorrectly) both hash-fail.
+    Cost of the refresh is O(touched shards) — the append+refresh
+    never re-reads the 90% base, which is the entire point at 100 TB.
+
+    Fixture caching: content-fingerprint key + atomic rename; the
+    refresh runs once per testdata generation."""
+    import os
+    import tempfile
+
+    from week4_musemotion_spark.sources.sinks import export_with_manifest, refresh_manifest
+
+    out = os.path.join(
+        tempfile.gettempdir(), "musemotion_refresh", _sf_fingerprint(sf_dir, b"manifest_refresh")
+    )
+    if not os.path.exists(os.path.join(out, "_manifest")):
+        def _build(tmp: str) -> None:
+            d = load_table(spark, sf_dir, "documents")
+            base = d.filter(F.col("doc_id") % 10 != 7)
+            extra = d.filter(F.col("doc_id") % 10 == 7)
+            export_with_manifest(base, tmp, _card_counts)
+            extra.write.mode("append").partitionBy("source", "lang").parquet(tmp)
+            touched = [
+                {"source": r["source"], "lang": r["lang"]}
+                for r in extra.select("source", "lang").distinct().collect()
+            ]
+            refresh_manifest(spark, tmp, _card_counts, touched)
+
+        _publish_fixture(out, _build)
+    return spark.read.parquet(os.path.join(out, "_manifest")).select(
+        "source", "lang", "n_docs", "chars_sum"
+    )
+
+
+@query(
+    "q_shard_skew_audit",
+    covers=("X-SHARD-SKEW",),
+    oracle="""
+    WITH shard AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS shard_chars
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT CAST(sum(shard_chars) AS BIGINT) AS total_chars,
+               CAST(count(*) AS BIGINT) AS n_shards
+        FROM shard
+    )
+    SELECT s.source, s.lang, s.n_docs, s.shard_chars,
+           CAST((2 * s.shard_chars * 10000 + t.total_chars)
+                // (2 * t.total_chars) AS BIGINT) AS share_e4,
+           CAST((2 * s.shard_chars * t.n_shards * 10000 + t.total_chars)
+                // (2 * t.total_chars) AS BIGINT) AS rel_mean_e4,
+           CAST(CASE WHEN s.shard_chars * t.n_shards * 10000
+                          >= 2 * 10000 * t.total_chars
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_hot
+    FROM shard s CROSS JOIN tot t
+    """,
+)
+def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance planning report for the partitioned corpus
+    layout: per (source, lang) shard, its byte volume (n_chars as the
+    codec-independent proxy), its exact share of the corpus (e4
+    fixed-point), its size RELATIVE TO THE MEAN shard
+    (rel_mean_e4 = shard × n_shards / total — 10000 = exactly
+    average), and a hot-shard flag at the 2× mean threshold.  This is
+    the table a 100 TB export planner reads before choosing partition
+    columns: a hot shard becomes the straggler task in every
+    downstream scan, and the fix (salting the big source, splitting
+    by date) is decided from exactly these numbers.
+
+    Scale shape: one grouped scan to |shards| rows, then a 1-row
+    global total broadcast-crossed back — no shuffle wider than the
+    shard count, and the skew math is exact integer arithmetic so the
+    report hash-matches the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("shard_chars"),
+    )
+    tot = shard.agg(
+        F.sum("shard_chars").cast("long").alias("total_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    )
+    from week4_musemotion_spark.functions.exact import int_div_round
+
+    return shard.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "shard_chars",
+        int_div_round(F.col("shard_chars") * 10_000, F.col("total_chars")).alias("share_e4"),
+        int_div_round(
+            F.col("shard_chars") * F.col("n_shards") * 10_000, F.col("total_chars")
+        ).alias("rel_mean_e4"),
+        (
+            F.col("shard_chars") * F.col("n_shards") * 10_000
+            >= F.lit(2) * 10_000 * F.col("total_chars")
+        ).cast("int").alias("is_hot"),
     )

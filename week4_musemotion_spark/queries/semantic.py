@@ -601,3 +601,84 @@ def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives_lsh(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+@query(
+    "q_crossmodal_qa",
+    covers=("X-CROSSMODAL-QA",),
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id AS doc_id,
+               CAST(floor({_NORM_SQL.format(v="embedding")} * 1000000 + 0.5) AS BIGINT)
+                   AS nrm_e6,
+               len(embedding) AS dim
+        FROM embeddings
+        WHERE vec_id % 7 != 3
+    ),
+    m AS (
+        SELECT doc_id, strlen(text) AS payload_bytes
+        FROM documents
+        WHERE doc_id % 11 != 5 AND text IS NOT NULL
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(e.doc_id) AS BIGINT) AS n_with_embedding,
+           CAST(count(m.doc_id) AS BIGINT) AS n_with_media,
+           CAST(count(*) FILTER (e.doc_id IS NOT NULL AND m.doc_id IS NOT NULL)
+                AS BIGINT) AS n_complete,
+           CAST(count(*) FILTER (e.nrm_e6 = 0) AS BIGINT) AS n_zero_norm,
+           CAST(count(DISTINCT e.dim) AS BIGINT) AS n_dims_seen,
+           CAST(count(*) FILTER (m.payload_bytes = 0) AS BIGINT) AS n_empty_media
+    FROM documents d
+    LEFT JOIN e ON d.doc_id = e.doc_id
+    LEFT JOIN m ON d.doc_id = m.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_crossmodal_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal completeness + hygiene audit — the join-QA gate a
+    multimodal training pipeline runs before packing (text ⋈ embedding
+    ⋈ media by document id): per source, how many documents have an
+    embedding, how many have a media payload, how many are COMPLETE
+    (all modalities present — only those can feed a contrastive
+    text-image objective), plus the per-modality health signals from
+    q_embedding_hygiene (zero-norm vectors, distinct dims — ragged
+    arrays break every matrix kernel) and empty payloads.  Partial
+    coverage is modeled deterministically (the embedding job missed
+    vec_id ≡ 3 mod 7, the media fetch missed doc_id ≡ 5 mod 11) so
+    every verdict class is exercised and oracle-pinned.
+
+    Scale shape: the document spine LEFT-joins the two modality
+    tables on the id key — co-partitionable equi-joins (at 100 TB all
+    three sides bucket by id, zero exchange), per-row expression work
+    only, then one tiny |sources| agg."""
+    from week4_musemotion_spark.operators.multimodal import attach_binary
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 != 3)
+    e = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.floor(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("nrm_e6"),
+        F.size("embedding").alias("dim"),
+    )
+    m = attach_binary(d.filter(F.col("doc_id") % 11 != 5)).select(
+        "doc_id", F.length("payload").alias("payload_bytes")
+    )
+    spine = d.select("doc_id", "source")
+    joined = (
+        spine.join(e.withColumnRenamed("doc_id", "e_id"), spine.doc_id == F.col("e_id"), "left")
+        .join(m.withColumnRenamed("doc_id", "m_id"), spine.doc_id == F.col("m_id"), "left")
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("e_id").cast("long").alias("n_with_embedding"),
+        F.count("m_id").cast("long").alias("n_with_media"),
+        F.count(F.when(F.col("e_id").isNotNull() & F.col("m_id").isNotNull(), 1))
+        .cast("long")
+        .alias("n_complete"),
+        F.count(F.when(F.col("nrm_e6") == 0, 1)).cast("long").alias("n_zero_norm"),
+        F.countDistinct("dim").cast("long").alias("n_dims_seen"),
+        F.count(F.when(F.col("payload_bytes") == 0, 1)).cast("long").alias("n_empty_media"),
+    )
