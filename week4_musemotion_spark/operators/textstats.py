@@ -31,14 +31,25 @@ QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "wi
 BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
-def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Length / token / stopword-ratio quality features + score.
 
     Ratios are emitted as exact ten-thousandths (BIGINT): the
     length-damped quality score ``min(1, n/200) · (1 − stop/n)``
     scaled ×10⁴ reduces to ``50·min(n,200)·(n−stop) / n`` — pure
     integer arithmetic, reproducible across engines (see
-    functions.exact)."""
+    functions.exact).
+
+    ``keep_cols`` passes additional input columns through the same
+    single projection — card/report queries that need e.g.
+    ``source``/``lang`` alongside the features stay one scan instead
+    of joining the features back to the corpus on ``id_col`` (the
+    join-back degrades to a corpus self-shuffle at scale)."""
     from week4_musemotion_spark.functions.exact import int_div_round, ratio_e4
 
     toks = tokens(F.col(text_col))
@@ -48,6 +59,7 @@ def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     damp = F.least(n_tokens, F.lit(200).cast("long"))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.length(text_col).cast("long").alias("n_chars_txt"),
         n_tokens.alias("n_tokens"),
         n_uniq.alias("n_uniq_tokens"),

@@ -212,9 +212,8 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     scored = (
-        quality_stats(d)
+        quality_stats(d, keep_cols=("source",))
         .filter(F.col("n_tokens") > 0)
-        .join(d.select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "quality_e4")
     )
     w = Window.partitionBy("source").orderBy(F.col("quality_e4").asc(), F.col("doc_id").asc())

@@ -1045,8 +1045,7 @@ def q_manifest_card_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents")
     card = (
-        d.select("doc_id", "source", "lang")
-        .join(quality_stats(d).select("doc_id", "n_tokens"), "doc_id")
+        quality_stats(d, keep_cols=("source", "lang"))
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("card_docs"),
@@ -1159,18 +1158,27 @@ def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     global total broadcast-crossed back — no shuffle wider than the
     shard count, and the skew math is exact integer arithmetic so the
     report hash-matches the oracle."""
+    from pyspark.sql import Window
+
+    from week4_musemotion_spark.functions.exact import int_div_round
+
     d = load_table(spark, sf_dir, "documents")
     shard = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("shard_chars"),
     )
-    tot = shard.agg(
-        F.sum("shard_chars").cast("long").alias("total_chars"),
-        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    # totals via an unpartitioned window over the POST-aggregation
+    # frame (|shards| rows — tiny at any corpus size), so the corpus
+    # is scanned exactly once; a separate global agg + cross join
+    # would re-scan it
+    w = Window.partitionBy()
+    shard = shard.withColumns(
+        {
+            "total_chars": F.sum("shard_chars").over(w).cast("long"),
+            "n_shards": F.count(F.lit(1)).over(w).cast("long"),
+        }
     )
-    from week4_musemotion_spark.functions.exact import int_div_round
-
-    return shard.crossJoin(F.broadcast(tot)).select(
+    return shard.select(
         "source",
         "lang",
         "n_docs",

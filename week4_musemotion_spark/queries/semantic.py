@@ -648,34 +648,35 @@ def q_crossmodal_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id ≡ 3 mod 7, the media fetch missed doc_id ≡ 5 mod 11) so
     every verdict class is exercised and oracle-pinned.
 
-    Scale shape: the document spine LEFT-joins the two modality
-    tables on the id key — co-partitionable equi-joins (at 100 TB all
-    three sides bucket by id, zero exchange), per-row expression work
-    only, then one tiny |sources| agg."""
-    from week4_musemotion_spark.operators.multimodal import attach_binary
-
+    Scale shape: ONE documents scan — the media modality is the
+    documents table's own payload (``attach_binary`` semantics:
+    payload = utf-8 bytes of text, NULL text ⇒ no media), so its
+    flags are inlined as spine expressions instead of a corpus
+    self-join — LEFT-joined once with the embeddings table on the id
+    key (co-partitionable equi-join: at 100 TB both sides bucket by
+    id, zero exchange), then one tiny |sources| agg."""
     d = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 != 3)
     e = emb.select(
-        F.col("vec_id").alias("doc_id"),
+        F.col("vec_id").alias("e_id"),
         F.floor(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * 1_000_000 + F.lit(0.5))
         .cast("long")
         .alias("nrm_e6"),
         F.size("embedding").alias("dim"),
     )
-    m = attach_binary(d.filter(F.col("doc_id") % 11 != 5)).select(
-        "doc_id", F.length("payload").alias("payload_bytes")
+    has_media = (F.col("doc_id") % 11 != 5) & F.col("text").isNotNull()
+    spine = d.select(
+        "doc_id",
+        "source",
+        has_media.alias("has_media"),
+        F.when(has_media, F.length(F.encode(F.col("text"), "UTF-8"))).alias("payload_bytes"),
     )
-    spine = d.select("doc_id", "source")
-    joined = (
-        spine.join(e.withColumnRenamed("doc_id", "e_id"), spine.doc_id == F.col("e_id"), "left")
-        .join(m.withColumnRenamed("doc_id", "m_id"), spine.doc_id == F.col("m_id"), "left")
-    )
+    joined = spine.join(e, spine.doc_id == F.col("e_id"), "left")
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count("e_id").cast("long").alias("n_with_embedding"),
-        F.count("m_id").cast("long").alias("n_with_media"),
-        F.count(F.when(F.col("e_id").isNotNull() & F.col("m_id").isNotNull(), 1))
+        F.count(F.when(F.col("has_media"), 1)).cast("long").alias("n_with_media"),
+        F.count(F.when(F.col("e_id").isNotNull() & F.col("has_media"), 1))
         .cast("long")
         .alias("n_complete"),
         F.count(F.when(F.col("nrm_e6") == 0, 1)).cast("long").alias("n_zero_norm"),

@@ -296,10 +296,13 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.operators.textstats import quality_stats
 
     d = load_table(spark, sf_dir, "documents")
-    s = quality_stats(d).select(
-        "doc_id", "n_tokens", F.coalesce("quality_e4", F.lit(0)).alias("qe4")
+    base = quality_stats(d, keep_cols=("source", "lang", "text")).select(
+        "source",
+        "lang",
+        F.md5("text").alias("th"),
+        "n_tokens",
+        F.coalesce("quality_e4", F.lit(0)).alias("qe4"),
     )
-    base = d.select("doc_id", "source", "lang", F.md5("text").alias("th")).join(s, "doc_id")
     return base.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -315,12 +318,9 @@ def _shard_card(d: DataFrame) -> DataFrame:
     from week4_musemotion_spark.functions.exact import int_div_round
     from week4_musemotion_spark.operators.textstats import quality_stats
 
-    s = quality_stats(d).select(
-        "doc_id", "n_tokens", F.coalesce("quality_e4", F.lit(0)).alias("qe4")
-    )
     return (
-        d.select("doc_id", "source", "lang")
-        .join(s, "doc_id")
+        quality_stats(d, keep_cols=("source", "lang"))
+        .select("source", "lang", "n_tokens", F.coalesce("quality_e4", F.lit(0)).alias("qe4"))
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
