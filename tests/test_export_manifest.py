@@ -144,3 +144,40 @@ def test_refresh_manifest_rejects_bad_partition_spec(spark, tmp_path):
     export_with_manifest(d, out, _card)
     with pytest.raises(ValueError, match="missing key"):
         refresh_manifest(spark, out, _card, [{"source": "web"}])
+
+
+def test_refresh_manifest_escaped_partition_values_and_empty_list(spark, tmp_path):
+    """Partition values Spark escapes in directory names (':' →
+    '%3A') must still refresh correctly — the touched shards are
+    selected by partition-pruned filter, never hand-built paths.
+    An empty partitions list is a clear validation error."""
+    import pytest
+
+    from week4_musemotion_spark.sources.sinks import (
+        export_with_manifest,
+        refresh_manifest,
+        verify_export,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "web", "pt:BR", 10), (2, "web", "en", 5), (3, "books", "pt:BR", 7)],
+        "doc_id long, source string, lang string, n_chars long",
+    )
+    out = str(tmp_path / "corpus")
+    export_with_manifest(d, out, _card)
+    assert any((tmp_path / "corpus").glob("source=web/lang=pt%3ABR"))
+
+    extra = spark.createDataFrame(
+        [(4, "web", "pt:BR", 3)], "doc_id long, source string, lang string, n_chars long"
+    )
+    extra.write.mode("append").partitionBy("source", "lang").parquet(out)
+    refresh_manifest(spark, out, _card, [{"source": "web", "lang": "pt:BR"}])
+    assert verify_export(spark, out, _card).count() == 0
+    rows = {
+        (r["source"], r["lang"]): r["n_docs"]
+        for r in spark.read.parquet(out + "/_manifest").collect()
+    }
+    assert rows[("web", "pt:BR")] == 2 and rows[("books", "pt:BR")] == 1
+
+    with pytest.raises(ValueError, match="non-empty"):
+        refresh_manifest(spark, out, _card, [])

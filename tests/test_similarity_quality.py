@@ -296,3 +296,10 @@ def test_hard_negatives_null_label_contract(spark):
     # corpus side: surfaces from the Arrow kernel at execution time
     with pytest.raises(PythonException, match="non-null integer labels"):
         S.hard_negatives(nulled, q, k=2).collect()
+
+    # the LSH scale path enforces the SAME contract (without it a
+    # null label silently drops rows via NULL != comparison)
+    with pytest.raises(ValueError, match="query side has null"):
+        S.hard_negatives_lsh(emb, nulled.limit(6), k=2)
+    with pytest.raises(ValueError, match="corpus has null"):
+        S.hard_negatives_lsh(nulled, q, k=2)

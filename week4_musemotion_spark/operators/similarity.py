@@ -276,7 +276,22 @@ def hard_negatives_lsh(
     reach past it — raise it for strongly clustered label spaces.
     Approximate by construction (bucket recall < 1 on top of the
     crowd-out bound), so rows-only territory like the ANNs; the exact
-    twin :func:`hard_negatives` is the oracle shape."""
+    twin :func:`hard_negatives` is the oracle shape.
+
+    Same non-null integer label contract as :func:`hard_negatives`,
+    enforced the same way — without the check, a NULL label would
+    make ``_nlab != _qlab`` evaluate to NULL and SILENTLY drop the
+    row, the exact-vs-scale-path inconsistency a pipeline escalating
+    to LSH at scale must not hit.  The corpus-side check is one
+    column-pruned aggregate — negligible next to the LSH join."""
+    if queries.filter(F.col(label_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"hard_negatives_lsh requires non-null integer labels; query side has null {label_col!r}"
+        )
+    if emb.filter(F.col(label_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"hard_negatives_lsh requires non-null integer labels; corpus has null {label_col!r}"
+        )
     cand = knn_lsh(
         emb, queries, k=k * oversample, id_col=id_col, vec_col=vec_col, **lsh_kwargs
     )
@@ -674,12 +689,16 @@ def kmeans_fit(
         raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction!r}")
     if fit_fraction is not None and fit_fraction < 1.0:
         fit_df = emb.select(id_col, vec_col).sample(fraction=fit_fraction, seed=seed)
-        if fit_df.limit(k).count() < k:  # sample too thin to seed k clusters
-            fit_df = emb
     else:
         fit_df = emb
     seeds = fit_df.select(id_col, vec_col).orderBy(id_col).limit(k)
     _, cent = _collect_matrix(seeds, id_col, vec_col)
+    if fit_df is not emb and cent.shape[0] < k:
+        # sample too thin to seed k clusters — fall back to the full
+        # corpus (the seeds collect already told us, no extra job)
+        fit_df = emb
+        seeds = fit_df.select(id_col, vec_col).orderBy(id_col).limit(k)
+        _, cent = _collect_matrix(seeds, id_col, vec_col)
     if cent.shape[0] == 0:
         raise ValueError("empty embedding corpus")
     for _ in range(iters):

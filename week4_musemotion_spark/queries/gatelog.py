@@ -59,21 +59,26 @@ def _build_gate(spark: SparkSession, sf_dir: str, tmp: str) -> None:
     )
     for b in range(1, _N_BATCHES):
         ingest(d.filter(F.col("doc_id") % _N_BATCHES == b), b)
+    # top-level completeness marker, written LAST: it is both this
+    # fixture's is-built check and what lets _publish_fixture treat a
+    # lost publish race as benign (the winner's copy is identical)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
 
 def _gate_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Cached gate run, keyed by testdata content fingerprint.
-    Completeness marker: the LAST batch's commit marker — the gate's
-    own exactly-once protocol guarantees everything before it is in
-    place."""
+    """Cached gate run, keyed by testdata content fingerprint (+ the
+    batch-count layout version).  Completeness marker: a top-level
+    ``_SUCCESS`` written after the last batch committed — also the
+    token ``_publish_fixture`` checks to treat a lost concurrent
+    publish race as benign."""
     import os
     import tempfile
 
+    tag = f"gate_report:{_N_BATCHES}".encode()
     out = os.path.join(
-        tempfile.gettempdir(), "musemotion_gate", _sf_fingerprint(sf_dir, b"gate_report")
+        tempfile.gettempdir(), "musemotion_gate", _sf_fingerprint(sf_dir, tag)
     )
-    last_marker = os.path.join(out, "idx", "_ingest_commits", str(_N_BATCHES - 1))
-    if not os.path.exists(last_marker):
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         _publish_fixture(out, lambda tmp: _build_gate(spark, sf_dir, tmp))
     return out
 
@@ -91,13 +96,11 @@ def _gate_compacted_fixture(spark: SparkSession, sf_dir: str) -> str:
     from week4_musemotion_spark.streaming.neardup import compact_gate
 
     base = _gate_fixture(spark, sf_dir)
+    tag = f"gate_compacted:{_N_BATCHES}".encode()
     out = os.path.join(
-        tempfile.gettempdir(),
-        "musemotion_gate_compacted",
-        _sf_fingerprint(sf_dir, b"gate_compacted"),
+        tempfile.gettempdir(), "musemotion_gate_compacted", _sf_fingerprint(sf_dir, tag)
     )
-    last_marker = os.path.join(out, "idx", "_ingest_commits", str(_N_BATCHES - 1))
-    if not os.path.exists(last_marker):
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
 
         def _build(tmp: str) -> None:
             shutil.copytree(base, tmp, dirs_exist_ok=True)
@@ -107,6 +110,11 @@ def _gate_compacted_fixture(spark: SparkSession, sf_dir: str) -> str:
                 os.path.join(tmp, "corpus"),
                 os.path.join(tmp, "quarantine"),
             )
+            # copytree brings the base fixture's marker along, but the
+            # compacted fixture is complete only after compact_gate —
+            # rewrite it LAST so a crash between copy and compaction
+            # leaves a staging dir that is rebuilt, not trusted
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
         _publish_fixture(out, _build)
     return out

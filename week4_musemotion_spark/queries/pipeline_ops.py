@@ -1136,8 +1136,7 @@ def q_manifest_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // (2 * t.total_chars) AS BIGINT) AS share_e4,
            CAST((2 * s.shard_chars * t.n_shards * 10000 + t.total_chars)
                 // (2 * t.total_chars) AS BIGINT) AS rel_mean_e4,
-           CAST(CASE WHEN s.shard_chars * t.n_shards * 10000
-                          >= 2 * 10000 * t.total_chars
+           CAST(CASE WHEN s.shard_chars * t.n_shards >= 2 * t.total_chars
                      THEN 1 ELSE 0 END AS INTEGER) AS is_hot
     FROM shard s CROSS JOIN tot t
     """,
@@ -1156,11 +1155,13 @@ def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one grouped scan to |shards| rows, then a 1-row
     global total broadcast-crossed back — no shuffle wider than the
-    shard count, and the skew math is exact integer arithmetic so the
-    report hash-matches the oracle."""
+    shard count, and the skew math is exact integer arithmetic
+    (widened to decimal BEFORE the e4 pre-scale — at 100 TB
+    shard_chars × n_shards × 10⁴ overflows a long, and with ANSI off
+    it would wrap silently) so the report hash-matches the oracle."""
     from pyspark.sql import Window
 
-    from week4_musemotion_spark.functions.exact import int_div_round
+    from week4_musemotion_spark.functions.exact import ratio_e4
 
     d = load_table(spark, sf_dir, "documents")
     shard = d.groupBy("source", "lang").agg(
@@ -1183,12 +1184,11 @@ def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "shard_chars",
-        int_div_round(F.col("shard_chars") * 10_000, F.col("total_chars")).alias("share_e4"),
-        int_div_round(
-            F.col("shard_chars") * F.col("n_shards") * 10_000, F.col("total_chars")
-        ).alias("rel_mean_e4"),
+        ratio_e4(F.col("shard_chars"), F.col("total_chars")).alias("share_e4"),
+        ratio_e4(F.col("shard_chars") * F.col("n_shards"), F.col("total_chars")).alias(
+            "rel_mean_e4"
+        ),
         (
-            F.col("shard_chars") * F.col("n_shards") * 10_000
-            >= F.lit(2) * 10_000 * F.col("total_chars")
+            F.col("shard_chars") * F.col("n_shards") >= F.lit(2) * F.col("total_chars")
         ).cast("int").alias("is_hot"),
     )

@@ -120,27 +120,40 @@ def refresh_manifest(
     the manifest describes on-disk truth — but at 100 TB that makes
     every single-shard touch a full-corpus scan.  This is the
     incremental path: each entry of ``partitions`` is a dict keyed by
-    ``keys`` (``{"source": "web", "lang": "en"}``); only those shard
-    directories are re-read (``basePath`` keeps the partition columns),
-    their manifest rows are recomputed from the files as written, all
-    other shards' rows are carried over from the stored manifest
-    untouched, and the merge is published via the same
-    staging-dir + ``os.rename`` commit as the full export.  Cost is
-    O(touched shards), not O(corpus); ``verify_export`` remains the
-    full-scan auditor."""
+    ``keys`` (``{"source": "web", "lang": "en"}``); the touched shards
+    are selected with a PARTITION-PRUNED filter (never hand-built
+    ``key=value`` paths — Spark escapes special characters in
+    partition directory names and spells NULL as
+    ``__HIVE_DEFAULT_PARTITION__``, so only its own pruning resolves a
+    value back to its directory), their manifest rows are recomputed
+    from the files as written, all other shards' rows are carried over
+    from the stored manifest untouched, and the merge is published via
+    the same staging-dir + ``os.rename`` commit as the full export.
+    Cost is O(touched shards) scan volume — the pruned filter reads
+    only the named directories — not O(corpus); ``verify_export``
+    remains the full-scan auditor."""
     import os
 
+    if not partitions:
+        raise ValueError("partitions must be non-empty (nothing to refresh)")
     for p in partitions:
         missing = [k for k in keys if k not in p]
         if missing:
             raise ValueError(f"partition spec {p!r} missing key(s) {missing}")
-    shard_paths = [os.path.join(path, *[f"{k}={p[k]}" for k in keys]) for p in partitions]
-    sub = spark.read.option("basePath", path).parquet(*shard_paths)
+
+    def _match(p: dict):
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.lit(p[k]))
+        return cond
+
+    touched = _match(partitions[0])
+    for p in partitions[1:]:
+        touched = touched | _match(p)
+    sub = spark.read.parquet(path).filter(touched)
     fresh = manifest_fn(sub)
     stored = spark.read.parquet(os.path.join(path, "_manifest"))
-    refreshed = ["\x00".join(str(p[k]) for k in keys) for p in partitions]
-    key_expr = F.concat_ws("\x00", *[F.col(k).cast("string") for k in keys])
-    kept = stored.filter(~key_expr.isin(refreshed))
+    kept = stored.filter(~touched)
     _publish_manifest(kept.unionByName(fresh).coalesce(1), path)
 
 
