@@ -282,16 +282,18 @@ def hard_negatives_lsh(
     enforced the same way — without the check, a NULL label would
     make ``_nlab != _qlab`` evaluate to NULL and SILENTLY drop the
     row, the exact-vs-scale-path inconsistency a pipeline escalating
-    to LSH at scale must not hit.  The corpus-side check is one
-    column-pruned aggregate — negligible next to the LSH join."""
-    if queries.filter(F.col(label_col).isNull()).limit(1).count() > 0:
-        raise ValueError(
-            f"hard_negatives_lsh requires non-null integer labels; query side has null {label_col!r}"
-        )
-    if emb.filter(F.col(label_col).isNull()).limit(1).count() > 0:
-        raise ValueError(
-            f"hard_negatives_lsh requires non-null integer labels; corpus has null {label_col!r}"
-        )
+    to LSH at scale must not hit.  Each side's check is one
+    column-pruned count aggregate (count(*) − count(label) — a single
+    columnar scan, no filter job) — negligible next to the LSH join,
+    which re-scans the same inputs with the full vector column."""
+    for side, frame in (("query side", queries), ("corpus", emb)):
+        n_null = frame.agg(
+            (F.count(F.lit(1)) - F.count(label_col)).alias("n")
+        ).first()["n"]
+        if n_null:
+            raise ValueError(
+                f"hard_negatives_lsh requires non-null integer labels; {side} has null {label_col!r}"
+            )
     cand = knn_lsh(
         emb, queries, k=k * oversample, id_col=id_col, vec_col=vec_col, **lsh_kwargs
     )

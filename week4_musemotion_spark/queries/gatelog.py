@@ -104,16 +104,18 @@ def _gate_compacted_fixture(spark: SparkSession, sf_dir: str) -> str:
 
         def _build(tmp: str) -> None:
             shutil.copytree(base, tmp, dirs_exist_ok=True)
+            # copytree brought the BASE fixture's marker along — remove
+            # it before compacting so the "marker present ⇒ compaction
+            # complete" invariant is real, not coincidental (a future
+            # in-place or resumable build must not trust a
+            # half-compacted dir)
+            os.remove(os.path.join(tmp, "_SUCCESS"))
             compact_gate(
                 spark,
                 os.path.join(tmp, "idx"),
                 os.path.join(tmp, "corpus"),
                 os.path.join(tmp, "quarantine"),
             )
-            # copytree brings the base fixture's marker along, but the
-            # compacted fixture is complete only after compact_gate —
-            # rewrite it LAST so a crash between copy and compaction
-            # leaves a staging dir that is rebuilt, not trusted
             open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
         _publish_fixture(out, _build)

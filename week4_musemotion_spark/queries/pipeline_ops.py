@@ -1000,6 +1000,7 @@ def _manifest_audit(actual: DataFrame, manifest: DataFrame) -> DataFrame:
     WITH card AS (
         SELECT source, lang,
                CAST(count(*) AS BIGINT) AS card_docs,
+               CAST(sum(n_chars) AS BIGINT) AS card_chars,
                CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
                                         w -> w != ''))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY source, lang
@@ -1010,10 +1011,10 @@ def _manifest_audit(actual: DataFrame, manifest: DataFrame) -> DataFrame:
                CAST(sum(n_chars) AS BIGINT) AS manifest_chars
         FROM documents GROUP BY source, lang
     )
-    SELECT c.source, c.lang, c.card_docs, c.total_tokens,
+    SELECT c.source, c.lang, c.card_docs, c.card_chars, c.total_tokens,
            m.manifest_docs, m.manifest_chars,
            CAST(1 AS INTEGER) AS reconciled
-    FROM card c JOIN mani m USING (source, lang)
+    FROM card c FULL OUTER JOIN mani m USING (source, lang)
     """,
 )
 def q_manifest_card_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,12 +1027,18 @@ def q_manifest_card_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     original parquet now — so agreement certifies the whole
     export-write-recount loop, and a disagreement localizes the fault
     (manifest stale → refresh; card drift → source mutated after
-    export).  ``reconciled`` must come back 1 on every shard; the
-    oracle derives both paths independently from the source table.
+    export).  ``reconciled`` must come back 1 on every shard — it
+    compares BOTH shared metrics (doc count and char volume), and the
+    join is FULL OUTER like ``verify_export``'s: a shard present on
+    one side only (stale manifest after an unmanifested append, or a
+    manifest row whose shard vanished) surfaces as reconciled = 0
+    instead of being silently dropped, the fault class this query
+    exists to localize.  The oracle derives both paths independently
+    from the source table.
 
     Scale shape: one corpus scan for the card, a tiny manifest read,
-    one broadcast join on the (source, lang) key — the manifest side
-    is |shards| rows at any corpus size."""
+    one join on the (source, lang) key — the manifest side is
+    |shards| rows at any corpus size."""
     import os
 
     from week4_musemotion_spark.operators.textstats import quality_stats
@@ -1045,21 +1052,26 @@ def q_manifest_card_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents")
     card = (
-        quality_stats(d, keep_cols=("source", "lang"))
+        quality_stats(d, keep_cols=("source", "lang", "n_chars"))
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("card_docs"),
+            F.sum("n_chars").cast("long").alias("card_chars"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
-    return card.join(F.broadcast(manifest), ["source", "lang"]).select(
+    return card.join(manifest, ["source", "lang"], "full_outer").select(
         "source",
         "lang",
         "card_docs",
+        "card_chars",
         "total_tokens",
         "manifest_docs",
         "manifest_chars",
-        (F.col("card_docs") == F.col("manifest_docs")).cast("int").alias("reconciled"),
+        (
+            F.col("card_docs").eqNullSafe(F.col("manifest_docs"))
+            & F.col("card_chars").eqNullSafe(F.col("manifest_chars"))
+        ).cast("int").alias("reconciled"),
     )
 
 
@@ -1132,11 +1144,12 @@ def q_manifest_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM shard
     )
     SELECT s.source, s.lang, s.n_docs, s.shard_chars,
-           CAST((2 * s.shard_chars * 10000 + t.total_chars)
+           CAST((2 * CAST(s.shard_chars AS HUGEINT) * 10000 + t.total_chars)
                 // (2 * t.total_chars) AS BIGINT) AS share_e4,
-           CAST((2 * s.shard_chars * t.n_shards * 10000 + t.total_chars)
+           CAST((2 * CAST(s.shard_chars AS HUGEINT) * t.n_shards * 10000 + t.total_chars)
                 // (2 * t.total_chars) AS BIGINT) AS rel_mean_e4,
-           CAST(CASE WHEN s.shard_chars * t.n_shards >= 2 * t.total_chars
+           CAST(CASE WHEN CAST(s.shard_chars AS HUGEINT) * t.n_shards
+                          >= 2 * CAST(t.total_chars AS HUGEINT)
                      THEN 1 ELSE 0 END AS INTEGER) AS is_hot
     FROM shard s CROSS JOIN tot t
     """,
@@ -1161,7 +1174,7 @@ def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     it would wrap silently) so the report hash-matches the oracle."""
     from pyspark.sql import Window
 
-    from week4_musemotion_spark.functions.exact import ratio_e4
+    from week4_musemotion_spark.functions.exact import dec, ratio_e4
 
     d = load_table(spark, sf_dir, "documents")
     shard = d.groupBy("source", "lang").agg(
@@ -1185,10 +1198,11 @@ def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "shard_chars",
         ratio_e4(F.col("shard_chars"), F.col("total_chars")).alias("share_e4"),
-        ratio_e4(F.col("shard_chars") * F.col("n_shards"), F.col("total_chars")).alias(
+        ratio_e4(dec(F.col("shard_chars")) * F.col("n_shards"), F.col("total_chars")).alias(
             "rel_mean_e4"
         ),
         (
-            F.col("shard_chars") * F.col("n_shards") >= F.lit(2) * F.col("total_chars")
+            dec(F.col("shard_chars")) * F.col("n_shards")
+            >= F.lit(2) * dec(F.col("total_chars"))
         ).cast("int").alias("is_hot"),
     )
