@@ -49,3 +49,48 @@ def test_frequent_values_support(spark):
     assert all(r.cnt >= 0.05 * 1000 for r in hh)
     # raising support prunes
     assert frequent_values(e, "event_type", min_support=0.9).count() == 0
+
+
+def test_heavy_hitters_matches_exact_on_zipf(spark):
+    """The MG candidate pass must have NO false negatives even when
+    the vocabulary (2k values) vastly exceeds the counter budget
+    (den=16): the verified output equals the exact groupBy answer,
+    regardless of partitioning."""
+    import math
+
+    from week4_musemotion_spark.operators.sketches import heavy_hitters
+
+    # deterministic Zipf-ish stream: value v_r appears ~N/r times
+    rows = []
+    for r in range(1, 2001):
+        rows.extend([(f"v{r:04d}",)] * max(1, 4000 // r))
+    df = spark.createDataFrame(rows, "term string")
+    total = len(rows)
+    thr = math.ceil(total / 16)
+    exact = {
+        (r.term, r.cnt)
+        for r in df.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+        .collect()
+    }
+    assert exact, "fixture must produce at least one heavy hitter"
+    for parts in (1, 13):
+        got = heavy_hitters(df.repartition(parts), "term", den=16).collect()
+        assert {(r.term, r.cnt) for r in got} == exact, parts
+        for r in got:
+            assert r.share_ppm == r.cnt * 1_000_000 // total
+
+
+def test_heavy_hitters_null_and_empty(spark):
+    from week4_musemotion_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",), ("a",), (None,), ("b",)], "term string")
+    got = {(r.term, r.cnt) for r in heavy_hitters(df, "term", den=2).collect()}
+    # 3 non-null rows, threshold ceil(3/2)=2: only 'a' qualifies;
+    # nulls are excluded from both candidates and the denominator
+    assert got == {("a", 2)}
+    empty = heavy_hitters(
+        spark.createDataFrame([], "term string"), "term", den=4
+    ).collect()
+    assert empty == []

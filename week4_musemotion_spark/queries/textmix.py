@@ -392,3 +392,40 @@ def q_data_card_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_mean_old_e4",
         F.col("q_mean_e4").alias("q_mean_new_e4"),
     )
+
+
+@query(
+    "q_heavy_hitters",
+    covers=("X-HEAVY-HITTERS",),
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS term
+        FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term)
+    SELECT c.term, c.cnt,
+           CAST((CAST(c.cnt AS HUGEINT) * 1000000) // t.total AS BIGINT) AS share_ppm
+    FROM c CROSS JOIN tot t
+    WHERE c.cnt >= (CAST(t.total AS HUGEINT) + 511) // 512
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters (stopword/boilerplate-token
+    discovery): every token holding >= 1/512 of all token occurrences,
+    with its exact count and ppm share.  The oracle is the exact
+    group-everything form; the Spark plan is the two-pass
+    ``operators/sketches.heavy_hitters`` — a per-partition
+    Misra-Gries candidate sketch (shuffle O(partitions x 512) rows,
+    never one row per distinct token) followed by an exact
+    broadcast-semi-join recount, whose no-false-negative guarantee is
+    what lets a sketch-pruned plan stay hash-identical to the exact
+    oracle.  The sketch's pruning path (vocabulary >> counters) is
+    pinned against exact recomputation on Zipf data in
+    ``tests/test_sketches.py``."""
+    from week4_musemotion_spark.functions.text import tokens
+    from week4_musemotion_spark.operators.sketches import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return heavy_hitters(tok, "term", den=512)
