@@ -1,0 +1,112 @@
+"""PCA / gram operators: the float path is pinned against a full
+numpy recomputation (the eigensolve is not SQL-expressible, so this
+is its oracle), the exact path against hand-built integer moments."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _load_np(spark):
+    pdf = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    return pdf, X
+
+
+def test_gram_exact_matches_integer_moments(spark):
+    from week4_musemotion_spark.operators.linalg import gram_exact
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    _, X = _load_np(spark)
+    q = np.floor(X * 1e6 + 0.5).astype(object)
+    n, d = q.shape
+    sxy = q.T @ q
+    sx = q.sum(axis=0)
+    ref = {
+        (i + 1, j + 1): int(n * sxy[i, j] - sx[i] * sx[j])
+        for i in range(d)
+        for j in range(i, d)
+    }
+    for parts in (None, 7):
+        df = emb if parts is None else emb.repartition(parts)
+        rows = gram_exact(df, "embedding").collect()
+        assert len(rows) == d * (d + 1) // 2
+        assert all(r.n == n for r in rows)
+        got = {(r.i, r.j): int(r.cov_num) for r in rows}
+        assert got == ref, parts
+
+
+def test_gram_exact_ragged_raises(spark):
+    from week4_musemotion_spark.operators.linalg import gram_exact
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4, 0.5])], "id long, embedding array<double>"
+    )
+    # within one partition: the kernel raises; across partitions: the
+    # count-row dim tags disagree and the raise_error guard fires
+    with pytest.raises(Exception, match="ragged"):
+        gram_exact(df.repartition(1), "embedding").collect()
+    with pytest.raises(Exception, match="ragged|disagree on embedding dim"):
+        gram_exact(df.repartition(2, "id"), "embedding").collect()
+
+
+def test_pca_fit_matches_numpy_eigh(spark):
+    from week4_musemotion_spark.operators.linalg import pca_fit
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    _, X = _load_np(spark)
+    cov = np.cov(X.T)  # n-1 denominator, matches pca_fit
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:8]
+    m = pca_fit(emb.repartition(5), "embedding", k=8)
+    assert np.allclose(m.eigvals, w[order], rtol=1e-9)
+    # eigenvectors match up to the fixed sign convention
+    for r in range(8):
+        ref = v[:, order[r]]
+        dot = abs(float(np.dot(m.components[r], ref)))
+        assert dot == pytest.approx(1.0, abs=1e-9), r
+        j = int(np.argmax(np.abs(m.components[r])))
+        assert m.components[r, j] > 0, "sign convention"
+    assert np.allclose(m.mean, X.mean(axis=0), rtol=1e-12)
+    assert (np.diff(m.eigvals) <= 1e-15).all(), "descending eigvals"
+    assert 0 < m.explained.sum() <= 1 + 1e-12
+
+
+def test_pca_project_and_whiten(spark):
+    from week4_musemotion_spark.operators.linalg import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    m = pca_fit(emb, "embedding", k=6)
+    proj = pca_project(emb, m, "embedding", whiten=True)
+    assert proj.columns == ["vec_id", "label", "proj"]
+    pdf = proj.toPandas().sort_values("vec_id")
+    Y = np.array([np.asarray(v) for v in pdf.proj])
+    assert Y.shape[1] == 6
+    C = np.cov(Y.T)
+    assert np.allclose(C, np.eye(6), atol=1e-6), "whitened covariance is identity"
+    # un-whitened projection matches the direct numpy transform
+    _, X = _load_np(spark)
+    ref = (X - m.mean) @ np.asarray(m.components).T
+    got = np.array(
+        [np.asarray(v) for v in pca_project(emb, m, "embedding").toPandas()
+         .sort_values("vec_id").proj]
+    )
+    assert np.allclose(got, ref, atol=1e-12)
+
+
+def test_pca_fit_validates(spark):
+    from week4_musemotion_spark.operators.linalg import pca_fit
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    with pytest.raises(ValueError, match="k must be"):
+        pca_fit(emb, "embedding", k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        pca_fit(emb, "embedding", k=65)
+    with pytest.raises(ValueError, match="empty"):
+        pca_fit(
+            spark.createDataFrame([], "embedding array<double>"), "embedding", k=2
+        )

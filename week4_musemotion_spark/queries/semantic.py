@@ -683,3 +683,50 @@ def q_crossmodal_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("dim").cast("long").alias("n_dims_seen"),
         F.count(F.when(F.col("payload_bytes") == 0, 1)).cast("long").alias("n_empty_media"),
     )
+
+
+@query(
+    "q_embedding_gram",
+    covers=("X-EMBED-GRAM",),
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    dim AS (SELECT max(len(qv)) AS d FROM q),
+    idx AS (SELECT unnest(range(1, (SELECT d FROM dim) + 1)) AS i),
+    pr AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+    m AS (
+        SELECT p.i, p.j, sum(CAST(q.qv[p.i] AS HUGEINT) * q.qv[p.j]) AS sxy
+        FROM q CROSS JOIN pr p GROUP BY p.i, p.j
+    ),
+    l AS (
+        SELECT i.i, sum(CAST(q.qv[i.i] AS HUGEINT)) AS sx
+        FROM q CROSS JOIN idx i GROUP BY i.i
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+    SELECT m.i, m.j, t.n,
+           CAST(CAST(t.n AS HUGEINT) * m.sxy - li.sx * lj.sx AS DECIMAL(38,0)) AS cov_num
+    FROM m JOIN l li ON li.i = m.i JOIN l lj ON lj.i = m.j CROSS JOIN t
+    """,
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance numerator of the embedding corpus, one row
+    per unordered dim pair: cov_num = n*sum(q_i*q_j) - sum(q_i)*
+    sum(q_j) over e6-quantized values (n^2 x covariance, exact
+    decimal(38,0) integers — partition order cannot perturb it, and
+    a long would already wrap at 100 TB row counts).  This is the
+    sufficient-statistics audit behind the PCA/whitening operator
+    (``operators/linalg.pca_fit``): the float eigensolve is not
+    SQL-expressible, but its d^2 inputs are, so THIS is the query
+    that proves the distributed moment accumulation cross-engine.
+
+    Scale shape: one corpus scan; the Arrow-batched kernel emits
+    O(d^2) exact partials per partition (d=64 -> 2145 rows), the
+    combine is a groupBy over that O(partitions x d^2) frame, and
+    the oracle's all-pairs unnest exists only DuckDB-side."""
+    from week4_musemotion_spark.operators.linalg import gram_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_exact(emb, "embedding")
