@@ -129,12 +129,17 @@ def gram_exact(df: DataFrame, vec_col: str) -> DataFrame:
         vv.append(decimal.Decimal(n))
         yield pd.DataFrame({"i": ii, "j": jj, "val": vv})
 
-    part = (
-        df.select(vec_col)
-        .mapInPandas(_partials, "i long, j long, val decimal(38,0)")
+    part = df.select(vec_col).mapInPandas(
+        _partials, "i long, j long, val decimal(38,0)"
+    )
+    # checkpoint AFTER the combine: the three consumers below (pairs /
+    # linear / count) then branch off ~d^2 cached rows instead of each
+    # re-shuffling the kernel output (and re-scanning the corpus)
+    agg = (
+        part.groupBy("i", "j")
+        .agg(F.sum("val").alias("s"))
         .localCheckpoint(eager=False)
     )
-    agg = part.groupBy("i", "j").agg(F.sum("val").alias("s"))
     pairs = agg.filter((F.col("i") >= 1) & (F.col("j") >= 1))
     lin = agg.filter((F.col("i") >= 1) & (F.col("j") == 0)).select(
         F.col("i").alias("li"), F.col("s").alias("sx")
