@@ -1,0 +1,74 @@
+"""Round-7 staged queries (queries/staged_r7.py — not yet imported
+by queries/__init__): full Spark-vs-DuckDB differential check here,
+so round 7 can register them with evidence already in hand."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+TABLES = ("documents", "embeddings")
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _diff(spark, name):
+    from week4_musemotion_spark.queries import staged_r7  # noqa: F401 — registers
+    from week4_musemotion_spark.queries.registry import REGISTRY
+
+    spec = REGISTRY[name]
+    got = spec.builder(spark, SF_SMOKE).toPandas()
+    want = _oracle(spec.oracle)
+    assert sorted(got.columns) == sorted(want.columns), (got.columns, want.columns)
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True).astype("int64", errors="ignore")
+    w = want[cols].sort_values(cols).reset_index(drop=True).astype("int64", errors="ignore")
+    assert len(g) == len(w), (name, len(g), len(w))
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    return got
+
+
+def test_minhash_fidelity_matches_oracle(spark):
+    got = _diff(spark, "q_minhash_fidelity")
+    assert len(got) > 0, "fixture corpus must contain near-dup pairs"
+    # high-Jaccard pairs must agree on most signatures
+    hi = got[got.jaccard_e4 >= 9000]
+    assert (hi.sig_agree >= 12).all()
+    assert got.sig_agree.between(0, 16).all()
+
+
+def test_dedup_threshold_sweep_matches_oracle(spark):
+    got = _diff(spark, "q_dedup_threshold_sweep")
+    assert len(got) == 5, "one row per grid threshold, even empty ones"
+    s = got.sort_values("thr_e4")
+    assert (s.n_pairs.diff().dropna() <= 0).all(), "pair count monotone in threshold"
+    assert (s.n_dup_docs <= 2 * s.n_pairs).all()
+
+
+def test_stopword_density_matches_oracle(spark):
+    got = _diff(spark, "q_stopword_density_by_source")
+    assert got.hh_ppm.between(0, 1_000_000).all()
+    assert (got.n_hh <= got.n_tokens).all()
+
+
+def test_embedding_whiten_shape(spark):
+    from week4_musemotion_spark.queries import staged_r7  # noqa: F401
+    from week4_musemotion_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["q_embedding_whiten"].builder(spark, SF_SMOKE)
+    assert REGISTRY["q_embedding_whiten"].oracle is None
+    pdf = df.toPandas()
+    n = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").shape[0]
+    assert len(pdf) == n
+    assert list(pdf.columns) == ["vec_id", "label", "proj"]
+    assert all(len(v) == 8 for v in pdf.proj)
