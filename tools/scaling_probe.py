@@ -327,6 +327,30 @@ def main() -> int:
             )
             results.setdefault("halflife_decay", {})[n] = run(decay)
 
+        # round-6 shapes: the MG-sketch heavy hitters (candidate
+        # shuffle is O(partitions × den) regardless of token volume —
+        # must be scan-linear) and the d²-sufficient-statistics gram /
+        # PCA (kernel emits O(d²) per partition; combine and eigsolve
+        # are data-size-independent).  pca_fit collects partials
+        # EAGERLY, so it is timed in a guarded block.
+        from week4_musemotion_spark.functions.text import tokens as _tokens
+        from week4_musemotion_spark.operators.sketches import heavy_hitters
+
+        hh = heavy_hitters(
+            docs.select(F.explode(_tokens(F.col("text"))).alias("term")), "term", den=512
+        )
+        from week4_musemotion_spark.operators.linalg import gram_exact
+
+        gram = gram_exact(emb.select("embedding"), "embedding")
+        if only is None or "pca_fit_moments" in only:
+            from week4_musemotion_spark.operators.linalg import pca_fit
+
+            t0 = time.perf_counter()
+            pca_fit(emb.select("embedding"), "embedding", k=8)
+            results.setdefault("pca_fit_moments", {})[n] = round(
+                time.perf_counter() - t0, 2
+            )
+
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -344,6 +368,8 @@ def main() -> int:
             ("pagerank_2iter", pranks),
             ("global_cumsum_2pass", cum),
             ("bigram_coverage_join", bcov),
+            ("heavy_hitters_sketch", hh),
+            ("gram_exact_moments", gram),
         ]:
             if only is not None and shape not in only:
                 continue
