@@ -22,7 +22,10 @@ def test_gram_exact_matches_integer_moments(spark):
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     _, X = _load_np(spark)
-    q = np.floor(X * 1e6 + 0.5).astype(object)
+    # int64 BEFORE object: astype(object) on the float array would
+    # keep floats, and the reference products pass 2^53 within ~2x of
+    # the current fixture size
+    q = np.floor(X * 1e6 + 0.5).astype(np.int64).astype(object)
     n, d = q.shape
     sxy = q.T @ q
     sx = q.sum(axis=0)

@@ -31,8 +31,8 @@ def _diff(spark, name):
     want = _oracle(spec.oracle)
     assert sorted(got.columns) == sorted(want.columns), (got.columns, want.columns)
     cols = sorted(got.columns)
-    g = got[cols].sort_values(cols).reset_index(drop=True).astype("int64", errors="ignore")
-    w = want[cols].sort_values(cols).reset_index(drop=True).astype("int64", errors="ignore")
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
     assert len(g) == len(w), (name, len(g), len(w))
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
     return got

@@ -197,6 +197,11 @@ def pca_fit(df: DataFrame, vec_col: str, k: int) -> PCAModel:
     import numpy as np
     import pandas as pd
 
+    # the k <= d half needs the data's dim; this half must fail BEFORE
+    # the corpus scan, not after it
+    if k < 1:
+        raise ValueError(f"k must be in [1, dim], got {k}")
+
     def _partials(batches):
         n = 0
         s = None
