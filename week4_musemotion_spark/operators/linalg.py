@@ -48,10 +48,15 @@ def _quantize(X):
 
 
 def _rows_to_matrix(series):
-    """Stack a pandas Series of fixed-length vectors; raise on ragged
-    input (run q_embedding_hygiene first)."""
+    """Stack a pandas Series of fixed-length vectors; raise a curated
+    error on null rows or ragged input (run q_embedding_hygiene
+    first) instead of an obscure executor TypeError."""
     import numpy as np
 
+    if any(v is None for v in series):
+        raise ValueError(
+            "null embedding row — filter nulls (see q_embedding_hygiene) first"
+        )
     lens = {len(v) for v in series}
     if len(lens) > 1:
         raise ValueError(f"ragged embedding column: dims seen {sorted(lens)}")
@@ -99,16 +104,30 @@ def gram_exact(df: DataFrame, vec_col: str) -> DataFrame:
                 raise ValueError(
                     f"ragged embedding column: dims seen {sorted({d, X.shape[1]})}"
                 )
+            if not np.isfinite(X).all():
+                raise ValueError(
+                    "non-finite embedding value — gram/covariance is undefined; "
+                    "filter NaN/inf rows first"
+                )
             q = _quantize(X)
             # chunk the int64 matmul so a batch cannot overflow:
             # per-element product <= m^2, a chunk of r rows sums to
-            # <= r * m^2 — keep that under 2^62
+            # <= r * m^2 — keep that under 2^62.  If even ONE product
+            # exceeds the bound (|q| >= 2^31: components >= ~2147 —
+            # pathological for an embedding, but 'exact' must mean
+            # exact), do the whole batch in object dtype: slow, never
+            # silently wrapped.
             m = int(np.abs(q).max()) or 1
-            step = max(1, (1 << 62) // (m * m))
-            for lo in range(0, q.shape[0], step):
-                c = q[lo : lo + step]
-                acc += (c.T @ c).astype(object)
-                lin += c.sum(axis=0, dtype=np.int64).astype(object)
+            if m * m >= (1 << 62):
+                qo = q.astype(object)
+                acc += qo.T @ qo
+                lin += qo.sum(axis=0)
+            else:
+                step = max(1, (1 << 62) // (m * m))
+                for lo in range(0, q.shape[0], step):
+                    c = q[lo : lo + step]
+                    acc += (c.T @ c).astype(object)
+                    lin += c.sum(axis=0, dtype=np.int64).astype(object)
             n += q.shape[0]
         if d is None:
             return

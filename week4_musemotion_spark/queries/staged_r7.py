@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.exact import dec, int_div_trunc, ratio_e4
-from week4_musemotion_spark.functions.hashing import stable_hash64
+from week4_musemotion_spark.functions.hashing import _HEX_DIGITS, stable_hash64
 from week4_musemotion_spark.queries.extensions import _jaccard_ctes
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
@@ -52,8 +52,12 @@ _SWEEP_THRESHOLDS = (5000, 6000, 7000, 8000, 9000)
     oracle=f"""
     WITH {_jaccard_ctes(_FIDELITY_MIN_JACCARD)},
     mh AS (
+        -- stable_hash64_sql's seeded form with a ROW-valued seed
+        -- (the helper takes a literal): same 'k:' prefix, same
+        -- md5-prefix width, so Spark's stable_hash64(s, seed=k)
+        -- replays bit-for-bit
         SELECT sh.doc_id, s.k,
-               min(CAST(('0x' || substr(md5(CAST(s.k AS VARCHAR) || ':' || sh.shingle), 1, 15)) AS BIGINT)) AS mv
+               min(CAST(('0x' || substr(md5(CAST(s.k AS VARCHAR) || ':' || sh.shingle), 1, {_HEX_DIGITS})) AS BIGINT)) AS mv
         FROM sh CROSS JOIN (SELECT unnest(range(0, {_FIDELITY_HASHES})) AS k) s
         GROUP BY sh.doc_id, s.k
     )
@@ -90,12 +94,25 @@ def q_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _intersections(None, sh)
         .filter(F.col("jac") >= _FIDELITY_MIN_JACCARD)
         .select("doc_a", "doc_b", "jaccard_e4")
+        .localCheckpoint(eager=False)  # feeds the member prune AND the final join
     )
-    sig = shs.groupBy("_id").agg(
-        *[
-            F.min(stable_hash64(F.col("s"), seed=k)).alias(f"mh_{k}")
-            for k in range(_FIDELITY_HASHES)
-        ]
+    # signatures only for documents that appear in a near-dup pair —
+    # the pair set is tiny next to the corpus, so this broadcast
+    # semi-join prunes ~all of the 16-seed hashing and its shuffle
+    members = (
+        pairs.select(F.col("doc_a").alias("_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("_id")))
+        .distinct()
+    )
+    sig = (
+        shs.join(F.broadcast(members), "_id", "semi")
+        .groupBy("_id")
+        .agg(
+            *[
+                F.min(stable_hash64(F.col("s"), seed=k)).alias(f"mh_{k}")
+                for k in range(_FIDELITY_HASHES)
+            ]
+        )
     )
     a = sig.select(F.col("_id").alias("doc_a"), *[F.col(f"mh_{k}").alias(f"a_{k}") for k in range(_FIDELITY_HASHES)])
     b = sig.select(F.col("_id").alias("doc_b"), *[F.col(f"mh_{k}").alias(f"b_{k}") for k in range(_FIDELITY_HASHES)])
