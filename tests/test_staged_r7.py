@@ -72,3 +72,26 @@ def test_embedding_whiten_shape(spark):
     assert len(pdf) == n
     assert list(pdf.columns) == ["vec_id", "label", "proj"]
     assert all(len(v) == 8 for v in pdf.proj)
+
+
+def test_dup_inflation_matches_oracle(spark):
+    got = _diff(spark, "q_dup_inflation")
+    assert len(got) == 20, "one row per source"
+    assert (got.chars_dropped <= got.chars_total).all()
+    assert (got.n_dropped <= got.n_docs).all()
+    assert got.drop_ppm.between(0, 1_000_000).all()
+
+
+def test_ann_recall_report(spark):
+    from week4_musemotion_spark.queries import staged_r7  # noqa: F401
+    from week4_musemotion_spark.queries.registry import REGISTRY
+
+    spec = REGISTRY["q_ann_recall_report"]
+    assert spec.oracle is None
+    got = spec.builder(spark, SF_SMOKE).toPandas()
+    assert set(got.method) == {"lsh", "ivf"}
+    assert len(got) == 10, "5 queries x 2 methods"
+    assert got.n_hits.between(0, 3).all()
+    assert (got.recall_e4 == (got.n_hits * 10000 / 3).round()).all()
+    # both ANNs are tuned to near-perfect recall on this corpus
+    assert got.groupby("method").n_hits.sum().min() >= 10, got

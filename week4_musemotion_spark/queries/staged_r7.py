@@ -21,6 +21,11 @@ Sketch-quality and PCA queries:
 - q_embedding_whiten — rows-only: PCA-whitened projection
   (eigensolve is not SQL-expressible; semantics pinned by
   tests/test_linalg.py numpy recompute).
+- q_dup_inflation — per-source character inflation a near-dedup pass
+  would reclaim (pairs → CC clusters → keep verdicts → one corpus
+  aggregate, exact integer ppm).
+- q_ann_recall_report — rows-only: recall@3 of the LSH and IVF ANNs
+  against the exact brute-force baseline, per query vector.
 """
 
 from __future__ import annotations
@@ -270,3 +275,124 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     model = pca_fit(emb, "embedding", k=8)
     return pca_project(emb, model, "embedding", out_col="proj", whiten=True)
+
+
+@query(
+    "q_dup_inflation",
+    covers=("X-DUP-INFLATION",),
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes(0.8)},
+    e2 AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM e2
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
+    ),
+    drop_ids AS (
+        SELECT u AS doc_id FROM reach GROUP BY u
+        HAVING least(u, min(v)) != u
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(x.doc_id) AS BIGINT) AS n_dropped,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+           CAST(coalesce(sum(CASE WHEN x.doc_id IS NOT NULL THEN d.n_chars END), 0) AS BIGINT) AS chars_dropped,
+           CAST((CAST(coalesce(sum(CASE WHEN x.doc_id IS NOT NULL THEN d.n_chars END), 0) AS HUGEINT) * 1000000)
+                // sum(d.n_chars) AS BIGINT) AS drop_ppm
+    FROM documents d LEFT JOIN drop_ids x ON d.doc_id = x.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication inflation per source: how many documents — and how
+    many CHARACTERS, the cost that actually bills at training time —
+    a near-dedup pass (Jaccard >= 0.8 clusters, keep lowest id) would
+    remove.  The number a curation team reads to decide which sources
+    pay for aggressive dedup: drop_ppm ~ 0 means dedup there is
+    wasted compute; a hot source with 20% char inflation is the one
+    inflating epoch cost.  Composes the pair->cluster->verdict chain
+    (shingle equi-join + pointer-jumping CC) with one corpus
+    aggregate; exact integer ppm, oracle re-derives the closure with
+    a recursive CTE."""
+    from week4_musemotion_spark.operators.dedup import jaccard_pairs
+    from week4_musemotion_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    drop = (
+        dedup_clusters(jaccard_pairs(d, 0.8))
+        .filter(F.col("keep_id") != F.col("doc_id"))
+        .select("doc_id", F.lit(1).alias("is_drop"))
+    )
+    chars_dropped = F.coalesce(
+        F.sum(F.when(F.col("is_drop") == 1, F.col("n_chars"))), F.lit(0)
+    ).cast("long")
+    return (
+        d.join(F.broadcast(drop), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("is_drop").cast("long").alias("n_dropped"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            chars_dropped.alias("chars_dropped"),
+            int_div_trunc(dec(chars_dropped) * 1_000_000, F.sum("n_chars")).alias(
+                "drop_ppm"
+            ),
+        )
+    )
+
+
+@query("q_ann_recall_report", covers=("X-ANN-RECALL",), oracle=None)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality report: per query vector and method (hyperplane-
+    LSH, one-shot IVF), the hit count against the EXACT brute-force
+    top-3 and the recall in e4 fixed-point — the acceptance gate an
+    ANN config must pass before it replaces exact search in a
+    pipeline.  Rows-only like the ANNs themselves (bucket recall is
+    not SQL-expressible), but run-to-run deterministic: hyperplanes
+    derive from md5, IVF seeds by lowest ids, and the exact baseline
+    breaks ties by neighbor id.
+
+    Scale: all three searches share the broadcast-queries/Arrow-
+    corpus plan; the report joins three tiny (n_queries x k) frames."""
+    from week4_musemotion_spark.operators.similarity import (
+        knn_brute_force,
+        knn_ivf,
+        knn_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 3
+    exact = knn_brute_force(emb, queries, k=k).select("query_id", "neighbor_id")
+    reports = []
+    for method, res in (
+        ("lsh", knn_lsh(emb, queries, k=k)),
+        ("ivf", knn_ivf(emb, queries, k=k)),
+    ):
+        hits = (
+            res.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        reports.append(
+            exact.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+                ratio_e4(
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long"), F.lit(k)
+                ).alias("recall_e4"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
