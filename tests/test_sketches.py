@@ -94,3 +94,75 @@ def test_heavy_hitters_null_and_empty(spark):
         spark.createDataFrame([], "term string"), "term", den=4
     ).collect()
     assert empty == []
+
+
+def test_hll_merge_equals_whole(spark):
+    """Mergeable-summaries property: sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)) — register tables AND estimates identical."""
+    from week4_musemotion_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderpriority", F.col("o_custkey").alias("v")
+    )
+    a = o.filter(F.col("v") % 2 == 0)
+    b = o.filter(F.col("v") % 2 == 1)
+    whole = hll_registers(o, ["o_orderpriority"], "v")
+    merged = hll_merge(
+        hll_registers(a, ["o_orderpriority"], "v"),
+        hll_registers(b, ["o_orderpriority"], "v"),
+        ["o_orderpriority"],
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(whole) == key(merged)
+    ew = {r[0]: r.hll_e2 for r in hll_estimate(whole, ["o_orderpriority"]).collect()}
+    em = {r[0]: r.hll_e2 for r in hll_estimate(merged, ["o_orderpriority"]).collect()}
+    assert ew == em
+
+
+def test_hll_duplicates_free(spark):
+    """Duplicate values cannot move a register: sketch(x3 copies) ==
+    sketch(distinct)."""
+    from week4_musemotion_spark.operators.sketches import hll_registers
+
+    d = spark.range(500).select(F.concat(F.lit("v"), F.col("id")).alias("v"), F.lit("g").alias("g"))
+    tripled = d.unionByName(d).unionByName(d)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(hll_registers(tripled, ["g"], "v")) == key(hll_registers(d, ["g"], "v"))
+
+
+def test_hll_estimate_accuracy_and_branch(spark):
+    """Raw estimate within ~3 standard errors at n >> 2.5m; the
+    branched float estimate switches to linear counting at small n
+    and is the tighter of the two there."""
+    from week4_musemotion_spark.operators.sketches import hll_estimate, hll_registers
+
+    big = spark.range(20_000).select(F.lit("big").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v"))
+    small = spark.range(100).select(F.lit("small").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v"))
+    est = {
+        r.g: r
+        for r in hll_estimate(
+            hll_registers(big.unionByName(small), ["g"], "v"), ["g"]
+        ).collect()
+    }
+    assert abs(est["big"].hll_e2 / 100 - 20_000) / 20_000 < 0.20  # 3σ at m=256
+    # small-n: linear-counting branch engaged and closer than raw
+    s = est["small"]
+    assert s.zero_regs > 0 and s.hll_e2 / 100 <= 2.5 * 256
+    assert abs(s.estimate - 100) < abs(s.hll_e2 / 100 - 100)
+    assert abs(s.estimate - 100) / 100 < 0.15
+
+
+def test_hll_rejects_bad_p(spark):
+    import pytest as _pytest
+
+    from week4_musemotion_spark.operators.sketches import hll_alpha_e7, hll_registers
+
+    d = spark.range(5).select(F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    with _pytest.raises(ValueError):
+        hll_registers(d, ["g"], "v", p=6)
+    with _pytest.raises(ValueError):
+        hll_alpha_e7(64)

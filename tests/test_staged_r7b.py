@@ -1,0 +1,46 @@
+"""Second staged wave (queries/staged_r7.py additions — not yet
+imported by queries/__init__): full Spark-vs-DuckDB differential
+checks here, so activation ships with evidence already in hand."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from tests.conftest import SF_SMOKE
+
+TABLES = ("documents", "embeddings", "lineitem", "part", "supplier")
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def _diff(spark, name):
+    from week4_musemotion_spark.queries import staged_r7  # noqa: F401 — registers
+    from week4_musemotion_spark.queries.registry import REGISTRY
+
+    spec = REGISTRY[name]
+    got = spec.builder(spark, SF_SMOKE).toPandas()
+    want = _oracle(spec.oracle)
+    assert sorted(got.columns) == sorted(want.columns), (got.columns, want.columns)
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w), (name, len(g), len(w))
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    return got
+
+
+def test_distinct_sketch_matches_oracle(spark):
+    got = _diff(spark, "q_distinct_sketch")
+    assert len(got) == 20, "one row per source"
+    # raw-regime guard: every source's cardinality must clear 2.5m,
+    # or the query's no-linear-counting design assumption broke
+    assert (got.exact_distinct > 2.5 * 256).all()
+    # sketch error within ~3 standard errors (1.04/sqrt(256) ≈ 6.5%)
+    assert (got.err_ppm < 200_000).all()
+    assert got.zero_regs.between(0, 256).all()

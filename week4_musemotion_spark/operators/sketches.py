@@ -149,3 +149,129 @@ def heavy_hitters(df: DataFrame, col: str, den: int) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — engine-replayable distinct sketch
+# ---------------------------------------------------------------------------
+
+#: Hash width of functions.hashing.stable_hash64 (60 bits).
+_HASH_BITS = 60
+
+
+def hll_alpha_e7(m: int) -> int:
+    """The HLL bias constant α_m = 0.7213/(1 + 1.079/m), pinned as an
+    e7 fixed-point integer.  Computed once in Python and injected as
+    the SAME literal into both the Spark plan and the SQL oracle, so
+    no cross-engine float arithmetic ever touches the estimate.
+    Valid for m >= 128 (the classic constant-α regime; Flajolet et
+    al. 2007 §4 give per-m constants below that)."""
+    if m < 128:
+        raise ValueError(f"hll_alpha_e7 requires m >= 128, got {m}")
+    return round(0.7213 / (1 + 1.079 / m) * 10_000_000)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HyperLogLog register table (Flajolet et al. 2007)
+    built ENTIRELY from engine-portable primitives, so the estimate
+    is an exact integer reproducible bit-for-bit by a SQL oracle —
+    unlike the builtin ``approx_count_distinct``, whose xxhash64
+    sketch cannot be replayed outside the JVM.
+
+    Layout: one row per NON-EMPTY register, ``(*group_cols, bucket,
+    reg)`` with ``bucket = h & (m-1)`` and ``reg = max rank of the
+    leading 1-bit in the remaining ``60 - p`` hash bits (all-zero
+    suffix → W+1).  This is the sketch's full mergeable state: m
+    rows per group bound the shuffle no matter how many distinct
+    values stream through, duplicates never change a register, and
+    two partial sketches merge by ``max`` per bucket
+    (:func:`hll_merge`) — the 100 TB contract that a per-shard
+    distinct count can be combined without re-reading shards.
+
+    ``p`` in [7, 16]: m = 2^p registers, standard error
+    ~1.04/sqrt(m).  ``value_col`` is hashed as a string.
+    """
+    if not 7 <= p <= 16:
+        raise ValueError(f"p must be in [7, 16], got {p}")
+    from week4_musemotion_spark.functions.hashing import stable_hash64
+
+    m = 1 << p
+    width = _HASH_BITS - p  # suffix bits ranked for the register
+    h = stable_hash64(F.col(value_col).cast("string"))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, h.bitwiseAND(m - 1).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("reg"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two register tables (same ``p``): union, max per bucket.
+    The mergeable-summaries property — sketch(A ∪ B) =
+    merge(sketch(A), sketch(B)) exactly."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("reg").cast("int").alias("reg"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Distinct-count estimates from a register table, per group:
+
+    - ``hll_e2`` (long) — the RAW HLL estimate α_m·m²/Σ2^(-M_j) as an
+      exact hundredths integer: the harmonic denominator is
+      accumulated as Σ2^(W+1-M_j) (exact longs, order-independent —
+      empty registers contribute 2^(W+1)), and the final value is one
+      truncating decimal division by a pinned integer constant.  An
+      oracle repeating the formula gets the identical integer.
+    - ``zero_regs`` (long) — empty-register count V: callers needing
+      the small-range regime (raw estimate ≤ 2.5m) apply linear
+      counting m·ln(m/V) driver-side from this column; the raw form
+      is kept float-free because its regime (n > 2.5m) is where a
+      sketch is wanted at all.
+    - ``estimate`` (double) — the branched HLL estimate (linear
+      counting when raw ≤ 2.5m and V > 0, raw otherwise) for direct
+      use where cross-engine integer exactness is not required.
+    """
+    from week4_musemotion_spark.functions.exact import dec, int_div_trunc
+
+    m = 1 << p
+    width = _HASH_BITS - p
+    top = 1 << (width + 1)  # contribution of an empty register
+    num = hll_alpha_e7(m) * m * m * top  # α_e7 · m² · 2^(W+1)
+    num_dec = F.lit(str(num)).cast("decimal(38,0)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(width + 1) - F.col("reg")).cast("int"),
+            )
+        ).alias("dp"),
+    )
+    d_col = F.col("dp") + (F.lit(m) - F.col("present")) * F.lit(top)
+    raw_e2 = int_div_trunc(num_dec, dec(d_col) * 100_000)
+    zeros = (F.lit(m) - F.col("present")).cast("long")
+    raw = F.col("hll_e2").cast("double") / 100.0
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_regs"))
+    return (
+        agg.select(
+            *group_cols,
+            raw_e2.alias("hll_e2"),
+            zeros.alias("zero_regs"),
+        )
+        .withColumn(
+            "estimate",
+            F.when((raw <= 2.5 * m) & (F.col("zero_regs") > 0), linear).otherwise(raw),
+        )
+    )
