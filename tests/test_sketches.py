@@ -166,3 +166,63 @@ def test_hll_rejects_bad_p(spark):
         hll_registers(d, ["g"], "v", p=6)
     with _pytest.raises(ValueError):
         hll_alpha_e7(64)
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    """bloom_prune keeps EVERY true join key (⊇ semi-join) and, at
+    16 bits/key, passes ~none of the non-matching rows."""
+    from week4_musemotion_spark.operators.sketches import bloom_prune
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    )
+    pruned = bloom_prune(li, part.select("p_partkey"), "l_partkey", "p_partkey")
+    true_keys = {r.p_partkey for r in part.select("p_partkey").collect()}
+    pruned_keys = {r.l_partkey for r in pruned.select("l_partkey").distinct().collect()}
+    li_keys = {r.l_partkey for r in li.select("l_partkey").distinct().collect()}
+    assert true_keys & li_keys <= pruned_keys, "bloom dropped a true key"
+    n_full, n_pruned = li.count(), pruned.count()
+    assert n_pruned < 0.15 * n_full, (n_pruned, n_full)
+
+
+def test_bloom_prune_empty_keys_prunes_everything(spark):
+    from week4_musemotion_spark.operators.sketches import bloom_prune
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    none = spark.createDataFrame([], "p_partkey long")
+    assert bloom_prune(li, none, "l_partkey", "p_partkey").count() == 0
+
+
+def test_bloom_membership_is_scan_side_predicate(spark):
+    """The membership test must be a plain Filter on the fact scan —
+    BELOW any exchange — or the 100 TB story (prune before shuffle)
+    is not what the plan runs."""
+    from week4_musemotion_spark.operators.sketches import bloom_prune
+    from week4_musemotion_spark.plans.audit import plan_string
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").filter(F.col("p_size") <= 5)
+    pruned = bloom_prune(li, part.select("p_partkey"), "l_partkey", "p_partkey")
+    joined = pruned.join(
+        part.hint("merge"), pruned.l_partkey == part.p_partkey
+    ).groupBy("p_brand").count()
+    plan = plan_string(joined, "simple")
+    # with the broadcast path disabled via merge hint, the fact side
+    # is Exchange(...Filter(...md5...Scan)) — filter below exchange
+    fact_side = plan[plan.index("Exchange") :]
+    assert "md5" in fact_side, plan
+    filt = plan.index("md5")
+    assert "Exchange" in plan[:filt], "membership filter not below an exchange"
+    scan = plan.index("Scan parquet", filt)
+    assert "Exchange" not in plan[filt:scan], "exchange between filter and fact scan"
+
+
+def test_bloom_rejects_bad_bits(spark):
+    import pytest as _pytest
+
+    from week4_musemotion_spark.operators.sketches import build_key_bloom
+
+    d = spark.range(3).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError):
+        build_key_bloom(d, "k", num_bits=1000)

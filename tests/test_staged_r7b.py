@@ -44,3 +44,9 @@ def test_distinct_sketch_matches_oracle(spark):
     # sketch error within ~3 standard errors (1.04/sqrt(256) ≈ 6.5%)
     assert (got.err_ppm < 200_000).all()
     assert got.zero_regs.between(0, 256).all()
+
+
+def test_bloom_pruned_join_matches_oracle(spark):
+    got = _diff(spark, "q_bloom_pruned_join")
+    assert len(got) > 0 and (got.n_items > 0).all()
+    assert (got.revenue_e4 > 0).all()

@@ -18,7 +18,7 @@ rather than DuckDB value oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -275,3 +275,93 @@ def hll_estimate(
             F.when((raw <= 2.5 * m) & (F.col("zero_regs") > 0), linear).otherwise(raw),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning — runtime semi-join filter, exact results
+# ---------------------------------------------------------------------------
+
+
+def build_key_bloom(
+    keys: DataFrame, key_col: str, num_bits: int = 1 << 15, num_hashes: int = 3
+) -> list[int]:
+    """Bloom bitmap of a key column as ``num_bits / 64`` signed longs.
+
+    The build is distributed: each key hashes to ``num_hashes`` bit
+    positions JVM-side (seeded portable hash), and only the DISTINCT
+    positions — at most ``num_bits`` ints, a few KB no matter how
+    many keys — ever reach the driver.  That bound is what makes this
+    usable where a broadcast join is not: a dim side of 100 M keys
+    broadcasts megabytes of hashes, but its bloom is still
+    ``num_bits/8`` bytes.  False-positive rate ≈ (1-e^(-kn/m))^k;
+    size ``num_bits`` ≈ 10–16 bits per expected key for ~1 % or
+    better."""
+    if num_bits & (num_bits - 1) or num_bits < 64:
+        raise ValueError(f"num_bits must be a power of two >= 64, got {num_bits}")
+    from week4_musemotion_spark.functions.hashing import stable_hash64
+
+    key = F.col(key_col).cast("string")
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(stable_hash64(key, seed=s), num_bits)
+                    for s in range(num_hashes)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    words = [0] * (num_bits // 64)
+    for r in pos.collect():
+        words[r.pos >> 6] |= 1 << (r.pos & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(
+    col: Column, words: list[int], num_hashes: int = 3
+) -> Column:
+    """Membership predicate against a :func:`build_key_bloom` bitmap —
+    a pure builtin-expression column (literal long array + shifts),
+    so it runs inside whole-stage codegen on the scan side, BEFORE
+    any exchange.  May pass false positives (the downstream equi-join
+    removes them); never drops a true key."""
+    num_bits = 64 * len(words)
+    from week4_musemotion_spark.functions.hashing import stable_hash64
+
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    s_col = col.cast("string")
+    conds = []
+    for s in range(num_hashes):
+        pos = F.pmod(stable_hash64(s_col, seed=s), num_bits)
+        word = F.element_at(arr, F.shiftright(pos, 6).cast("int") + 1)
+        bit = F.call_function(
+            "shiftright", word, pos.bitwiseAND(63).cast("int")
+        ).bitwiseAND(1)
+        conds.append(bit == 1)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def bloom_prune(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    num_bits: int = 1 << 15,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Pre-filter ``fact`` to rows whose ``fact_key`` MIGHT appear in
+    ``keys[dim_key]`` — the explicit, engine-portable form of a
+    runtime bloom join filter (the optimization AQE's
+    ``runtime.bloomFilter`` applies opportunistically), for the join
+    shape where the dim side is too large to broadcast raw but its
+    bloom is a few KB.  The pruned fact then feeds the real equi-join
+    unchanged: false positives die there, so composite results are
+    EXACT — the bitmap only decides how much of the fact table never
+    enters the shuffle.  At 16 bits/key the filter passes ~0.05 % of
+    non-matching rows; a 100 TB fact side joining a 1 % -selective
+    dim shuffles ~1 % instead of 100 %."""
+    w = build_key_bloom(keys, dim_key or fact_key, num_bits, num_hashes)
+    return fact.filter(bloom_might_contain(F.col(fact_key), w, num_hashes))

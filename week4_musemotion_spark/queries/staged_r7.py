@@ -506,3 +506,65 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join
+# ---------------------------------------------------------------------------
+
+def _bloom_part_pred():
+    """Dim-side predicate for the bloom-pruned join: PROMO parts of
+    size <= 10 (~6 % of parts), selective enough that the runtime
+    filter visibly shrinks the fact side.  (A function — building a
+    Column at import time requires an active session.)"""
+    return (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+
+
+_BLOOM_PART_PRED_SQL = "p.p_type = 'PROMO' AND p.p_size <= 10"
+
+
+@query(
+    "q_bloom_pruned_join",
+    covers=("X-BLOOM-JOIN-PRUNE",),
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_BLOOM_PART_PRED_SQL}
+    GROUP BY p.p_brand
+    """,
+)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈dim revenue rollup where the fact side is
+    pre-pruned by a bloom filter built from the dim's surviving join
+    keys (``operators/sketches.bloom_prune``) — the explicit runtime
+    semi-join filter for the 100 TB join shape where the dim is too
+    big to broadcast raw (its bloom is still KBs) and shuffling the
+    whole fact table for a 6 % -selective join wastes 94 % of the
+    exchange.  The bitmap is advisory: false positives are removed by
+    the equi-join itself, so the result is EXACT and the oracle is
+    the plain join — the same sketch-prunes-but-never-decides
+    contract as q_heavy_hitters and q_distinct_sketch.  (At this
+    test scale Catalyst would broadcast the dim anyway; the plan
+    still shows the membership predicate on the scan side of the
+    exchange, which is the 1000-executor story.)"""
+    from week4_musemotion_spark.functions.exact import cents
+    from week4_musemotion_spark.operators.sketches import bloom_prune
+    from week4_musemotion_spark.queries.tpch import _disc_pct
+
+    part = load_table(spark, sf_dir, "part").filter(_bloom_part_pred())
+    li = load_table(spark, sf_dir, "lineitem")
+    pruned = bloom_prune(li, part.select("p_partkey"), "l_partkey", "p_partkey")
+    return (
+        pruned.join(part, pruned.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - _disc_pct()))
+            .cast("long")
+            .alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
