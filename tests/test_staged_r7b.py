@@ -50,3 +50,14 @@ def test_bloom_pruned_join_matches_oracle(spark):
     got = _diff(spark, "q_bloom_pruned_join")
     assert len(got) > 0 and (got.n_items > 0).all()
     assert (got.revenue_e4 > 0).all()
+
+
+def test_leakage_split_matches_oracle(spark):
+    got = _diff(spark, "q_leakage_split")
+    assert set(got.split) <= {"train", "val", "test"}
+    assert (got.straddle_pairs == 0).all(), "near-dup pair crossed a split"
+    assert got.n_docs.sum() == 500, "every document assigned exactly once"
+    assert (got.n_clusters <= got.n_docs).all()
+    # hash-bucketing should land near 80/10/10 (loose: binomial noise)
+    frac = got.set_index("split").n_docs / got.n_docs.sum()
+    assert frac.get("train", 0) > 0.6

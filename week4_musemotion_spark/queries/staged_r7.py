@@ -568,3 +568,117 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+#: Percent buckets for the split: [0,80) train, [80,90) val, rest test.
+_SPLIT_TRAIN, _SPLIT_VAL = 80, 90
+
+
+@query(
+    "q_leakage_split",
+    covers=("X-LEAKAGE-SPLIT",),
+    oracle=f"""
+    WITH RECURSIVE {{ctes}},
+    e2 AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM e2
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
+    ),
+    lab AS (SELECT u AS doc_id, least(u, min(v)) AS keep_id FROM reach GROUP BY u),
+    assign AS (
+        SELECT d.doc_id, d.n_chars, COALESCE(l.keep_id, d.doc_id) AS rep
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    ),
+    sp AS (
+        SELECT doc_id, n_chars, rep,
+               CASE WHEN b < {_SPLIT_TRAIN} THEN 'train'
+                    WHEN b < {_SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *, {{bucket}} % 100 AS b FROM assign)
+    ),
+    st AS (
+        SELECT count(*) AS straddle_pairs
+        FROM pairs p
+        JOIN sp a ON p.doc_a = a.doc_id
+        JOIN sp b ON p.doc_b = b.doc_id
+        WHERE a.split != b.split
+    )
+    SELECT sp.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(st.straddle_pairs AS BIGINT) AS straddle_pairs
+    FROM sp CROSS JOIN st
+    GROUP BY sp.split, st.straddle_pairs
+    """.format(
+        ctes=_jaccard_ctes(0.8),
+        bucket=stable_hash64_sql("CAST(rep AS VARCHAR)"),
+    ),
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: hash-bucket WHOLE near-dup
+    clusters (Jaccard >= 0.8 connected components; singletons are
+    their own cluster) into 80/10/10 splits, so two near-duplicate
+    documents can never land in different splits — the eval-set
+    contamination that naive per-doc hashing bakes in (a train doc's
+    near-copy in the test set is leakage that survives ordinary
+    dedup-after-split).  ``straddle_pairs`` re-counts near-dup pairs
+    crossing split boundaries: zero BY CONSTRUCTION, emitted as the
+    split's self-certificate.
+
+    Deterministic end to end: the bucket is the portable hash of the
+    cluster representative, so the split is stable across runs,
+    engines, and cluster resizes — adding a shard re-splits only its
+    own new clusters.  Scale: pair generation is the shingle
+    equi-join (LSH at 100 TB), components are pointer-jumping CC,
+    and the split itself is one hash + one keyed aggregate — no new
+    shuffle beyond what dedup already paid."""
+    from week4_musemotion_spark.operators.dedup import jaccard_pairs
+    from week4_musemotion_spark.operators.graph import dedup_clusters
+    from week4_musemotion_spark.queries.extensions import JACCARD_THRESHOLD
+
+    d = load_table(spark, sf_dir, "documents")
+    # pairs feed clusters AND the straddle certificate; clusters feed
+    # the assignment — pin both (branch-reuse)
+    pairs = jaccard_pairs(d, JACCARD_THRESHOLD).localCheckpoint(eager=False)
+    clusters = dedup_clusters(pairs)
+    b = F.pmod(stable_hash64(F.col("rep").cast("string")), 100)
+    assign = (
+        d.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("keep_id", "doc_id").alias("rep"),
+        )
+        .withColumn(
+            "split",
+            F.when(b < _SPLIT_TRAIN, "train")
+            .when(b < _SPLIT_VAL, "val")
+            .otherwise("test"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    agg = assign.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("rep").cast("long").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    sa = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    straddle = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("straddle_pairs"))
+    )
+    return agg.crossJoin(F.broadcast(straddle))
