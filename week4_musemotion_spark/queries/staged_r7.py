@@ -26,6 +26,17 @@ Sketch-quality and PCA queries:
   aggregate, exact integer ppm).
 - q_ann_recall_report — rows-only: recall@3 of the LSH and IVF ANNs
   against the exact brute-force baseline, per query vector.
+
+Second wave (sketch-prunes-but-never-decides + split hygiene):
+
+- q_distinct_sketch — per-source exact shingle cardinality vs the
+  portable-HLL estimate (operators/sketches.hll_registers) with
+  observed err_ppm; the estimate replays bit-for-bit in the oracle.
+- q_bloom_pruned_join — selective fact⋈dim rollup with the fact side
+  pre-pruned by a dim-key bloom (operators/sketches.bloom_prune);
+  results exact, oracle is the plain join.
+- q_leakage_split — near-dup-cluster-aware 80/10/10 split with a
+  zero-by-construction straddle-pair certificate.
 """
 
 from __future__ import annotations

@@ -1,0 +1,215 @@
+"""STAGED FOR ROUND 8 — built and differentially tested now, NOT
+imported by ``queries/__init__``: round 7 activates ``staged_r7``
+(9 queries, at the ≲10/round evidence-rotation budget), so this wave
+queues behind it.  To activate: add ``from
+week4_musemotion_spark.queries import staged_r8`` to
+``queries/__init__.py``.
+
+- q_dup_span_coverage — per source, the fraction of 8-gram positions
+  whose gram also appears in another document: the cross-document
+  duplicated-SPAN signal behind exact-substring dedup (Lee et al.
+  2022, arXiv:2107.06499) that pair-level Jaccard misses when only a
+  boilerplate paragraph repeats inside otherwise-distinct documents.
+- q_bloom_fp_audit — the bloom filter itself made oracle-checkable:
+  exact per-outcome row counts (true match / false positive /
+  pruned) for a dim-key bloom over the fact side, with the oracle
+  re-deriving membership from the hash positions by joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.functions.exact import dec, int_div_trunc
+from week4_musemotion_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.sources.tables import load_table
+
+#: Span width for duplicated-span coverage: 8-token grams — long
+#: enough that a shared gram implies copied text, short enough that
+#: a copied paragraph contributes many positions.
+_SPAN_N = 8
+
+
+def _span_gram_sql() -> str:
+    from week4_musemotion_spark.queries.extensions import _shingle_expr
+
+    return f"""tok AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents),
+    g AS (SELECT doc_id, source, unnest({_shingle_expr(_SPAN_N)}) AS s FROM tok WHERE len(ts) >= {_SPAN_N})"""
+
+
+@query(
+    "q_dup_span_coverage",
+    covers=("X-DUP-SPAN-COVERAGE",),
+    oracle=f"""
+    WITH {_span_gram_sql()},
+    hx AS (SELECT doc_id, source, {stable_hash64_sql('s')} AS h FROM g),
+    gs AS (
+        SELECT h, source, count(*) AS cnt, count(DISTINCT doc_id) AS nd_s
+        FROM hx GROUP BY 1, 2
+    ),
+    w AS (SELECT *, sum(nd_s) OVER (PARTITION BY h) AS nd FROM gs)
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_spans,
+           CAST(CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS HUGEINT) * 1000000
+                // CAST(sum(cnt) AS HUGEINT) AS BIGINT) AS coverage_ppm
+    FROM w GROUP BY source
+    """,
+)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage per source: of all 8-token gram
+    positions, how many carry a gram that also occurs in at least one
+    OTHER document (corpus-wide, in ppm).  This is the signal behind
+    exact-substring dedup (Lee et al. 2022): document-level near-dup
+    scores miss the case where only a boilerplate paragraph repeats
+    across otherwise-distinct pages, while span coverage surfaces
+    exactly the share of text a substring-dedup pass would cut.
+
+    Plan: one corpus explode → ONE shuffle keyed on the 60-bit gram
+    hash (grams never travel — 8-byte keys do) producing per-(gram,
+    source) occurrence counts and per-gram distinct-doc counts; a
+    window over the same hash key (no second exchange) folds the
+    cross-doc verdict back; a final |sources| aggregate emits exact
+    integer ppm.  Hash collisions could in principle glue two
+    distinct grams (p ~ n²/2^61 — negligible), and the oracle uses
+    the same hash, so both engines see the identical value."""
+    d = load_table(spark, sf_dir, "documents")
+    from week4_musemotion_spark.functions.text import shingles, tokens
+
+    g = d.select(
+        "doc_id", "source", F.explode(shingles(tokens("text"), _SPAN_N)).alias("s")
+    ).select("doc_id", "source", stable_hash64(F.col("s")).alias("h"))
+    gs = g.groupBy("h", "source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("doc_id").alias("nd_s"),
+    )
+    w = gs.withColumn("nd", F.sum("nd_s").over(Window.partitionBy("h")))
+    dup = F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+    return w.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_spans"),
+        dup.cast("long").alias("dup_spans"),
+        int_div_trunc(dec(dup) * 1_000_000, F.sum("cnt")).alias("coverage_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom false-positive audit
+# ---------------------------------------------------------------------------
+
+#: Bitmap-size grid: from one 64-bit word (saturates — near-pure
+#: false positives) up to 4 KiB (comfortable at every test SF), so
+#: the audit always exhibits BOTH regimes regardless of how many dim
+#: keys the SF yields.  Production sizing reads this curve at
+#: 10-16 bits/key (see build_key_bloom).
+_FP_BITS_GRID = (64, 512, 4096, 32768)
+_FP_HASHES = 3
+_FP_DIM_PRED_SQL = "p_type = 'PROMO' AND p_size <= 10"
+
+
+def _fp_seed_hash_sql(key_expr: str) -> str:
+    """Row-valued-seed rendering of the seeded portable hash (the
+    helper takes literal seeds): same '<seed>:' prefix and md5-prefix
+    width as functions.hashing.stable_hash64(col, seed=s)."""
+    from week4_musemotion_spark.functions.hashing import _HEX_DIGITS
+
+    return (
+        f"CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || {key_expr}), 1, "
+        f"{_HEX_DIGITS})) AS BIGINT)"
+    )
+
+
+@query(
+    "q_bloom_fp_audit",
+    covers=("X-BLOOM-FP-AUDIT",),
+    oracle=f"""
+    WITH dimk AS (SELECT DISTINCT p_partkey AS k FROM part WHERE {_FP_DIM_PRED_SQL}),
+    seeds AS (SELECT unnest(range(0, {_FP_HASHES})) AS s),
+    sizes AS (SELECT CAST(unnest([{", ".join(map(str, _FP_BITS_GRID))}]) AS BIGINT) AS b),
+    dpos AS (
+        SELECT DISTINCT z.b, {_fp_seed_hash_sql("CAST(d.k AS VARCHAR)")} % z.b AS p
+        FROM dimk d CROSS JOIN seeds s CROSS JOIN sizes z
+    ),
+    factk AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+    fpos AS (
+        SELECT z.b, f.k, f.cnt,
+               {_fp_seed_hash_sql("CAST(f.k AS VARCHAR)")} % z.b AS p
+        FROM factk f CROSS JOIN seeds s CROSS JOIN sizes z
+    ),
+    verdict AS (
+        SELECT fp.b, fp.k, min(fp.cnt) AS cnt,
+               min(CASE WHEN d.p IS NOT NULL THEN 1 ELSE 0 END) AS passed
+        FROM fpos fp LEFT JOIN dpos d ON fp.b = d.b AND fp.p = d.p
+        GROUP BY fp.b, fp.k
+    ),
+    labeled AS (
+        SELECT v.b, v.cnt,
+               CASE WHEN v.passed = 1 AND m.k IS NOT NULL THEN 'hit'
+                    WHEN v.passed = 1 THEN 'false_positive'
+                    WHEN m.k IS NOT NULL THEN 'lost_true_key'
+                    ELSE 'pruned' END AS outcome
+        FROM verdict v LEFT JOIN dimk m ON v.k = m.k
+    )
+    SELECT b AS num_bits, outcome,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows
+    FROM labeled GROUP BY b, outcome
+    """,
+)
+def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom filter itself under oracle: every distinct fact join
+    key labeled ``hit`` (passes, true dim key), ``false_positive``
+    (passes, not a dim key), ``pruned`` (rejected, not a dim key) or
+    ``lost_true_key`` (rejected true key — MUST never appear; its
+    absence is the no-false-negative certificate in the data, not
+    just in a unit test), with key and row counts per outcome — and
+    the label swept over a BITMAP-SIZE GRID (64 bits … 32 Kbits), so
+    one result is the provisioning curve "my key distribution at b
+    bits → this fp rate": the smallest bitmap saturates into
+    near-pure false positives while the largest prunes cleanly at
+    every test SF, and a team reads off the knee before sizing a
+    production filter at 10-16 bits/key.
+
+    Oracle path re-derives membership relationally: a key passes iff
+    ALL of its seeded hash positions appear in the union of dim-key
+    positions — exactly the OR-ed bitmap the Spark side broadcasts,
+    so both engines agree on every label at every size."""
+    from week4_musemotion_spark.operators.sketches import (
+        bloom_might_contain,
+        build_key_bloom,
+    )
+
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    )
+    dimk = part.select(F.col("p_partkey").alias("k")).distinct().persist()
+    li = load_table(spark, sf_dir, "lineitem")
+    factk = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)  # one fact scan feeds every grid size
+    outs = []
+    for bits in _FP_BITS_GRID:
+        words = build_key_bloom(dimk, "k", num_bits=bits, num_hashes=_FP_HASHES)
+        outs.append(
+            factk.withColumn(
+                "passed", bloom_might_contain(F.col("k"), words, _FP_HASHES)
+            )
+            .join(dimk.withColumn("in_dim", F.lit(True)), "k", "left")
+            .select(
+                F.lit(bits).cast("long").alias("num_bits"),
+                "cnt",
+                F.when(F.col("passed") & F.col("in_dim").isNotNull(), "hit")
+                .when(F.col("passed"), "false_positive")
+                .when(F.col("in_dim").isNotNull(), "lost_true_key")
+                .otherwise("pruned")
+                .alias("outcome"),
+            )
+        )
+    labeled = outs[0]
+    for o in outs[1:]:
+        labeled = labeled.unionByName(o)
+    return labeled.groupBy("num_bits", "outcome").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
