@@ -496,11 +496,12 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.operators.sketches import hll_estimate, hll_registers
 
     d = load_table(spark, sf_dir, "documents")
-    # one exploded-shingle stream feeds the sketch AND the exact twin
-    # (branch-reuse: don't re-explode the corpus per consumer)
-    s = d.select(
-        "source", F.explode(shingles(tokens("text"), 3)).alias("s")
-    ).localCheckpoint(eager=False)
+    # the sketch and the exact twin each re-explode from the columnar
+    # scan: NOT branch-reuse-pinned, deliberately — checkpointing here
+    # would materialize the full exploded shingle STREAM (strings, ≫
+    # corpus size) to trade cheap pushed-down scans for storage, and
+    # would kick both branches out of whole-stage codegen
+    s = d.select("source", F.explode(shingles(tokens("text"), 3)).alias("s"))
     est = hll_estimate(hll_registers(s, ["source"], "s", p=_HLL_P), ["source"], p=_HLL_P)
     ex = s.groupBy("source").agg(F.countDistinct("s").cast("long").alias("exact_distinct"))
     return (

@@ -67,25 +67,24 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     across otherwise-distinct pages, while span coverage surfaces
     exactly the share of text a substring-dedup pass would cut.
 
-    Plan: one corpus explode → ONE shuffle keyed on the 60-bit gram
-    hash (grams never travel — 8-byte keys do) producing per-(gram,
-    source) occurrence counts and per-gram distinct-doc counts; a
-    window over the same hash key (no second exchange) folds the
-    cross-doc verdict back; a final |sources| aggregate emits exact
-    integer ppm.  Hash collisions could in principle glue two
-    distinct grams (p ~ n²/2^61 — negligible), and the oracle uses
-    the same hash, so both engines see the identical value."""
+    Plan: one corpus explode → one shuffle of the gram stream keyed
+    (hash, doc, source) — grams never travel, 8-byte keys do — whose
+    groups are exactly one row per (gram, document), so the window
+    over the gram hash counts ROWS to get distinct-docs-per-gram (no
+    countDistinct expansion, which would cost an extra full-width
+    exchange); a final |sources| aggregate emits exact integer ppm.
+    Hash collisions could in principle glue two distinct grams
+    (p ~ n²/2^61 — negligible), and the oracle uses the same hash,
+    so both engines see the identical value."""
     d = load_table(spark, sf_dir, "documents")
     from week4_musemotion_spark.functions.text import shingles, tokens
 
     g = d.select(
         "doc_id", "source", F.explode(shingles(tokens("text"), _SPAN_N)).alias("s")
     ).select("doc_id", "source", stable_hash64(F.col("s")).alias("h"))
-    gs = g.groupBy("h", "source").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.countDistinct("doc_id").alias("nd_s"),
-    )
-    w = gs.withColumn("nd", F.sum("nd_s").over(Window.partitionBy("h")))
+    # one row per (gram, doc): cnt = occurrences of the gram in the doc
+    gd = g.groupBy("h", "doc_id", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    w = gd.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("h")))
     dup = F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(F.lit(0)))
     return w.groupBy("source").agg(
         F.sum("cnt").cast("long").alias("n_spans"),
