@@ -351,6 +351,62 @@ def main() -> int:
                 time.perf_counter() - t0, 2
             )
 
+        # round-6 late shapes: portable-HLL registers (shuffle bounded
+        # by m rows/source/partition no matter the stream), bloom-
+        # pruned join (constant-size bitmap built eagerly + scan-side
+        # filter — timed together, the build is part of the operator),
+        # and duplicated-span coverage (gram stream shuffles 8-byte
+        # hashes; identical amplified copies make every gram cross-doc
+        # so result size stays |sources|).
+        from week4_musemotion_spark.functions.text import shingles as _shingles
+        from week4_musemotion_spark.operators.sketches import (
+            bloom_might_contain,
+            build_key_bloom,
+            hll_estimate,
+            hll_registers,
+        )
+
+        sh_stream = docs.select(
+            "source", F.explode(_shingles(_tokens(F.col("text")), 3)).alias("s")
+        )
+        hll = hll_estimate(hll_registers(sh_stream, ["source"], "s"), ["source"])
+        if only is None or "bloom_pruned_join" in only:
+            bdim = part.filter((F.col("p_type") == "PROMO") & (F.col("p_size") <= 10))
+            t0 = time.perf_counter()
+            bwords = build_key_bloom(bdim.select("p_partkey"), "p_partkey")
+            bl = (
+                li.filter(bloom_might_contain(F.col("l_partkey"), bwords))
+                .join(F.broadcast(bdim.select("p_partkey", "p_brand")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("p_brand")
+                .agg(F.sum("l_quantity").alias("q"))
+            )
+            bl.write.format("noop").mode("overwrite").save()
+            results.setdefault("bloom_pruned_join", {})[n] = round(
+                time.perf_counter() - t0, 2
+            )
+        from pyspark.sql.window import Window as _W
+
+        from week4_musemotion_spark.functions.hashing import stable_hash64 as _sh64
+
+        span_gd = (
+            docs.select(
+                "doc_id", "source",
+                F.explode(_shingles(_tokens(F.col("text")), 8)).alias("s"),
+            )
+            .select("doc_id", "source", _sh64(F.col("s")).alias("h"))
+            .groupBy("h", "doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        span = (
+            span_gd.withColumn("nd", F.count(F.lit(1)).over(_W.partitionBy("h")))
+            .groupBy("source")
+            .agg(
+                F.sum("cnt").alias("n_spans"),
+                F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias("dup"),
+            )
+        )
+
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -370,6 +426,8 @@ def main() -> int:
             ("bigram_coverage_join", bcov),
             ("heavy_hitters_sketch", hh),
             ("gram_exact_moments", gram),
+            ("hll_registers_sketch", hll),
+            ("dup_span_window", span),
         ]:
             if only is not None and shape not in only:
                 continue
