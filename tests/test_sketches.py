@@ -226,3 +226,52 @@ def test_bloom_rejects_bad_bits(spark):
     d = spark.range(3).select(F.col("id").alias("k"))
     with _pytest.raises(ValueError):
         build_key_bloom(d, "k", num_bits=1000)
+
+
+def test_hll_ignores_null_values(spark):
+    """NULLs add zero distinct — sketch(values + NULLs) == sketch(values)."""
+    from week4_musemotion_spark.operators.sketches import hll_registers
+
+    d = spark.range(300).select(F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+    with_nulls = d.unionByName(
+        spark.range(50).select(F.lit("g").alias("g"), F.lit(None).cast("string").alias("v"))
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(hll_registers(with_nulls, ["g"], "v")) == key(hll_registers(d, ["g"], "v"))
+
+
+def test_hll_estimate_p_mismatch_fails_loudly(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from week4_musemotion_spark.operators.sketches import hll_estimate, hll_registers
+
+    d = spark.range(5000).select(F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+    reg10 = hll_registers(d, ["g"], "v", p=10)
+    with _pytest.raises((Py4JJavaError, Exception), match="registers in a group"):
+        hll_estimate(reg10, ["g"], p=8).collect()
+    with _pytest.raises(ValueError):
+        hll_estimate(reg10, ["g"], p=3)
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    from week4_musemotion_spark.operators.sketches import build_key_bloom
+
+    d = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    clean = spark.createDataFrame([(1,), (2,)], "k long")
+    assert build_key_bloom(d, "k", num_bits=256) == build_key_bloom(clean, "k", num_bits=256)
+
+
+def test_bloom_words_fold_from_larger_build(spark):
+    """Positions built at the grid max mask down to the identical
+    bitmap a direct smaller build produces."""
+    from week4_musemotion_spark.operators.sketches import (
+        bloom_positions,
+        bloom_words,
+        build_key_bloom,
+    )
+
+    d = spark.range(100).select(F.col("id").alias("k"))
+    pos = bloom_positions(d, "k", num_bits=4096)
+    for bits in (64, 512, 4096):
+        assert bloom_words(pos, bits) == build_key_bloom(d, "k", num_bits=bits)

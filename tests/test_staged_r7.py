@@ -4,38 +4,18 @@ so round 7 can register them with evidence already in hand."""
 
 from __future__ import annotations
 
-import duckdb
 import pandas as pd
 import pytest
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, staged_diff
 
 TABLES = ("documents", "embeddings")
 
 
-def _oracle(sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
-        )
-    return con.execute(sql).fetchdf()
-
-
 def _diff(spark, name):
     from week4_musemotion_spark.queries import staged_r7  # noqa: F401 — registers
-    from week4_musemotion_spark.queries.registry import REGISTRY
 
-    spec = REGISTRY[name]
-    got = spec.builder(spark, SF_SMOKE).toPandas()
-    want = _oracle(spec.oracle)
-    assert sorted(got.columns) == sorted(want.columns), (got.columns, want.columns)
-    cols = sorted(got.columns)
-    g = got[cols].sort_values(cols).reset_index(drop=True)
-    w = want[cols].sort_values(cols).reset_index(drop=True)
-    assert len(g) == len(w), (name, len(g), len(w))
-    pd.testing.assert_frame_equal(g, w, check_dtype=False)
-    return got
+    return staged_diff(spark, name, TABLES)
 
 
 def test_minhash_fidelity_matches_oracle(spark):

@@ -4,35 +4,15 @@ so activation ships with evidence already in hand."""
 
 from __future__ import annotations
 
-import duckdb
-import pandas as pd
-
-from tests.conftest import SF_SMOKE
+from tests.conftest import staged_diff
 
 TABLES = ("documents", "lineitem", "part")
 
 
-def _oracle(sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
-    return con.execute(sql).fetchdf()
-
-
 def _diff(spark, name):
     from week4_musemotion_spark.queries import staged_r8  # noqa: F401 — registers
-    from week4_musemotion_spark.queries.registry import REGISTRY
 
-    spec = REGISTRY[name]
-    got = spec.builder(spark, SF_SMOKE).toPandas()
-    want = _oracle(spec.oracle)
-    assert sorted(got.columns) == sorted(want.columns), (got.columns, want.columns)
-    cols = sorted(got.columns)
-    g = got[cols].sort_values(cols).reset_index(drop=True)
-    w = want[cols].sort_values(cols).reset_index(drop=True)
-    assert len(g) == len(w), (name, len(g), len(w))
-    pd.testing.assert_frame_equal(g, w, check_dtype=False)
-    return got
+    return staged_diff(spark, name, TABLES)
 
 
 def test_dup_span_coverage_matches_oracle(spark):

@@ -371,7 +371,9 @@ def main() -> int:
         )
         hll = hll_estimate(hll_registers(sh_stream, ["source"], "s"), ["source"])
         if only is None or "bloom_pruned_join" in only:
-            bdim = part.filter((F.col("p_type") == "PROMO") & (F.col("p_size") <= 10))
+            from week4_musemotion_spark.queries.staged_r7 import _bloom_part_pred
+
+            bdim = part.filter(_bloom_part_pred())
             t0 = time.perf_counter()
             bwords = build_key_bloom(bdim.select("p_partkey"), "p_partkey")
             bl = (

@@ -205,7 +205,11 @@ def hll_registers(
         F.lit(width + 1) - F.length(F.bin(w))
     )
     return (
-        df.select(*group_cols, h.bitwiseAND(m - 1).alias("bucket"), rho.alias("rho"))
+        # NULLs contribute zero distinct (approx_count_distinct
+        # semantics) — unguarded they would hash to a NULL bucket row
+        # that inflates `present` without a dp term in hll_estimate
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.bitwiseAND(m - 1).alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").cast("int").alias("reg"))
     )
@@ -241,9 +245,17 @@ def hll_estimate(
     - ``estimate`` (double) — the branched HLL estimate (linear
       counting when raw ≤ 2.5m and V > 0, raw otherwise) for direct
       use where cross-engine integer exactness is not required.
+
+    ``p`` must match the value the registers were built with (the
+    register table does not carry it); a per-group ``assert_true``
+    fails the job if more than m register rows appear — the
+    p-mismatch symptom that would otherwise yield silently negative
+    estimates.
     """
     from week4_musemotion_spark.functions.exact import dec, int_div_trunc
 
+    if not 7 <= p <= 16:
+        raise ValueError(f"p must be in [7, 16], got {p}")
     m = 1 << p
     width = _HASH_BITS - p
     top = 1 << (width + 1)  # contribution of an empty register
@@ -259,7 +271,17 @@ def hll_estimate(
             )
         ).alias("dp"),
     )
-    d_col = F.col("dp") + (F.lit(m) - F.col("present")) * F.lit(top)
+    # the assert must live inside a USED expression or Catalyst prunes
+    # it: assert_true yields NULL on success, so the when() branch is
+    # always taken — and the job fails loudly on a p mismatch
+    p_ok = F.assert_true(
+        F.col("present") <= m,
+        F.lit(f"hll_estimate: > {m} registers in a group — built with a larger p?"),
+    )
+    d_col = F.when(
+        p_ok.isNull(),
+        F.col("dp") + (F.lit(m) - F.col("present")) * F.lit(top),
+    )
     raw_e2 = int_div_trunc(num_dec, dec(d_col) * 100_000)
     zeros = (F.lit(m) - F.col("present")).cast("long")
     raw = F.col("hll_e2").cast("double") / 100.0
@@ -296,24 +318,52 @@ def build_key_bloom(
     ``num_bits/8`` bytes.  False-positive rate ≈ (1-e^(-kn/m))^k;
     size ``num_bits`` ≈ 10–16 bits per expected key for ~1 % or
     better."""
+    return bloom_words(
+        bloom_positions(keys, key_col, num_bits, num_hashes), num_bits
+    )
+
+
+def bloom_positions(
+    keys: DataFrame, key_col: str, num_bits: int, num_hashes: int = 3
+) -> list[int]:
+    """The distributed half of the bloom build: distinct set bit
+    positions of every non-NULL key (NULL never equi-joins, so it
+    contributes no bits).  Because positions are ``hash & (bits-1)``,
+    a position set built at ``num_bits`` folds down to any smaller
+    power of two with ``p & (smaller-1)`` — one Spark job can feed a
+    whole bitmap-size grid (see :func:`bloom_words`)."""
     if num_bits & (num_bits - 1) or num_bits < 64:
         raise ValueError(f"num_bits must be a power of two >= 64, got {num_bits}")
     from week4_musemotion_spark.functions.hashing import stable_hash64
 
     key = F.col(key_col).cast("string")
-    pos = keys.select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(stable_hash64(key, seed=s), num_bits)
-                    for s in range(num_hashes)
-                ]
-            )
-        ).alias("pos")
-    ).distinct()
+    pos = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(stable_hash64(key, seed=s), num_bits)
+                        for s in range(num_hashes)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    return [r.pos for r in pos.collect()]
+
+
+def bloom_words(positions: list[int], num_bits: int) -> list[int]:
+    """Fold a position set into the ``num_bits/64`` signed-long bitmap.
+    ``positions`` may come from a LARGER power-of-two build (they are
+    masked down), so a size grid shares one distributed build."""
+    if num_bits & (num_bits - 1) or num_bits < 64:
+        raise ValueError(f"num_bits must be a power of two >= 64, got {num_bits}")
     words = [0] * (num_bits // 64)
-    for r in pos.collect():
-        words[r.pos >> 6] |= 1 << (r.pos & 63)
+    for p in positions:
+        p &= num_bits - 1
+        words[p >> 6] |= 1 << (p & 63)
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 

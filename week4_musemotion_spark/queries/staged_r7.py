@@ -419,7 +419,17 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the raw-estimate regime (> 2.5 m = 640) at every test SF.
 _HLL_P = 8
 _HLL_M = 1 << _HLL_P
-_HLL_W1 = 60 - _HLL_P + 1  # empty-register exponent W+1
+
+
+def _hll_w1() -> int:
+    """Empty-register exponent W+1, derived from the operator's own
+    hash-width constant so oracle and plan cannot drift."""
+    from week4_musemotion_spark.operators.sketches import _HASH_BITS
+
+    return _HASH_BITS - _HLL_P + 1
+
+
+_HLL_W1 = _hll_w1()
 
 
 def _hll_num() -> int:
@@ -525,14 +535,18 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _bloom_part_pred():
-    """Dim-side predicate for the bloom-pruned join: PROMO parts of
-    size <= 10 (~6 % of parts), selective enough that the runtime
-    filter visibly shrinks the fact side.  (A function — building a
-    Column at import time requires an active session.)"""
+    """Dim-side predicate for the bloom-pruned join AND staged_r8's
+    fp audit (which provisions THIS join's filter — the two must size
+    the same key population): PROMO parts of size <= 10 (~6 % of
+    parts), selective enough that the runtime filter visibly shrinks
+    the fact side.  (A function — building a Column at import time
+    requires an active session.)"""
     return (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
 
 
-_BLOOM_PART_PRED_SQL = "p.p_type = 'PROMO' AND p.p_size <= 10"
+#: Unqualified (alias-free) SQL rendering of :func:`_bloom_part_pred`
+#: — valid wherever ``part`` is in scope, qualified or not.
+_BLOOM_PART_PRED_SQL = "p_type = 'PROMO' AND p_size <= 10"
 
 
 @query(

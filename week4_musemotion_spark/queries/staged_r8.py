@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from week4_musemotion_spark.functions.exact import dec, int_div_trunc
 from week4_musemotion_spark.functions.hashing import stable_hash64, stable_hash64_sql
 from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.queries.staged_r7 import _BLOOM_PART_PRED_SQL
 from week4_musemotion_spark.sources.tables import load_table
 
 #: Span width for duplicated-span coverage: 8-token grams — long
@@ -104,7 +105,6 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 10-16 bits/key (see build_key_bloom).
 _FP_BITS_GRID = (64, 512, 4096, 32768)
 _FP_HASHES = 3
-_FP_DIM_PRED_SQL = "p_type = 'PROMO' AND p_size <= 10"
 
 
 def _fp_seed_hash_sql(key_expr: str) -> str:
@@ -123,7 +123,7 @@ def _fp_seed_hash_sql(key_expr: str) -> str:
     "q_bloom_fp_audit",
     covers=("X-BLOOM-FP-AUDIT",),
     oracle=f"""
-    WITH dimk AS (SELECT DISTINCT p_partkey AS k FROM part WHERE {_FP_DIM_PRED_SQL}),
+    WITH dimk AS (SELECT DISTINCT p_partkey AS k FROM part WHERE {_BLOOM_PART_PRED_SQL}),
     seeds AS (SELECT unnest(range(0, {_FP_HASHES})) AS s),
     sizes AS (SELECT CAST(unnest([{", ".join(map(str, _FP_BITS_GRID))}]) AS BIGINT) AS b),
     dpos AS (
@@ -176,20 +176,24 @@ def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines agree on every label at every size."""
     from week4_musemotion_spark.operators.sketches import (
         bloom_might_contain,
-        build_key_bloom,
+        bloom_positions,
+        bloom_words,
     )
+    from week4_musemotion_spark.queries.staged_r7 import _bloom_part_pred
 
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
-    )
-    dimk = part.select(F.col("p_partkey").alias("k")).distinct().persist()
+    part = load_table(spark, sf_dir, "part").filter(_bloom_part_pred())
+    dimk = part.select(F.col("p_partkey").alias("k")).distinct()
     li = load_table(spark, sf_dir, "lineitem")
     factk = li.groupBy(F.col("l_partkey").alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
     ).localCheckpoint(eager=False)  # one fact scan feeds every grid size
+    # one distributed position build at the grid maximum; every
+    # power-of-two size below it is a driver-side mask (positions are
+    # hash & (bits-1)), so the grid costs ONE Spark job, not four
+    pos = bloom_positions(dimk, "k", num_bits=max(_FP_BITS_GRID))
     outs = []
     for bits in _FP_BITS_GRID:
-        words = build_key_bloom(dimk, "k", num_bits=bits, num_hashes=_FP_HASHES)
+        words = bloom_words(pos, bits)
         outs.append(
             factk.withColumn(
                 "passed", bloom_might_contain(F.col("k"), words, _FP_HASHES)
