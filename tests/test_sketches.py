@@ -248,8 +248,13 @@ def test_hll_estimate_p_mismatch_fails_loudly(spark):
 
     d = spark.range(5000).select(F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v"))
     reg10 = hll_registers(d, ["g"], "v", p=10)
-    with _pytest.raises((Py4JJavaError, Exception), match="registers in a group"):
+    with _pytest.raises((Py4JJavaError, Exception), match="not built with p=8"):
         hll_estimate(reg10, ["g"], p=8).collect()
+    # a SMALLER-p build must fail too (phantom empty registers would
+    # otherwise silently halve the estimate)
+    reg7 = hll_registers(d, ["g"], "v", p=7)
+    with _pytest.raises((Py4JJavaError, Exception), match="not built with p=8"):
+        hll_estimate(reg7, ["g"], p=8).collect()
     with _pytest.raises(ValueError):
         hll_estimate(reg10, ["g"], p=3)
 

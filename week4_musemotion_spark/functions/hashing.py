@@ -40,12 +40,22 @@ def stable_hash64(col: Column | str, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, _HEX_DIGITS), 16, 10).cast("long")
 
 
-def stable_hash64_sql(expr: str, seed: int | None = None) -> str:
+def stable_hash64_sql(
+    expr: str, seed: int | None = None, seed_expr: str | None = None
+) -> str:
     """The DuckDB/ANSI rendering of :func:`stable_hash64`.
 
     Kept adjacent to the Spark form so the two can never drift —
     every oracle that hashes uses this helper's output verbatim.
+    ``seed_expr`` is the ROW-VALUED seed form (a SQL expression whose
+    value replays ``stable_hash64(col, seed=k)`` for each row's own
+    ``k``): it renders the same ``<seed>:`` prefix as the literal
+    form, so the two are interchangeable per-row.
     """
+    if seed is not None and seed_expr is not None:
+        raise ValueError("pass seed or seed_expr, not both")
     if seed is not None:
         expr = f"('{seed}:' || {expr})"
+    elif seed_expr is not None:
+        expr = f"(CAST({seed_expr} AS VARCHAR) || ':' || {expr})"
     return f"CAST(('0x' || substr(md5({expr}), 1, {_HEX_DIGITS})) AS BIGINT)"

@@ -155,8 +155,12 @@ def heavy_hitters(df: DataFrame, col: str, den: int) -> DataFrame:
 # Portable HyperLogLog — engine-replayable distinct sketch
 # ---------------------------------------------------------------------------
 
-#: Hash width of functions.hashing.stable_hash64 (60 bits).
-_HASH_BITS = 60
+from week4_musemotion_spark.functions.hashing import _HEX_DIGITS as _HASH_HEX
+
+#: Hash width of functions.hashing.stable_hash64 — derived from the
+#: hashing module's own digit count (4 bits/hex digit) so the two
+#: can never drift.
+_HASH_BITS = 4 * _HASH_HEX
 
 
 def hll_alpha_e7(m: int) -> int:
@@ -181,9 +185,10 @@ def hll_registers(
     sketch cannot be replayed outside the JVM.
 
     Layout: one row per NON-EMPTY register, ``(*group_cols, bucket,
-    reg)`` with ``bucket = h & (m-1)`` and ``reg = max rank of the
+    reg, p)`` with ``bucket = h & (m-1)``, ``reg = max rank of the
     leading 1-bit in the remaining ``60 - p`` hash bits (all-zero
-    suffix → W+1).  This is the sketch's full mergeable state: m
+    suffix → W+1), and ``p`` the build precision (checked by
+    :func:`hll_estimate`).  This is the sketch's full mergeable state: m
     rows per group bound the shuffle no matter how many distinct
     values stream through, duplicates never change a register, and
     two partial sketches merge by ``max`` per bucket
@@ -212,17 +217,26 @@ def hll_registers(
         .select(*group_cols, h.bitwiseAND(m - 1).alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").cast("int").alias("reg"))
+        # the table carries its own precision so hll_estimate can
+        # verify it was built with the p it is decoding at — ANY
+        # mismatch (larger or smaller) fails loudly instead of
+        # silently skewing the harmonic denominator
+        .withColumn("p", F.lit(p).cast("int"))
     )
 
 
 def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
     """Merge two register tables (same ``p``): union, max per bucket.
     The mergeable-summaries property — sketch(A ∪ B) =
-    merge(sketch(A), sketch(B)) exactly."""
+    merge(sketch(A), sketch(B)) exactly.  ``p`` rides the grouping
+    key: merging tables built at different precisions keeps both p
+    values, which :func:`hll_estimate`'s per-group check then
+    rejects."""
     return (
         a.unionByName(b)
-        .groupBy(*group_cols, "bucket")
+        .groupBy(*group_cols, "bucket", "p")
         .agg(F.max("reg").cast("int").alias("reg"))
+        .select(*group_cols, "bucket", "reg", "p")
     )
 
 
@@ -246,11 +260,11 @@ def hll_estimate(
       counting when raw ≤ 2.5m and V > 0, raw otherwise) for direct
       use where cross-engine integer exactness is not required.
 
-    ``p`` must match the value the registers were built with (the
-    register table does not carry it); a per-group ``assert_true``
-    fails the job if more than m register rows appear — the
-    p-mismatch symptom that would otherwise yield silently negative
-    estimates.
+    ``p`` must match the value the registers were built with; the
+    register table carries its build precision, and a per-group
+    ``assert_true`` fails the job on ANY mismatch (larger p: extra
+    buckets; smaller p: phantom empty registers) — both would
+    otherwise skew the harmonic denominator silently.
     """
     from week4_musemotion_spark.functions.exact import dec, int_div_trunc
 
@@ -270,13 +284,15 @@ def hll_estimate(
                 (F.lit(width + 1) - F.col("reg")).cast("int"),
             )
         ).alias("dp"),
+        F.min("p").alias("_p_lo"),
+        F.max("p").alias("_p_hi"),
     )
     # the assert must live inside a USED expression or Catalyst prunes
     # it: assert_true yields NULL on success, so the when() branch is
     # always taken — and the job fails loudly on a p mismatch
     p_ok = F.assert_true(
-        F.col("present") <= m,
-        F.lit(f"hll_estimate: > {m} registers in a group — built with a larger p?"),
+        (F.col("_p_lo") == p) & (F.col("_p_hi") == p),
+        F.lit(f"hll_estimate: registers were not built with p={p}"),
     )
     d_col = F.when(
         p_ok.isNull(),

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.exact import dec, int_div_trunc, ratio_e4
-from week4_musemotion_spark.functions.hashing import _HEX_DIGITS, stable_hash64, stable_hash64_sql
+from week4_musemotion_spark.functions.hashing import stable_hash64, stable_hash64_sql
 from week4_musemotion_spark.queries.extensions import _jaccard_ctes
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
@@ -68,12 +68,11 @@ _SWEEP_THRESHOLDS = (5000, 6000, 7000, 8000, 9000)
     oracle=f"""
     WITH {_jaccard_ctes(_FIDELITY_MIN_JACCARD)},
     mh AS (
-        -- stable_hash64_sql's seeded form with a ROW-valued seed
-        -- (the helper takes a literal): same 'k:' prefix, same
-        -- md5-prefix width, so Spark's stable_hash64(s, seed=k)
+        -- the shared helper's ROW-VALUED seed form: same 'k:' prefix,
+        -- same md5-prefix width, so Spark's stable_hash64(s, seed=k)
         -- replays bit-for-bit
         SELECT sh.doc_id, s.k,
-               min(CAST(('0x' || substr(md5(CAST(s.k AS VARCHAR) || ':' || sh.shingle), 1, {_HEX_DIGITS})) AS BIGINT)) AS mv
+               min({stable_hash64_sql("sh.shingle", seed_expr="s.k")}) AS mv
         FROM sh CROSS JOIN (SELECT unnest(range(0, {_FIDELITY_HASHES})) AS k) s
         GROUP BY sh.doc_id, s.k
     )

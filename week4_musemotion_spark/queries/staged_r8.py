@@ -108,15 +108,10 @@ _FP_HASHES = 3
 
 
 def _fp_seed_hash_sql(key_expr: str) -> str:
-    """Row-valued-seed rendering of the seeded portable hash (the
-    helper takes literal seeds): same '<seed>:' prefix and md5-prefix
-    width as functions.hashing.stable_hash64(col, seed=s)."""
-    from week4_musemotion_spark.functions.hashing import _HEX_DIGITS
-
-    return (
-        f"CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || {key_expr}), 1, "
-        f"{_HEX_DIGITS})) AS BIGINT)"
-    )
+    """Seeded portable hash with the row's own seed ``s.s`` — the
+    shared helper's seed_expr form, so the rendering can never drift
+    from functions.hashing.stable_hash64(col, seed=s)."""
+    return stable_hash64_sql(key_expr, seed_expr="s.s")
 
 
 @query(
@@ -182,7 +177,14 @@ def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.queries.staged_r7 import _bloom_part_pred
 
     part = load_table(spark, sf_dir, "part").filter(_bloom_part_pred())
-    dimk = part.select(F.col("p_partkey").alias("k")).distinct()
+    # pinned: dimk feeds the position build (eager collect) plus one
+    # join branch per grid size — unpinned, the part scan + distinct
+    # shuffle would re-execute five times
+    dimk = (
+        part.select(F.col("p_partkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     li = load_table(spark, sf_dir, "lineitem")
     factk = li.groupBy(F.col("l_partkey").alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
