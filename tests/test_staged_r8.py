@@ -38,3 +38,16 @@ def test_bloom_fp_audit_matches_oracle(spark):
     # every size sees every true key as a hit
     hit = got[got.outcome == "hit"].set_index("num_bits").n_keys
     assert hit.nunique() == 1
+
+
+def test_source_overlap_sketch_matches_oracle(spark):
+    got = _diff(spark, "q_source_overlap_sketch")
+    assert len(got) == 190, "all unordered source pairs"
+    # the pointwise register max guarantees union >= each part
+    # EXACTLY (smaller harmonic denominator); <= a+b is NOT an
+    # estimate-level invariant, so only the hard bound is asserted
+    assert (got.union_e2 >= got[["a_e2", "b_e2"]].max(axis=1)).all()
+    assert (got.overlap_e2 >= 0).all()
+    # this corpus' sources share a common generator vocabulary —
+    # a real overlap signal must surface somewhere
+    assert (got.overlap_e2 > 0).any()

@@ -447,6 +447,26 @@ def _hll_shingle_sql(n: int = 3) -> str:
     sh AS (SELECT source, unnest({_shingle_expr(n)}) AS s FROM tok WHERE len(ts) >= {n})"""
 
 
+def _hll_rho_sql(h: str = "h") -> str:
+    """Register rank of a hash expression — the oracle twin of the
+    rho computation in operators/sketches.hll_registers."""
+    return (
+        f"CASE WHEN ({h} >> {_HLL_P}) = 0 THEN {_HLL_W1} "
+        f"ELSE {_HLL_W1} - length(bin({h} >> {_HLL_P})) END"
+    )
+
+
+def _hll_e2_sql(dp: str = "dp", present: str = "present") -> str:
+    """The exact-integer raw-estimate expression from a group's
+    harmonic partial sum and present-register count — shared by every
+    HLL oracle so the formula exists once."""
+    return (
+        f"CAST(CAST('{_hll_num()}' AS HUGEINT)"
+        f" // (CAST({dp} + ({_HLL_M} - {present}) * (CAST(1 AS BIGINT) << {_HLL_W1}) AS HUGEINT) * 100000)"
+        f" AS BIGINT)"
+    )
+
+
 @query(
     "q_distinct_sketch",
     covers=("X-HLL-DISTINCT",),
@@ -455,8 +475,7 @@ def _hll_shingle_sql(n: int = 3) -> str:
     hx AS (SELECT source, s, {stable_hash64_sql('s')} AS h FROM sh),
     reg AS (
         SELECT source, h & {_HLL_M - 1} AS bucket,
-               max(CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_W1}
-                        ELSE {_HLL_W1} - length(bin(h >> {_HLL_P})) END) AS reg
+               max({_hll_rho_sql()}) AS reg
         FROM hx GROUP BY 1, 2
     ),
     agg AS (
@@ -466,9 +485,7 @@ def _hll_shingle_sql(n: int = 3) -> str:
     ),
     est AS (
         SELECT source,
-               CAST(CAST('{_hll_num()}' AS HUGEINT)
-                    // (CAST(dp + ({_HLL_M} - present) * (CAST(1 AS BIGINT) << {_HLL_W1}) AS HUGEINT) * 100000)
-                    AS BIGINT) AS hll_e2,
+               {_hll_e2_sql()} AS hll_e2,
                CAST({_HLL_M} - present AS BIGINT) AS zero_regs
         FROM agg
     ),

@@ -14,6 +14,10 @@ week4_musemotion_spark.queries import staged_r8`` to
   exact per-outcome row counts (true match / false positive /
   pruned) for a dim-key bloom over the fact side, with the oracle
   re-deriving membership from the hash positions by joins.
+- q_source_overlap_sketch — pairwise source-vocabulary overlap by
+  inclusion-exclusion over MERGED HLL registers (hll_merge): |S|²
+  pairs cost |S|²·m register rows after one corpus scan, never a
+  pairwise data union; the mirror-site triage signal.
 """
 
 from __future__ import annotations
@@ -24,7 +28,14 @@ from pyspark.sql import functions as F
 from week4_musemotion_spark.functions.exact import dec, int_div_trunc
 from week4_musemotion_spark.functions.hashing import stable_hash64, stable_hash64_sql
 from week4_musemotion_spark.queries.registry import query
-from week4_musemotion_spark.queries.staged_r7 import _BLOOM_PART_PRED_SQL
+from week4_musemotion_spark.queries.staged_r7 import (
+    _BLOOM_PART_PRED_SQL,
+    _HLL_M,
+    _HLL_W1,
+    _hll_e2_sql,
+    _hll_rho_sql,
+    _hll_shingle_sql,
+)
 from week4_musemotion_spark.sources.tables import load_table
 
 #: Span width for duplicated-span coverage: 8-token grams — long
@@ -217,4 +228,109 @@ def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("num_bits", "outcome").agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source-overlap via HLL register merges
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_source_overlap_sketch",
+    covers=("X-HLL-OVERLAP",),
+    oracle=f"""
+    WITH {_hll_shingle_sql(3)},
+    hx AS (SELECT source, s, {stable_hash64_sql('s')} AS h FROM sh),
+    regs AS (
+        SELECT source, h & {_HLL_M - 1} AS bucket,
+               max({_hll_rho_sql()}) AS reg
+        FROM hx GROUP BY 1, 2
+    ),
+    sagg AS (
+        SELECT source, count(*) AS present,
+               sum(CAST(1 AS BIGINT) << CAST({_HLL_W1} - reg AS INT)) AS dp
+        FROM regs GROUP BY 1
+    ),
+    sest AS (SELECT source, {_hll_e2_sql()} AS e2 FROM sagg),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    prs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    ua AS (
+        SELECT p.sa, p.sb, r.bucket, r.reg FROM prs p JOIN regs r ON r.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, r.bucket, r.reg FROM prs p JOIN regs r ON r.source = p.sb
+    ),
+    ureg AS (SELECT sa, sb, bucket, max(reg) AS reg FROM ua GROUP BY 1, 2, 3),
+    uagg AS (
+        SELECT sa, sb, count(*) AS present,
+               sum(CAST(1 AS BIGINT) << CAST({_HLL_W1} - reg AS INT)) AS dp
+        FROM ureg GROUP BY 1, 2
+    ),
+    uest AS (SELECT sa, sb, {_hll_e2_sql()} AS union_e2 FROM uagg)
+    SELECT u.sa AS source_a, u.sb AS source_b,
+           ea.e2 AS a_e2, eb.e2 AS b_e2, u.union_e2,
+           greatest(ea.e2 + eb.e2 - u.union_e2, 0) AS overlap_e2
+    FROM uest u
+    JOIN sest ea ON ea.source = u.sa
+    JOIN sest eb ON eb.source = u.sb
+    """,
+)
+def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap from MERGED HLL registers:
+    |A ∩ B| ≈ |A| + |B| − |A ∪ B| by inclusion-exclusion, where
+    |A ∪ B| comes from ``hll_merge`` of the two sources' register
+    tables — no union of the underlying data is ever formed.  This is
+    the mirror-site / cross-dump-contamination triage a curation team
+    runs over every source pair: with exact counting it costs
+    |S|²·vocab set unions; with sketches it costs |S|²·m register
+    rows (m = 256), so all 190 pairs here — or all ~500k pairs of a
+    1000-source corpus — stay driver-trivial after one corpus scan.
+    The estimate replays bit-for-bit in the oracle (same portable
+    primitives as q_distinct_sketch); ``overlap_e2`` is clamped at 0
+    because inclusion-exclusion of three ±6.5 % estimates can land
+    slightly negative for disjoint pairs."""
+    from week4_musemotion_spark.functions.text import shingles, tokens
+    from week4_musemotion_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from week4_musemotion_spark.queries.staged_r7 import _HLL_P
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("source", F.explode(shingles(tokens("text"), 3)).alias("s"))
+    # the register table is m rows/source — pin it: it feeds the
+    # per-source estimates AND both sides of the pairwise merge
+    reg = hll_registers(s, ["source"], "s", p=_HLL_P).localCheckpoint(eager=False)
+    per_src = hll_estimate(reg, ["source"], p=_HLL_P).select(
+        "source", F.col("hll_e2").alias("e2")
+    )
+    srcs = reg.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    ra = prs.join(reg, reg.source == F.col("sa")).select("sa", "sb", "bucket", "reg", "p")
+    rb = prs.join(reg, reg.source == F.col("sb")).select("sa", "sb", "bucket", "reg", "p")
+    ureg = hll_merge(ra, rb, ["sa", "sb"])
+    union = hll_estimate(ureg, ["sa", "sb"], p=_HLL_P).select(
+        "sa", "sb", F.col("hll_e2").alias("union_e2")
+    )
+    ea, eb = per_src.alias("ea"), per_src.alias("eb")
+    return (
+        union.join(F.broadcast(ea), F.col("sa") == F.col("ea.source"))
+        .join(F.broadcast(eb), F.col("sb") == F.col("eb.source"))
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("ea.e2").alias("a_e2"),
+            F.col("eb.e2").alias("b_e2"),
+            "union_e2",
+            F.greatest(
+                F.col("ea.e2") + F.col("eb.e2") - F.col("union_e2"), F.lit(0)
+            ).alias("overlap_e2"),
+        )
     )
