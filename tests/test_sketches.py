@@ -280,3 +280,59 @@ def test_bloom_words_fold_from_larger_build(spark):
     pos = bloom_positions(d, "k", num_bits=4096)
     for bits in (64, 512, 4096):
         assert bloom_words(pos, bits) == build_key_bloom(d, "k", num_bits=bits)
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from week4_musemotion_spark.operators.sketches import (
+        cms_lookup,
+        cms_merge,
+        cms_sketch,
+    )
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        F.col("o_orderpriority").alias("v"), F.col("o_orderkey").alias("k")
+    )
+    sk = cms_sketch(o, [], "v", width=64, depth=4)
+    exact = {r.v: r.cnt for r in o.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+    terms = o.select("v").distinct()
+    est = {
+        r.v: r.cms_est
+        for r in cms_lookup(sk, terms, "v", width=64, depth=4).collect()
+    }
+    for v, c in exact.items():
+        assert est[v] >= c, (v, est[v], c)  # one-sided guarantee
+    # mergeability: cells of sketch(A)+sketch(B) == sketch(A ∪ B)
+    a, b = o.filter(F.col("k") % 2 == 0), o.filter(F.col("k") % 2 == 1)
+    merged = cms_merge(
+        cms_sketch(a, [], "v", width=64, depth=4),
+        cms_sketch(b, [], "v", width=64, depth=4),
+        [],
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(merged) == key(sk)
+
+
+def test_cms_width_mismatch_fails_loudly(spark):
+    import pytest as _pytest
+
+    from week4_musemotion_spark.operators.sketches import cms_lookup, cms_sketch
+
+    d = spark.range(100).select(F.concat(F.lit("v"), F.col("id") % 7).alias("v"))
+    sk = cms_sketch(d, [], "v", width=64)
+    with _pytest.raises(Exception, match="not built with width=128"):
+        cms_lookup(sk, d.select("v").distinct(), "v", width=128).collect()
+    with _pytest.raises(ValueError):
+        cms_sketch(d, [], "v", width=100)
+
+
+def test_cms_ignores_nulls_and_absent_terms_read_zero(spark):
+    from week4_musemotion_spark.operators.sketches import cms_lookup, cms_sketch
+
+    d = spark.createDataFrame([("a",), ("a",), (None,)], "v string")
+    sk = cms_sketch(d, [], "v", width=64)
+    terms = spark.createDataFrame([("a",), ("zz-unseen",)], "v string")
+    est = {r.v: r.cms_est for r in cms_lookup(sk, terms, "v", width=64).collect()}
+    assert est["a"] >= 2
+    # an unseen term can only read collision mass; with 1 distinct
+    # value and 64*4 cells, all its cells are empty
+    assert est["zz-unseen"] == 0

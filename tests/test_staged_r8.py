@@ -51,3 +51,18 @@ def test_source_overlap_sketch_matches_oracle(spark):
     # this corpus' sources share a common generator vocabulary —
     # a real overlap signal must surface somewhere
     assert (got.overlap_e2 > 0).any()
+
+
+def test_cms_point_error_matches_oracle(spark):
+    got = _diff(spark, "q_cms_point_error")
+    assert len(got) == 60, "top-20 terms x 3 grid widths"
+    # CMS one-sided guarantee, visible in the audit itself
+    assert (got.cms_est >= got.exact_cnt).all()
+    assert (got.over_ppm >= 0).all()
+    # provisioning curve: per-term error monotone non-increasing in
+    # width is NOT guaranteed cell-by-cell, but the aggregate
+    # collision mass must collapse as the grid widens
+    tot = got.groupby("width").over_ppm.sum()
+    assert tot.loc[1024] >= tot.loc[8192] >= tot.loc[65536]
+    # the widest grid must be near-exact on this stream
+    assert (got[got.width == 65536].cms_est == got[got.width == 65536].exact_cnt).mean() > 0.5

@@ -11,9 +11,23 @@ exact operators when 100 TB won't fit a hash table.
   count-min/space-saving sketch, with the same output contract
   (value, count ≥ support) so a sketch can swap in behind it.
 
-Approximation is run-deterministic (same data + partitioning → same
-sketch) but NOT engine-portable, so these ship with tolerance tests
-rather than DuckDB value oracles.
+Those two builtin-backed sketches are run-deterministic but NOT
+engine-portable (xxhash64/GK internals), so they ship with tolerance
+tests rather than DuckDB value oracles.
+
+The rest of the module is the PORTABLE sketch family, built on
+functions.hashing.stable_hash64 so every estimate replays bit-for-bit
+in a SQL oracle — approximate answers, exactly checkable:
+
+- :func:`heavy_hitters` — Misra-Gries candidates + exact recount
+  (frequency, exact output);
+- :func:`hll_registers` / :func:`hll_merge` / :func:`hll_estimate` —
+  HyperLogLog (distinct count, mergeable m-row state);
+- :func:`build_key_bloom` / :func:`bloom_might_contain` /
+  :func:`bloom_prune` — bloom membership (join pruning, exact after
+  the join);
+- :func:`cms_sketch` / :func:`cms_merge` / :func:`cms_lookup` —
+  count-min (point frequency, mergeable depth×width state).
 """
 
 from __future__ import annotations
@@ -431,3 +445,105 @@ def bloom_prune(
     dim shuffles ~1 % instead of 100 %."""
     w = build_key_bloom(keys, dim_key or fact_key, num_bits, num_hashes)
     return fact.filter(bloom_might_contain(F.col(fact_key), w, num_hashes))
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch — engine-replayable point-frequency sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Per-group count-min sketch (Cormode & Muthukrishnan 2005)
+    from the portable hash family, so estimates replay bit-for-bit
+    in a SQL oracle — the point-frequency member of the sketch
+    family (HLL: distinct, Misra-Gries: heavy hitters, bloom:
+    membership).
+
+    Layout: one row per NON-ZERO cell ``(*group_cols, j, pos, cnt,
+    w)`` with ``pos = hash_j(value) & (width-1)`` for each of
+    ``depth`` seeded hashes; ``w`` carries the build width so
+    :func:`cms_lookup` can reject a mismatched sketch.  State is at
+    most ``depth × width`` rows per group regardless of stream size;
+    two sketches merge by summing cells (:func:`cms_merge`); NULL
+    values contribute nothing.  Estimates are the classic min over
+    rows: never below the true count, above it only by hash-collision
+    mass (ε ≈ e/width of the stream per row, δ ≈ e^-depth)."""
+    if width & (width - 1) or width < 16:
+        raise ValueError(f"width must be a power of two >= 16, got {width}")
+    if not 1 <= depth <= 8:
+        raise ValueError(f"depth must be in [1, 8], got {depth}")
+    from week4_musemotion_spark.functions.hashing import stable_hash64
+
+    v = F.col(value_col).cast("string")
+    pos = F.array(
+        *[stable_hash64(v, seed=j).bitwiseAND(width - 1) for j in range(depth)]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.posexplode(pos).alias("j", "pos"))
+        .groupBy(*group_cols, "j", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("w", F.lit(width).cast("int"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two count-min sketches (same width/depth): cells sum.
+    ``w`` rides the grouping key, so merging mismatched-width
+    sketches keeps both and :func:`cms_lookup`'s check rejects the
+    result."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "j", "pos", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(*group_cols, "j", "pos", "cnt", "w")
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``terms``:
+    ``(*group_cols, term_col, cms_est)`` with ``cms_est = min_j
+    cnt[j][hash_j(term)]`` (absent cells read 0).  ``terms`` is
+    expected to be small (it is broadcast onto the sketch); the
+    sketch side is at most depth × width rows per group."""
+    from week4_musemotion_spark.functions.hashing import stable_hash64
+
+    gcols = group_cols or []
+    t = F.col(term_col).cast("string")
+    pos = F.array(
+        *[stable_hash64(t, seed=j).bitwiseAND(width - 1) for j in range(depth)]
+    )
+    tpos = terms.select(
+        *gcols, term_col, F.posexplode(pos).alias("j", "pos")
+    )
+    # the assert rides the join output (a used expression, so
+    # Catalyst keeps it): any sketch row with a different build width
+    # fails the job instead of silently estimating against the wrong
+    # geometry.  Absent cells (join miss) carry NULL w and must pass
+    # — they legitimately read 0.
+    w_ok = F.assert_true(
+        F.col("w").isNull() | (F.col("w") == width),
+        F.lit(f"cms_lookup: sketch was not built with width={width}"),
+    )
+    joined = F.broadcast(tpos).join(sketch, gcols + ["j", "pos"], "left").select(
+        *gcols,
+        term_col,
+        "j",
+        F.when(w_ok.isNull(), F.coalesce(F.col("cnt"), F.lit(0))).alias("cell"),
+    )
+    return joined.groupBy(*gcols, term_col).agg(
+        F.min("cell").cast("long").alias("cms_est")
+    )

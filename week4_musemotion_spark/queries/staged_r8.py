@@ -18,6 +18,10 @@ week4_musemotion_spark.queries import staged_r8`` to
   inclusion-exclusion over MERGED HLL registers (hll_merge): |S|²
   pairs cost |S|²·m register rows after one corpus scan, never a
   pairwise data union; the mirror-site triage signal.
+- q_cms_point_error — count-min point-frequency audit over a width
+  grid: top-20 exact counts vs cms_lookup estimates with over_ppm
+  collapsing ~1/width; the one-sided never-underestimates guarantee
+  holds in every row.
 """
 
 from __future__ import annotations
@@ -332,5 +336,115 @@ def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(
                 F.col("ea.e2") + F.col("eb.e2") - F.col("union_e2"), F.lit(0)
             ).alias("overlap_e2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min point-frequency audit
+# ---------------------------------------------------------------------------
+
+#: Width grid: undersized → comfortable, so the audit is a
+#: provisioning curve (error collapses ~1/width) at every SF, the
+#: same shape q_bloom_fp_audit gives for membership.
+_CMS_W_GRID = (1024, 8192, 65536)
+_CMS_D = 4
+#: Audit the sketch on the corpus' top-k shingles (deterministic:
+#: count desc, shingle asc).
+_CMS_TOPK = 20
+
+
+def _cms_oracle_one_width(w: int) -> str:
+    """One width's cells→lookup CTE chain; grid rows are UNION ALLed."""
+    return f"""
+    SELECT {w} AS width, t.term, min(t.exact_cnt) AS exact_cnt,
+           min(COALESCE(c.cnt, 0)) AS cms_est
+    FROM (
+        SELECT e.term, e.exact_cnt, s.s AS j,
+               {stable_hash64_sql("e.term", seed_expr="s.s")} & {w - 1} AS pos
+        FROM ex e CROSS JOIN seeds s
+    ) t
+    LEFT JOIN (
+        SELECT s.s AS j,
+               {stable_hash64_sql("sh.s", seed_expr="s.s")} & {w - 1} AS pos,
+               count(*) AS cnt
+        FROM sh CROSS JOIN seeds s
+        GROUP BY 1, 2
+    ) c ON t.j = c.j AND t.pos = c.pos
+    GROUP BY t.term"""
+
+
+@query(
+    "q_cms_point_error",
+    covers=("X-CMS-POINT",),
+    oracle=f"""
+    WITH {_hll_shingle_sql(3)},
+    seeds AS (SELECT unnest(range(0, {_CMS_D})) AS s),
+    ex AS (
+        SELECT s AS term, count(*) AS exact_cnt FROM sh GROUP BY 1
+        ORDER BY exact_cnt DESC, term ASC LIMIT {_CMS_TOPK}
+    ),
+    est AS ({" UNION ALL ".join(_cms_oracle_one_width(w) for w in _CMS_W_GRID)})
+    SELECT CAST(width AS BIGINT) AS width, term,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST((CAST(cms_est AS HUGEINT) - exact_cnt) * 1000000
+                // CAST(exact_cnt AS HUGEINT) AS BIGINT) AS over_ppm
+    FROM est
+    """,
+)
+def q_cms_point_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch under audit: the corpus' top-20 shingles by
+    EXACT count next to their ``cms_lookup`` estimates and the
+    overestimate in ppm, swept over a WIDTH GRID (1 Ki → 64 Ki
+    cells/row) — one result is the provisioning curve "my stream at
+    width w → this collision mass", error collapsing ~1/w as the
+    grid widens.  ``over_ppm >= 0`` everywhere is CMS's one-sided
+    guarantee, visible in the data; the flat-headed shingle
+    distribution here makes the undersized end overestimate several-
+    fold, which is exactly what the audit exists to expose before a
+    team trusts a depth×width budget for per-token/per-URL counts.
+
+    Scale: each sketch is depth × width rows TOTAL no matter the
+    stream; the exact top-k exists only as the audit's truth side.
+    Same portable primitives as the HLL/bloom family, so the oracle
+    replays every cell at every width."""
+    from week4_musemotion_spark.functions.text import shingles, tokens
+    from week4_musemotion_spark.operators.sketches import cms_lookup, cms_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    # each consumer re-explodes from the pushed-down one-column scan —
+    # cheaper than materializing the shingle STRING stream (see
+    # q_distinct_sketch's identical trade)
+    s = d.select(F.explode(shingles(tokens("text"), 3)).alias("s"))
+    top = (
+        s.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("s").asc())
+        .limit(_CMS_TOPK)
+        .withColumnRenamed("s", "term")
+        .localCheckpoint(eager=False)  # feeds every lookup AND the final join
+    )
+    outs = []
+    for w in _CMS_W_GRID:
+        sk = cms_sketch(s, [], "s", width=w, depth=_CMS_D)
+        outs.append(
+            cms_lookup(sk, top.select("term"), "term", width=w, depth=_CMS_D)
+            .withColumn("width", F.lit(w).cast("long"))
+        )
+    est = outs[0]
+    for o in outs[1:]:
+        est = est.unionByName(o)
+    return (
+        top.join(est, "term")
+        .select(
+            "width",
+            "term",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            "cms_est",
+            int_div_trunc(
+                (dec(F.col("cms_est")) - dec(F.col("exact_cnt"))) * 1_000_000,
+                dec(F.col("exact_cnt")),
+            ).alias("over_ppm"),
         )
     )
