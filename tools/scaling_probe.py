@@ -370,6 +370,9 @@ def main() -> int:
             "source", F.explode(_shingles(_tokens(F.col("text")), 3)).alias("s")
         )
         hll = hll_estimate(hll_registers(sh_stream, ["source"], "s"), ["source"])
+        from week4_musemotion_spark.operators.sketches import cms_sketch
+
+        cms = cms_sketch(sh_stream.select("s"), [], "s", width=8192, depth=4)
         if only is None or "bloom_pruned_join" in only:
             from week4_musemotion_spark.queries.staged_r7 import _bloom_part_pred
 
@@ -430,6 +433,7 @@ def main() -> int:
             ("gram_exact_moments", gram),
             ("hll_registers_sketch", hll),
             ("dup_span_window", span),
+            ("cms_cells_sketch", cms),
         ]:
             if only is not None and shape not in only:
                 continue
