@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from tests.conftest import staged_diff
 
-TABLES = ("documents", "lineitem", "part")
+TABLES = ("documents", "lineitem", "part", "events")
 
 
 def _diff(spark, name):
@@ -66,3 +66,10 @@ def test_cms_point_error_matches_oracle(spark):
     assert tot.loc[1024] >= tot.loc[8192] >= tot.loc[65536]
     # the widest grid must be near-exact on this stream
     assert (got[got.width == 65536].cms_est == got[got.width == 65536].exact_cnt).mean() > 0.5
+
+
+def test_stream_distinct_report_matches_oracle(spark):
+    got = _diff(spark, "q_stream_distinct_report")
+    assert len(got) == 5, "one row per event type"
+    assert set(got.regime) <= {"raw", "linear-counting"}
+    assert got.zero_regs.between(0, 256).all()

@@ -22,6 +22,12 @@ week4_musemotion_spark.queries import staged_r8`` to
   grid: top-20 exact counts vs cms_lookup estimates with over_ppm
   collapsing ~1/width; the one-sided never-underestimates guarantee
   holds in every row.
+- q_stream_distinct_report — the STREAMING register store
+  (streaming/sketches.make_hll_sink driven over ordered
+  micro-batches, gate-report fixture pattern) read back and compared
+  against the pure-batch HLL oracle: bit-equal because max-merge is
+  associative/commutative/idempotent, so the driver certifies the
+  streaming path end to end.
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.queries.staged_r7 import (
     _BLOOM_PART_PRED_SQL,
     _HLL_M,
+    _HLL_P,
     _HLL_W1,
     _hll_e2_sql,
     _hll_rho_sql,
@@ -447,4 +454,118 @@ def q_cms_point_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dec(F.col("exact_cnt")),
             ).alias("over_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL store report
+# ---------------------------------------------------------------------------
+
+_STREAM_BATCHES = 3
+#: Raw-regime boundary in e2 fixed point: 2.5 · m · 100 (integer
+#: compare, portable).
+_HLL_LINEAR_E2 = int(2.5 * _HLL_M * 100)
+
+
+def _build_hll_store(spark: SparkSession, sf_dir: str, tmp: str) -> None:
+    """Run the REAL streaming sink body deterministically: events
+    split into ordered micro-batches by event_id residue, each pushed
+    through make_hll_sink (the foreachBatch body)."""
+    import os
+
+    from week4_musemotion_spark.streaming.sketches import make_hll_sink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    sink = make_hll_sink(["event_type"], "u", os.path.join(tmp, "store"))
+    for b in range(_STREAM_BATCHES):
+        sink(ev.filter(F.col("event_id") % _STREAM_BATCHES == b), b)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+
+def _hll_store_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from week4_musemotion_spark.queries.pipeline_ops import (
+        _publish_fixture,
+        _sf_fingerprint,
+    )
+
+    tag = f"hll_store:{_STREAM_BATCHES}:{_HLL_M}".encode()
+    out = os.path.join(
+        tempfile.gettempdir(), "musemotion_hll_store", _sf_fingerprint(sf_dir, tag)
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _publish_fixture(out, lambda tmp: _build_hll_store(spark, sf_dir, tmp))
+    return out
+
+
+@query(
+    "q_stream_distinct_report",
+    covers=("X-STREAM-HLL",),
+    oracle=f"""
+    WITH hx AS (
+        SELECT event_type, {stable_hash64_sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ),
+    reg AS (
+        SELECT event_type, h & {_HLL_M - 1} AS bucket,
+               max({_hll_rho_sql()}) AS reg
+        FROM hx GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type, count(*) AS present,
+               sum(CAST(1 AS BIGINT) << CAST({_HLL_W1} - reg AS INT)) AS dp
+        FROM reg GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, {_hll_e2_sql()} AS hll_e2,
+               CAST({_HLL_M} - present AS BIGINT) AS zero_regs
+        FROM agg
+    ),
+    ex AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type, ex.exact_distinct, e.hll_e2, e.zero_regs,
+           CASE WHEN e.hll_e2 <= {_HLL_LINEAR_E2} AND e.zero_regs > 0
+                THEN 'linear-counting' ELSE 'raw' END AS regime
+    FROM est e JOIN ex ON e.event_type = ex.event_type
+    """,
+)
+def q_stream_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING register store under the value oracle: events
+    are pushed through the real ``make_hll_sink`` foreachBatch body
+    in ordered micro-batches (cached fixture, gate-report pattern),
+    and the query reads the store it published — per event type, the
+    stream's distinct-user register estimate next to the exact batch
+    count.  The oracle is the PURE-BATCH HLL SQL over the same
+    events: it matches bit-for-bit because the store provably equals
+    the batch sketch (pointwise-max merge is associative/commutative/
+    idempotent — the algebra the streaming module's exactly-once
+    rests on), so the driver check certifies the streaming path end
+    to end, not just its batch twin.  ``regime`` labels rows whose
+    cardinality sits below the raw-estimate regime (small SFs here):
+    the integer raw form is reported either way — engine-identical —
+    and callers read ``estimate``'s linear-counting branch for those
+    rows in production."""
+    from week4_musemotion_spark.operators.sketches import hll_estimate
+
+    import os
+
+    store = os.path.join(_hll_store_fixture(spark, sf_dir), "store")
+    reg = spark.read.parquet(store)
+    est = hll_estimate(reg, ["event_type"], p=_HLL_P)
+    ev = load_table(spark, sf_dir, "events")
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    regime = F.when(
+        (F.col("hll_e2") <= _HLL_LINEAR_E2) & (F.col("zero_regs") > 0),
+        "linear-counting",
+    ).otherwise("raw")
+    return ex.join(est, "event_type").select(
+        "event_type", "exact_distinct", "hll_e2", "zero_regs", regime.alias("regime")
     )
