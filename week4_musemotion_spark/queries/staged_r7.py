@@ -679,8 +679,12 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic end to end: the bucket is the portable hash of the
     cluster representative, so the split is stable across runs,
-    engines, and cluster resizes — adding a shard re-splits only its
-    own new clusters.  Scale: pair generation is the shingle
+    engines, and appends — new documents get their own buckets and
+    existing docs keep theirs, EXCEPT docs whose cluster a new
+    arrival merges with another (the representative re-keys; the
+    stability boundary is pinned in
+    ``tests/test_staged_r7b.py::test_leakage_split_stable_under_append...``).
+    Scale: pair generation is the shingle
     equi-join (LSH at 100 TB), components are pointer-jumping CC,
     and the split itself is one hash + one keyed aggregate — no new
     shuffle beyond what dedup already paid."""
