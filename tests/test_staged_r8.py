@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from tests.conftest import staged_diff
 
-TABLES = ("documents", "lineitem", "part", "events")
+TABLES = ("documents", "lineitem", "part", "events", "embeddings")
 
 
 def _diff(spark, name):
@@ -73,3 +73,12 @@ def test_stream_distinct_report_matches_oracle(spark):
     assert len(got) == 5, "one row per event type"
     assert set(got.regime) <= {"raw", "linear-counting"}
     assert got.zero_regs.between(0, 256).all()
+
+
+def test_semantic_threshold_sweep_matches_oracle(spark):
+    got = _diff(spark, "q_semantic_threshold_sweep")
+    assert len(got) == 4, "one row per grid threshold, even empty ones"
+    s = got.sort_values("thr_e6")
+    assert (s.n_pairs.diff().dropna() <= 0).all(), "pair count monotone in threshold"
+    assert (s.n_dup_vecs <= 2 * s.n_pairs).all()
+    assert s.n_pairs.iloc[0] > 0, "base threshold must catch organic pairs"

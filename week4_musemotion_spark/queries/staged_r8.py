@@ -28,6 +28,10 @@ week4_musemotion_spark.queries import staged_r8`` to
   against the pure-batch HLL oracle: bit-equal because max-merge is
   associative/commutative/idempotent, so the driver certifies the
   streaming path end to end.
+- q_semantic_threshold_sweep — the embedding-space twin of the
+  Jaccard threshold sweep: per candidate cosine cut, pair and
+  touched-vector counts from ONE pair table, grid-compared on the
+  rounded-e6 integer cosine.
 """
 
 from __future__ import annotations
@@ -37,6 +41,10 @@ from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.exact import dec, int_div_trunc
 from week4_musemotion_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from week4_musemotion_spark.queries.extensions import (
+    _COSINE_SQL_FRAG,
+    EMBED_DUP_THRESHOLD,
+)
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.queries.staged_r7 import (
     _BLOOM_PART_PRED_SQL,
@@ -568,4 +576,90 @@ def q_stream_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise("raw")
     return ex.join(est, "event_type").select(
         "event_type", "exact_distinct", "hll_e2", "zero_regs", regime.alias("regime")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine threshold sweep
+# ---------------------------------------------------------------------------
+
+#: Cosine-threshold grid (e6 fixed-point), above the pair-generation
+#: base EMBED_DUP_THRESHOLD so the grid compare runs on the ROUNDED
+#: integer cosine — exact on both engines; 510000 sits above this
+#: corpus' organic maximum (~0.51) and exercises the empty row.
+_SEM_SWEEP = (450000, 470000, 490000, 510000)
+
+
+@query(
+    "q_semantic_threshold_sweep",
+    covers=("X-SEM-THRESHOLD-SWEEP",),
+    oracle="""
+    WITH p AS (
+        SELECT a.vec_id AS vec_id_a, a.embedding AS va,
+               b.vec_id AS vec_id_b, b.embedding AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    s AS (
+        SELECT vec_id_a, vec_id_b,
+               {cos} AS cos
+        FROM p
+    ),
+    pe AS (
+        SELECT vec_id_a, vec_id_b,
+               CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+        FROM s WHERE cos >= {base}
+    ),
+    grid AS (SELECT CAST(unnest([{grid}]) AS BIGINT) AS thr_e6),
+    q AS (
+        SELECT g.thr_e6, p.vec_id_a, p.vec_id_b
+        FROM grid g LEFT JOIN pe p ON p.cosine_e6 >= g.thr_e6
+    ),
+    dc AS (
+        SELECT thr_e6, CAST(count(DISTINCT v) AS BIGINT) AS n_dup_vecs
+        FROM (SELECT thr_e6, unnest([vec_id_a, vec_id_b]) AS v FROM q WHERE vec_id_a IS NOT NULL)
+        GROUP BY thr_e6
+    )
+    SELECT n.thr_e6, n.n_pairs, COALESCE(dc.n_dup_vecs, 0) AS n_dup_vecs
+    FROM (SELECT thr_e6, CAST(count(vec_id_a) AS BIGINT) AS n_pairs FROM q GROUP BY thr_e6) n
+    LEFT JOIN dc ON dc.thr_e6 = n.thr_e6
+    """.format(
+        cos=_COSINE_SQL_FRAG.format(a="va", b="vb"),
+        base=EMBED_DUP_THRESHOLD,
+        grid=", ".join(map(str, _SEM_SWEEP)),
+    ),
+)
+def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-threshold selection curve for embeddings: per
+    candidate cosine threshold, the pair count and the vectors those
+    pairs touch — the embedding-space twin of the Jaccard sweep
+    (q_dedup_threshold_sweep), read before fixing the semantic-dedup
+    cut (too low: distinct content merged; too high: paraphrase
+    clusters survive).  Thresholds compare against the rounded-e6
+    integer cosine, so the grid is exact on both engines; only the
+    pair-generation base uses the float cosine, at the same
+    engine-stable threshold q_dedup_embedding already pins.
+
+    Scale: the pair table is computed ONCE (block-nested-loop here —
+    the exact baseline; cosine_pairs_lsh at 100 TB feeds the same
+    sweep) and the grid fan-out runs over that tiny frame."""
+    from week4_musemotion_spark.operators.similarity import cosine_pairs
+    from week4_musemotion_spark.queries.extensions import EMBED_DUP_THRESHOLD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, EMBED_DUP_THRESHOLD).localCheckpoint(eager=False)
+    grid = spark.createDataFrame([(t,) for t in _SEM_SWEEP], "thr_e6 long")
+    q = grid.join(pairs, pairs.cosine_e6 >= grid.thr_e6, "left").select(
+        "thr_e6", "vec_id_a", "vec_id_b"
+    )
+    n_pairs = q.groupBy("thr_e6").agg(F.count("vec_id_a").cast("long").alias("n_pairs"))
+    vecs = (
+        q.filter(F.col("vec_id_a").isNotNull())
+        .select("thr_e6", F.explode(F.array("vec_id_a", "vec_id_b")).alias("v"))
+        .groupBy("thr_e6")
+        .agg(F.countDistinct("v").cast("long").alias("n_dup_vecs"))
+    )
+    return n_pairs.join(vecs, "thr_e6", "left").select(
+        "thr_e6",
+        "n_pairs",
+        F.coalesce(F.col("n_dup_vecs"), F.lit(0).cast("long")).alias("n_dup_vecs"),
     )
