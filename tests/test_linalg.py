@@ -49,10 +49,14 @@ def test_gram_exact_ragged_raises(spark):
     df = spark.createDataFrame(
         [(1, [0.1, 0.2]), (2, [0.3, 0.4, 0.5])], "id long, embedding array<double>"
     )
-    # within one partition: the kernel raises; across partitions: the
-    # count-row dim tags disagree and the raise_error guard fires
+    # within one partition: the kernel raises.  repartition(32, lit(0))
+    # colocates both rows in one of 32 partitions AND keeps the
+    # operator's spread() a no-op (32 partitions already ≥ target), so
+    # this pins the in-kernel check, not the cross-partition guard
     with pytest.raises(Exception, match="ragged"):
-        gram_exact(df.repartition(1), "embedding").collect()
+        gram_exact(df.repartition(32, F.lit(0)), "embedding").collect()
+    # across partitions (spread redistributes the 2 rows): the
+    # count-row dim tags disagree and the raise_error guard fires
     with pytest.raises(Exception, match="ragged|disagree on embedding dim"):
         gram_exact(df.repartition(2, "id"), "embedding").collect()
 

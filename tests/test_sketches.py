@@ -336,3 +336,67 @@ def test_cms_ignores_nulls_and_absent_terms_read_zero(spark):
     # an unseen term can only read collision mass; with 1 distinct
     # value and 64*4 cells, all its cells are empty
     assert est["zz-unseen"] == 0
+
+
+def test_hll_fold_equals_direct_build(spark):
+    """hll_fold(build(p_hi), q) == build(q) register-for-register (and
+    therefore estimate-for-estimate) across a precision grid — the
+    one-pass grid contract."""
+    from week4_musemotion_spark.operators.sketches import hll_fold, hll_registers
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderpriority", F.col("o_custkey").alias("v")
+    )
+    hi = hll_registers(o, ["o_orderpriority"], "v", p=12)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    for q in (10, 8, 7):
+        assert key(hll_fold(hi, q, ["o_orderpriority"])) == key(
+            hll_registers(o, ["o_orderpriority"], "v", p=q)
+        ), q
+    # folding is composable: fold(fold(12→10), 8) == fold(12→8)
+    assert key(hll_fold(hll_fold(hi, 10, ["o_orderpriority"]), 8, ["o_orderpriority"])) == key(
+        hll_fold(hi, 8, ["o_orderpriority"])
+    )
+
+
+def test_hll_fold_sentinel_register(spark):
+    """The w == 0 sentinel (reg == W_p + 1) folds via the dropped
+    index bits d = bucket >> new_p: d != 0 → W_q + 1 - len(bin(d)),
+    d == 0 → the new sentinel.  Synthetic register rows pin both
+    branches (no md5 preimage with a 48-zero-bit suffix exists in any
+    practical corpus)."""
+    from week4_musemotion_spark.operators.sketches import _HASH_BITS, hll_fold
+
+    p, q = 12, 8
+    sent_p = _HASH_BITS - p + 1  # 49
+    new_w1 = _HASH_BITS - q + 1  # 53
+    rows = [
+        # bucket 0b1011_00000101: d = 0b1011 (len 4) → 53 - 4 = 49
+        (0b1011_00000101, sent_p),
+        # bucket < 2^q: d == 0 → the new sentinel 53
+        (0b0000_00000011, sent_p),
+        # non-sentinel rho is invariant
+        (0b0110_00000011, 17),
+    ]
+    regs = spark.createDataFrame(rows, "bucket long, reg int").withColumn(
+        "p", F.lit(p).cast("int")
+    )
+    got = {r.bucket: r.reg for r in hll_fold(regs, q).collect()}
+    assert got[0b00000101] == new_w1 - 4
+    assert got[0b00000011] == new_w1  # max(53, 17) — sentinel dominates
+    assert all(r.p == q for r in hll_fold(regs, q).collect())
+
+
+def test_hll_fold_rejects_fold_up(spark):
+    import pytest as _pytest
+
+    from week4_musemotion_spark.operators.sketches import hll_fold, hll_registers
+
+    d = spark.range(100).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    regs = hll_registers(d, [], "v", p=8)
+    with _pytest.raises(Exception, match="must be < the build precision"):
+        hll_fold(regs, 10).collect()
+    with _pytest.raises(Exception, match="must be < the build precision"):
+        hll_fold(regs, 8).collect()
+    with _pytest.raises(ValueError):
+        hll_fold(regs, 6)

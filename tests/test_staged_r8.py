@@ -82,3 +82,11 @@ def test_semantic_threshold_sweep_matches_oracle(spark):
     assert (s.n_pairs.diff().dropna() <= 0).all(), "pair count monotone in threshold"
     assert (s.n_dup_vecs <= 2 * s.n_pairs).all()
     assert s.n_pairs.iloc[0] > 0, "base threshold must catch organic pairs"
+
+
+def test_hll_fold_grid_matches_oracle(spark):
+    got = _diff(spark, "q_hll_fold_grid")
+    assert len(got) == 60, "20 sources x 3 grid precisions"
+    # the fold contract: register-exact, therefore estimate-exact
+    assert (got.reg_mismatch == 0).all()
+    assert (got.hll_e2_fold == got.hll_e2_direct).all()

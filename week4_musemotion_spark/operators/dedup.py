@@ -76,9 +76,17 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
 
 
 def shingle_strings(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(_id, s) rows of word n-gram shingle strings (with repeats)."""
+    """(_id, s) rows of word n-gram shingle strings (with repeats).
+
+    The input is ``spread`` first: a single-row-group scan would run
+    the token explode AND the shuffle write of the full token stream
+    in one task (sources.tables.spread) — redistributing the compact
+    document rows parallelizes the whole shingle pipeline."""
     from pyspark.sql.window import Window
 
+    from week4_musemotion_spark.sources.tables import spread
+
+    df = spread(df)
     tok = df.select(F.col(id_col).alias("_id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
     w = Window.partitionBy("_id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
@@ -278,7 +286,11 @@ def simhash_signatures(
     hash array, once per bit) re-evaluates the md5 array per bit —
     ~bits× the hash work.
     """
-    tok = df.select(
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: parallelize the explode+md5 and the vote aggregate's
+    # partial pass above a single-row-group scan (sources.tables.spread)
+    tok = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", stable_hash64(F.col("tok")))

@@ -148,7 +148,12 @@ def gram_exact(df: DataFrame, vec_col: str) -> DataFrame:
         vv.append(decimal.Decimal(n))
         yield pd.DataFrame({"i": ii, "j": jj, "val": vv})
 
-    part = df.select(vec_col).mapInPandas(
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: a single-row-group scan would run the whole moment
+    # kernel in one task (partials are per-partition — more
+    # partitions = more parallel matmuls, same O(d²) combine)
+    part = spread(df.select(vec_col)).mapInPandas(
         _partials, "i long, j long, val decimal(38,0)"
     )
     # checkpoint AFTER the combine: the three consumers below (pairs /
@@ -248,8 +253,10 @@ def pca_fit(df: DataFrame, vec_col: str, k: int) -> PCAModel:
             {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
         )
 
+    from week4_musemotion_spark.sources.tables import spread
+
     rows = (
-        df.select(vec_col)
+        spread(df.select(vec_col))
         .mapInPandas(_partials, "n long, s array<double>, g array<double>")
         .collect()
     )

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from week4_musemotion_spark.functions.vector import cosine_similarity
+from week4_musemotion_spark.sources.tables import spread
 
 _PAIR_SCHEMA = T.StructType(
     [
@@ -161,7 +162,7 @@ def knn_brute_force(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    scored = emb.select(id_col, vec_col).mapInPandas(_score, schema=_PAIR_SCHEMA)
+    scored = spread(emb.select(id_col, vec_col)).mapInPandas(_score, schema=_PAIR_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -241,7 +242,7 @@ def hard_negatives(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    scored = emb.select(id_col, vec_col, label_col).mapInPandas(_score, schema=_PAIR_SCHEMA)
+    scored = spread(emb.select(id_col, vec_col, label_col)).mapInPandas(_score, schema=_PAIR_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -530,7 +531,7 @@ def _with_sketch(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    return df.select(id_col, vec_col).mapInPandas(_sketch, schema=schema)
+    return spread(df.select(id_col, vec_col)).mapInPandas(_sketch, schema=schema)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -660,7 +661,7 @@ def _assign_clusters(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(_assign, schema=schema)
+    return spread(df.select(id_col, vec_col)).mapInPandas(_assign, schema=schema)
 
 
 def kmeans_fit(
@@ -809,7 +810,7 @@ def _assign_clusters_ivf(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(_assign, schema=schema)
+    return spread(df.select(id_col, vec_col)).mapInPandas(_assign, schema=schema)
 
 
 def semantic_dedup(
@@ -973,11 +974,11 @@ def _ivf_probe_assigned(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    scored = (
-        assigned.filter(F.col("cluster").isin(probed))
-        .select("neighbor_id", F.col("cluster").cast("long").alias("cluster"), vec_col)
-        .mapInPandas(_score, schema=_PAIR_SCHEMA)
-    )
+    scored = spread(
+        assigned.filter(F.col("cluster").isin(probed)).select(
+            "neighbor_id", F.col("cluster").cast("long").alias("cluster"), vec_col
+        )
+    ).mapInPandas(_score, schema=_PAIR_SCHEMA)
     return _rank_topk(scored, k)
 
 
@@ -1134,4 +1135,4 @@ def quantize_stats(
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(_quant, schema=schema)
+    return spread(emb.select(id_col, vec_col)).mapInPandas(_quant, schema=schema)

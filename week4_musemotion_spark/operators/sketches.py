@@ -131,7 +131,13 @@ def heavy_hitters(df: DataFrame, col: str, den: int) -> DataFrame:
             }
         )
 
-    src = df.select(F.col(col).cast("string").alias(col))
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: the MG pass is per-partition mapInPandas — a single-
+    # row-group scan would run it (and the exact recount's scan side)
+    # in one task; more partitions only ADD candidate rows (still
+    # O(partitions × den)), never lose one
+    src = spread(df.select(F.col(col).cast("string").alias(col)))
     part = src.mapInPandas(
         _mg, "candidate string, part_rows long"
     ).localCheckpoint(eager=False)
@@ -251,6 +257,58 @@ def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
         .groupBy(*group_cols, "bucket", "p")
         .agg(F.max("reg").cast("int").alias("reg"))
         .select(*group_cols, "bucket", "reg", "p")
+    )
+
+
+def hll_fold(registers: DataFrame, new_p: int, group_cols: list[str] | None = None) -> DataFrame:
+    """Fold an HLL register table down to a SMALLER precision —
+    EXACTLY ``hll_registers(df, ..., p=new_p)``, register for
+    register, derived from the high-precision table alone.
+
+    Why it is exact (layout: ``bucket = h & (m-1)``, ``rho`` ranks
+    the leading 1-bit of the suffix ``w = h >> p``): narrowing the
+    index moves the dropped index bits ``d = bucket >> new_p`` to the
+    BOTTOM of the ranked suffix, so when ``w != 0`` the leading
+    1-bit's distance from the top is unchanged — ``rho`` is
+    invariant.  In the ``w == 0`` sentinel case (``reg == W_p + 1``)
+    the new rank is determined entirely by ``d``, which the register
+    row itself carries; the sentinel's image ``W_q + 1 -
+    len(bin(d))`` is ``>= W_p + 1``, i.e. still dominates every
+    non-sentinel rho in its bucket, so per-value mapping commutes
+    with the per-bucket max.  Hence a PRECISION GRID costs one corpus
+    pass (build at the grid max) plus re-aggregations of the
+    ``<= m`` register rows — the same one-build trick as
+    :func:`cms_fold` (width) and :func:`bloom_words` (bitmap size).
+
+    Folding UP is impossible (the discarded suffix bits are gone);
+    an in-plan guard fails the job if ``new_p >= build p``.
+    """
+    if not 7 <= new_p <= 16:
+        raise ValueError(f"new_p must be in [7, 16], got {new_p}")
+    gcols = group_cols or []
+    old_sent = F.lit(_HASH_BITS + 1) - F.col("p")  # W_p + 1, from the row's own p
+    new_w1 = _HASH_BITS - new_p + 1  # W_q + 1
+    d = F.shiftright(F.col("bucket"), new_p)
+    mapped = F.when(F.col("reg") < old_sent, F.col("reg")).otherwise(
+        # bin(0) is "0" (length 1), not length 0 — the d == 0 branch
+        # must be explicit or the double-sentinel folds one short
+        F.when(d == 0, F.lit(new_w1)).otherwise(F.lit(new_w1) - F.length(F.bin(d)))
+    )
+    p_ok = F.assert_true(
+        F.col("p") > new_p,
+        F.lit(f"hll_fold: new_p={new_p} must be < the build precision"),
+    )
+    return (
+        registers.select(
+            *gcols,
+            F.col("bucket").bitwiseAND((1 << new_p) - 1).alias("bucket"),
+            # the assert must ride the USED expression or Catalyst
+            # prunes it (assert_true yields NULL on success)
+            F.when(p_ok.isNull(), mapped).alias("reg"),
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("reg").cast("int").alias("reg"))
+        .withColumn("p", F.lit(new_p).cast("int"))
     )
 
 
@@ -546,4 +604,28 @@ def cms_lookup(
     )
     return joined.groupBy(*gcols, term_col).agg(
         F.min("cell").cast("long").alias("cms_est")
+    )
+
+
+def cms_fold(
+    sketch: DataFrame, new_width: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold a count-min sketch down to a SMALLER power-of-two width:
+    because positions are ``hash & (width-1)``, the cells of the
+    narrow sketch are exact sums of the wide sketch's cells sharing
+    ``pos & (new_width-1)`` — identical to having built at
+    ``new_width`` directly.  A width grid therefore costs ONE pass
+    over the data (build at the grid max) plus tiny re-aggregations
+    of the ≤ depth × width cell table, the same one-build trick as
+    :func:`bloom_words`."""
+    if new_width & (new_width - 1) or new_width < 16:
+        raise ValueError(f"new_width must be a power of two >= 16, got {new_width}")
+    gcols = group_cols or []
+    return (
+        sketch.groupBy(
+            *gcols, "j", F.col("pos").bitwiseAND(new_width - 1).alias("pos")
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("w", F.lit(new_width).cast("int"))
+        .select(*gcols, "j", "pos", "cnt", "w")
     )

@@ -187,30 +187,40 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.operators.dedup import jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
+    # EAGER checkpoint: the pair table feeds two aggregation branches;
+    # materializing the few-hundred-row table up front makes the
+    # fan-out free
     pairs = (
         jaccard_pairs(d, _FIDELITY_MIN_JACCARD)
         .select("doc_a", "doc_b", "jaccard_e4")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     grid = spark.createDataFrame(
         [(t,) for t in _SWEEP_THRESHOLDS], "thr_e4 long"
     )
-    q = grid.join(
-        pairs, pairs.jaccard_e4 >= grid.thr_e4, "left"
-    ).select("thr_e4", "doc_a", "doc_b")
-    n_pairs = q.groupBy("thr_e4").agg(F.count("doc_a").cast("long").alias("n_pairs"))
+    # crossJoin with the BROADCAST grid, never a grid⋈pairs theta
+    # join: Catalyst plans that as a CartesianProduct whose task
+    # count is left-partitions × right-partitions (measured ~10 s of
+    # empty-task launches on 1.3k rows) — and at 100 TB the pair side
+    # must stay distributed with the 5-row grid replicated anyway.
+    # Empty thresholds are recovered by left-joining the grid back
+    # onto the aggregates.
+    hits = pairs.crossJoin(F.broadcast(grid)).filter(
+        F.col("jaccard_e4") >= F.col("thr_e4")
+    )
+    n_pairs = hits.groupBy("thr_e4").agg(F.count(F.lit(1)).cast("long").alias("np"))
     docs = (
-        q.filter(F.col("doc_a").isNotNull())
-        .select("thr_e4", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        hits.select("thr_e4", F.explode(F.array("doc_a", "doc_b")).alias("d"))
         .groupBy("thr_e4")
-        .agg(F.countDistinct("d").cast("long").alias("n_dup_docs"))
+        .agg(F.countDistinct("d").cast("long").alias("nd"))
     )
     return (
-        n_pairs.join(docs, "thr_e4", "left")
+        grid.join(n_pairs, "thr_e4", "left")
+        .join(docs, "thr_e4", "left")
         .select(
             "thr_e4",
-            "n_pairs",
-            F.coalesce(F.col("n_dup_docs"), F.lit(0).cast("long")).alias("n_dup_docs"),
+            F.coalesce(F.col("np"), F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce(F.col("nd"), F.lit(0).cast("long")).alias("n_dup_docs"),
         )
     )
 
@@ -521,12 +531,14 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.functions.text import shingles, tokens
     from week4_musemotion_spark.operators.sketches import hll_estimate, hll_registers
 
-    d = load_table(spark, sf_dir, "documents")
-    # the sketch and the exact twin each re-explode from the columnar
-    # scan: NOT branch-reuse-pinned, deliberately — checkpointing here
-    # would materialize the full exploded shingle STREAM (strings, ≫
-    # corpus size) to trade cheap pushed-down scans for storage, and
-    # would kick both branches out of whole-stage codegen
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: parallelize the explode+hash above a single-row-group
+    # scan (sources.tables.spread).  The sketch and the exact twin
+    # each re-explode from the spread frame: NOT branch-reuse-pinned,
+    # deliberately — checkpointing here would materialize the full
+    # exploded shingle STREAM (strings, ≫ corpus size)
+    d = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
     s = d.select("source", F.explode(shingles(tokens("text"), 3)).alias("s"))
     est = hll_estimate(hll_registers(s, ["source"], "s", p=_HLL_P), ["source"], p=_HLL_P)
     ex = s.groupBy("source").agg(F.countDistinct("s").cast("long").alias("exact_distinct"))

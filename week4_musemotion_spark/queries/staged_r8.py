@@ -32,6 +32,11 @@ week4_musemotion_spark.queries import staged_r8`` to
   Jaccard threshold sweep: per candidate cosine cut, pair and
   touched-vector counts from ONE pair table, grid-compared on the
   rounded-e6 integer cosine.
+- q_hll_fold_grid — the precision-fold audit: one p=11 register
+  table folded (hll_fold) to each grid precision and proven equal —
+  registers AND estimate — to a direct build at that precision; the
+  one-pass grid contract the bloom/cms fold family established,
+  completed for cardinality.
 """
 
 from __future__ import annotations
@@ -107,9 +112,11 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash collisions could in principle glue two distinct grams
     (p ~ n²/2^61 — negligible), and the oracle uses the same hash,
     so both engines see the identical value."""
-    d = load_table(spark, sf_dir, "documents")
     from week4_musemotion_spark.functions.text import shingles, tokens
+    from week4_musemotion_spark.sources.tables import spread
 
+    # spread: parallelize explode+hash above a single-row-group scan
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     g = d.select(
         "doc_id", "source", F.explode(shingles(tokens("text"), _SPAN_N)).alias("s")
     ).select("doc_id", "source", stable_hash64(F.col("s")).alias("h"))
@@ -319,7 +326,9 @@ def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from week4_musemotion_spark.queries.staged_r7 import _HLL_P
 
-    d = load_table(spark, sf_dir, "documents")
+    from week4_musemotion_spark.sources.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
     s = d.select("source", F.explode(shingles(tokens("text"), 3)).alias("s"))
     # the register table is m rows/source — pin it: it feeds the
     # per-source estimates AND both sides of the pairwise merge
@@ -421,16 +430,26 @@ def q_cms_point_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     team trusts a depth×width budget for per-token/per-URL counts.
 
     Scale: each sketch is depth × width rows TOTAL no matter the
-    stream; the exact top-k exists only as the audit's truth side.
+    stream, and the whole GRID costs one corpus pass — cells are
+    built once at the grid maximum and folded down per width
+    (``cms_fold``: positions are hash & (w-1), so narrow cells are
+    exact sums of wide ones), the same one-build trick as the bloom
+    grid.  The exact top-k exists only as the audit's truth side.
     Same portable primitives as the HLL/bloom family, so the oracle
     replays every cell at every width."""
     from week4_musemotion_spark.functions.text import shingles, tokens
-    from week4_musemotion_spark.operators.sketches import cms_lookup, cms_sketch
+    from week4_musemotion_spark.operators.sketches import (
+        cms_fold,
+        cms_lookup,
+        cms_sketch,
+    )
 
-    d = load_table(spark, sf_dir, "documents")
-    # each consumer re-explodes from the pushed-down one-column scan —
-    # cheaper than materializing the shingle STRING stream (see
-    # q_distinct_sketch's identical trade)
+    # spread: parallelize explode+md5 above a single-row-group scan;
+    # the top-k truth side re-explodes from the spread frame, the
+    # grid side explodes ONCE into the widest cell table
+    from week4_musemotion_spark.sources.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents").select("text"))
     s = d.select(F.explode(shingles(tokens("text"), 3)).alias("s"))
     top = (
         s.groupBy("s")
@@ -438,11 +457,14 @@ def q_cms_point_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_cnt").desc(), F.col("s").asc())
         .limit(_CMS_TOPK)
         .withColumnRenamed("s", "term")
-        .localCheckpoint(eager=False)  # feeds every lookup AND the final join
+        .localCheckpoint(eager=True)  # feeds every lookup AND the final join
+    )
+    wide = cms_sketch(s, [], "s", width=max(_CMS_W_GRID), depth=_CMS_D).localCheckpoint(
+        eager=True  # ≤ depth × max-width rows; feeds every fold
     )
     outs = []
     for w in _CMS_W_GRID:
-        sk = cms_sketch(s, [], "s", width=w, depth=_CMS_D)
+        sk = wide if w == max(_CMS_W_GRID) else cms_fold(wide, w)
         outs.append(
             cms_lookup(sk, top.select("term"), "term", width=w, depth=_CMS_D)
             .withColumn("width", F.lit(w).cast("long"))
@@ -646,20 +668,195 @@ def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.queries.extensions import EMBED_DUP_THRESHOLD
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, EMBED_DUP_THRESHOLD).localCheckpoint(eager=False)
+    pairs = cosine_pairs(emb, EMBED_DUP_THRESHOLD).localCheckpoint(eager=True)
     grid = spark.createDataFrame([(t,) for t in _SEM_SWEEP], "thr_e6 long")
-    q = grid.join(pairs, pairs.cosine_e6 >= grid.thr_e6, "left").select(
-        "thr_e6", "vec_id_a", "vec_id_b"
+    # broadcast-grid crossJoin, NOT a grid⋈pairs theta join (Catalyst
+    # plans that as a task-exploding CartesianProduct — see
+    # q_dedup_threshold_sweep); empty thresholds recovered by
+    # left-joining the grid onto the aggregates
+    hits = pairs.crossJoin(F.broadcast(grid)).filter(
+        F.col("cosine_e6") >= F.col("thr_e6")
     )
-    n_pairs = q.groupBy("thr_e6").agg(F.count("vec_id_a").cast("long").alias("n_pairs"))
+    n_pairs = hits.groupBy("thr_e6").agg(F.count(F.lit(1)).cast("long").alias("np"))
     vecs = (
-        q.filter(F.col("vec_id_a").isNotNull())
-        .select("thr_e6", F.explode(F.array("vec_id_a", "vec_id_b")).alias("v"))
+        hits.select("thr_e6", F.explode(F.array("vec_id_a", "vec_id_b")).alias("v"))
         .groupBy("thr_e6")
-        .agg(F.countDistinct("v").cast("long").alias("n_dup_vecs"))
+        .agg(F.countDistinct("v").cast("long").alias("nd"))
     )
-    return n_pairs.join(vecs, "thr_e6", "left").select(
-        "thr_e6",
-        "n_pairs",
-        F.coalesce(F.col("n_dup_vecs"), F.lit(0).cast("long")).alias("n_dup_vecs"),
+    return (
+        grid.join(n_pairs, "thr_e6", "left")
+        .join(vecs, "thr_e6", "left")
+        .select(
+            "thr_e6",
+            F.coalesce(F.col("np"), F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce(F.col("nd"), F.lit(0).cast("long")).alias("n_dup_vecs"),
+        )
     )
+
+
+#: Precision-fold grid: build once at p=11 (2048 registers/source),
+#: fold down to each audited precision.  The grid's point is the
+#: ONE-PASS contract — fold(build(11), q) == build(q) exactly — so
+#: a precision/error trade-off study costs one corpus scan.
+_FOLD_P_HI = 11
+_FOLD_GRID = (10, 9, 8)
+
+
+def _fold_rho_sql(p: int, h: str = "h") -> str:
+    """Oracle rho at an arbitrary precision (the p-parameterized twin
+    of staged_r7._hll_rho_sql)."""
+    w1 = 60 - p + 1
+    return (
+        f"CASE WHEN ({h} >> {p}) = 0 THEN {w1} "
+        f"ELSE {w1} - length(bin({h} >> {p})) END"
+    )
+
+
+def _fold_e2_sql(p: int, dp: str = "dp", present: str = "present") -> str:
+    """Oracle raw-estimate integer at an arbitrary precision."""
+    from week4_musemotion_spark.operators.sketches import hll_alpha_e7
+
+    m = 1 << p
+    w1 = 60 - p + 1
+    num = hll_alpha_e7(m) * m * m * (1 << w1)
+    return (
+        f"CAST(CAST('{num}' AS HUGEINT)"
+        f" // (CAST({dp} + ({m} - {present}) * (CAST(1 AS BIGINT) << {w1}) AS HUGEINT) * 100000)"
+        f" AS BIGINT)"
+    )
+
+
+def _fold_block_sql(q: int) -> str:
+    """One grid point: fold reg_hi down to q, build directly at q,
+    compare registers and estimates."""
+    m = 1 << q
+    w1 = 60 - q + 1
+    sent_hi = 60 - _FOLD_P_HI + 1
+    return f"""fold_{q} AS (
+        SELECT source, bucket & {m - 1} AS bucket,
+               max(CASE WHEN reg < {sent_hi} THEN reg
+                        WHEN (bucket >> {q}) = 0 THEN {w1}
+                        ELSE {w1} - length(bin(bucket >> {q})) END) AS reg
+        FROM reg_hi GROUP BY 1, 2
+    ),
+    direct_{q} AS (
+        SELECT source, h & {m - 1} AS bucket, max({_fold_rho_sql(q)}) AS reg
+        FROM hx GROUP BY 1, 2
+    ),
+    ef_{q} AS (
+        SELECT source, {_fold_e2_sql(q)} AS e2 FROM (
+            SELECT source, count(*) AS present,
+                   sum(CAST(1 AS BIGINT) << CAST({w1} - reg AS INT)) AS dp
+            FROM fold_{q} GROUP BY 1)
+    ),
+    ed_{q} AS (
+        SELECT source, {_fold_e2_sql(q)} AS e2 FROM (
+            SELECT source, count(*) AS present,
+                   sum(CAST(1 AS BIGINT) << CAST({w1} - reg AS INT)) AS dp
+            FROM direct_{q} GROUP BY 1)
+    ),
+    mm_{q} AS (
+        SELECT COALESCE(f.source, d.source) AS source,
+               CAST(sum(CASE WHEN f.reg IS DISTINCT FROM d.reg THEN 1 ELSE 0 END) AS BIGINT) AS reg_mismatch
+        FROM fold_{q} f FULL JOIN direct_{q} d
+          ON f.source = d.source AND f.bucket = d.bucket
+        GROUP BY 1
+    ),
+    block_{q} AS (
+        SELECT ef.source, CAST({q} AS BIGINT) AS p,
+               ef.e2 AS hll_e2_fold, ed.e2 AS hll_e2_direct, mm.reg_mismatch
+        FROM ef_{q} ef
+        JOIN ed_{q} ed ON ef.source = ed.source
+        JOIN mm_{q} mm ON ef.source = mm.source
+    )"""
+
+
+def _fold_oracle_sql() -> str:
+    blocks = ",\n    ".join(_fold_block_sql(q) for q in _FOLD_GRID)
+    union = "\n    UNION ALL ".join(f"SELECT * FROM block_{q}" for q in _FOLD_GRID)
+    return f"""
+    WITH {_hll_shingle_sql(3)},
+    hx AS (SELECT source, s, {stable_hash64_sql('s')} AS h FROM sh),
+    reg_hi AS (
+        SELECT source, h & {(1 << _FOLD_P_HI) - 1} AS bucket,
+               max({_fold_rho_sql(_FOLD_P_HI)}) AS reg
+        FROM hx GROUP BY 1, 2
+    ),
+    {blocks}
+    {union}
+    """
+
+
+@query("q_hll_fold_grid", covers=("X-HLL-FOLD",), oracle=_fold_oracle_sql())
+def q_hll_fold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL precision-fold audit: one register table built at p=11 is
+    folded (``operators/sketches.hll_fold``) to each precision in the
+    grid and compared — register table AND estimate — against a
+    direct build at that precision.  ``reg_mismatch`` must be 0 in
+    every row: the fold is EXACT, because narrowing the bucket index
+    moves the dropped index bits (recoverable as ``bucket >> q``) to
+    the bottom of the ranked suffix where they cannot displace the
+    leading 1-bit, and the all-zero-suffix sentinel's image still
+    dominates its bucket.
+
+    What it buys at 100 TB: a precision/error/memory study — "is
+    m=256 enough for my per-source mixing weights?" — costs ONE
+    corpus pass (build at the grid max, m rows/source) instead of one
+    scan per candidate precision; the same one-build grid contract as
+    the bloom bitmap-size audit and ``cms_fold``'s width grid.  The
+    oracle independently replays the fold arithmetic AND every direct
+    build, so a fold bug cannot hide behind its own twin.
+
+    Scale: after the one hash pass everything acts on ≤ 2^11
+    register rows per source; the direct builds exist only as the
+    audit's truth side (drop them in production — that is the point).
+    """
+    from week4_musemotion_spark.functions.text import shingles, tokens
+    from week4_musemotion_spark.operators.sketches import (
+        hll_estimate,
+        hll_fold,
+        hll_registers,
+    )
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: parallelize explode+md5 above a single-row-group scan
+    d = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    s = d.select("source", F.explode(shingles(tokens("text"), 3)).alias("s"))
+    # the p=11 table feeds every fold and every mismatch join — pin it
+    hi = hll_registers(s, ["source"], "s", p=_FOLD_P_HI).localCheckpoint(eager=False)
+    outs = []
+    for q in _FOLD_GRID:
+        fold = hll_fold(hi, q, ["source"]).localCheckpoint(eager=False)
+        direct = hll_registers(s, ["source"], "s", p=q).localCheckpoint(eager=False)
+        ef = hll_estimate(fold, ["source"], p=q).select(
+            "source", F.col("hll_e2").alias("hll_e2_fold")
+        )
+        ed = hll_estimate(direct, ["source"], p=q).select(
+            "source", F.col("hll_e2").alias("hll_e2_direct")
+        )
+        mm = (
+            fold.select("source", "bucket", F.col("reg").alias("rf"))
+            .join(
+                direct.select("source", "bucket", F.col("reg").alias("rd")),
+                ["source", "bucket"],
+                "full",
+            )
+            .groupBy("source")
+            .agg(
+                F.sum(
+                    F.when(~F.col("rf").eqNullSafe(F.col("rd")), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("reg_mismatch")
+            )
+        )
+        outs.append(
+            ef.join(ed, "source")
+            .join(mm, "source")
+            .withColumn("p", F.lit(q).cast("long"))
+            .select("source", "p", "hll_e2_fold", "hll_e2_direct", "reg_mismatch")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -37,3 +37,26 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     """
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Round-robin repartition to ``defaultParallelism`` when the
+    input has too few partitions to parallelize CPU-heavy downstream
+    work (shingling, hashing, Arrow kernels).
+
+    Why: a single-file/single-row-group parquet scan is ONE task no
+    matter the split knobs (splits beyond the row-group start are
+    empty — SCALING.md round-4 note), so an expensive lineage above
+    it inherits single-threaded execution right up to the first
+    shuffle; worse, the shuffle WRITE of the exploded stream is also
+    that one task.  Redistributing the small pre-explosion rows first
+    costs one trivial shuffle and lets every core work (measured 8×
+    on sf0.1 shingle hashing).  At production scale (many files /
+    row groups) the scan is already wide and this is a no-op — the
+    conditional keeps it from adding exchanges where parallelism
+    exists."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
