@@ -117,3 +117,32 @@ def test_pca_fit_validates(spark):
         pca_fit(
             spark.createDataFrame([], "embedding array<double>"), "embedding", k=2
         )
+
+
+def test_rp_project_matches_numpy_and_nests(spark):
+    """rp_project == sequential-fold numpy recompute; smaller-dim
+    matrices are row prefixes (the one-pass grid contract)."""
+    import numpy as np
+
+    from week4_musemotion_spark.operators.linalg import rp_project, rp_signs
+
+    rows = [(i, [float(np.sin(i * 17 + k)) for k in range(6)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    signs = rp_signs(6, 4, seed=3)
+    got = {
+        r.id: r.y
+        for r in df.select("id", rp_project("v", signs).alias("y")).collect()
+    }
+    S = np.array(signs, dtype=np.float64)
+    for i, v in rows:
+        want = []
+        for j in range(4):
+            acc = 0.0
+            for k in range(6):  # left-to-right fold, like the engine
+                acc += v[k] * S[j, k]
+            want.append(acc)
+        assert got[i] == want, i  # bit-exact
+    # determinism + nesting
+    assert rp_signs(6, 2, seed=3) == signs[:2]
+    assert rp_signs(6, 4, seed=3) == signs
+    assert rp_signs(6, 4, seed=4) != signs

@@ -90,3 +90,18 @@ def test_hll_fold_grid_matches_oracle(spark):
     # the fold contract: register-exact, therefore estimate-exact
     assert (got.reg_mismatch == 0).all()
     assert (got.hll_e2_fold == got.hll_e2_direct).all()
+
+
+def test_rp_distortion_matches_oracle(spark):
+    got = _diff(spark, "q_rp_distortion")
+    assert len(got) == 3, "one row per grid dim"
+    s = got.set_index("t")
+    # every vector participates in the norm audit (corpus has no
+    # zero-norm embeddings at smoke SF)
+    assert (s.n_vecs == s.n_vecs.iloc[0]).all() and s.n_vecs.iloc[0] > 0
+    # Rademacher norm preservation: E[|y_t|^2 / (t*|x|^2)] = 1
+    assert ((s.mean_norm_ratio_e6 - 1_000_000).abs() < 150_000).all()
+    # distortion grows as the target dim shrinks (expectation ~ 1/sqrt(t);
+    # compare the grid extremes, robust to small-pair-count noise)
+    assert s.mean_abs_err_e6.loc[32] <= s.mean_abs_err_e6.loc[8]
+    assert (s.mean_abs_err_e6 < 500_000).all()

@@ -340,3 +340,70 @@ def pca_project(
     fields = [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
     schema = ", ".join(fields + [f"`{out_col}` array<double>"])
     return df.mapInPandas(_proj, schema)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (portable ±1 signs)
+# ---------------------------------------------------------------------------
+
+
+def rp_signs(in_dim: int, out_dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic ±1 sign matrix (``out_dim`` rows × ``in_dim``
+    cols) from md5 parity of ``rp:{seed}:{j}:{i}`` — the Achlioptas
+    (2003) database-friendly JL variant with the Rademacher entries
+    derived from a hash instead of an RNG, so BOTH engines of a
+    differential pair can carry the identical matrix as a literal
+    (no cross-engine random state to synchronize; same move as
+    ``functions/hashing.stable_hash64``).
+
+    Rows are NESTED by construction: the matrix for a smaller
+    ``out_dim`` is a prefix of the larger one's rows, so one
+    projection at the grid maximum serves every smaller target dim
+    via ``slice`` — the one-pass grid contract of ``hll_fold`` /
+    ``cms_fold``, for dimensionality."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"rp:{seed}:{j}:{i}".encode()).digest()[0] & 1 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def rp_project(vec, signs: list[list[int]]):
+    """JVM-side JL projection ``y_j = Σ_i x_i · s_ji`` as ONE
+    higher-order expression: the sign matrix is a literal
+    ``array<array<double>>`` and the fold runs left-to-right over the
+    dimension index — bit-identical to DuckDB's ``list_sum`` over
+    ``list_transform`` (see the similarity module's numeric
+    contract), so projected cosines replay exactly in the oracle.
+
+    Per row this is ``out_dim × in_dim`` fused multiply-adds inside
+    whole-stage codegen — a pure map, no shuffle, no Python: the
+    cheapest possible shape for the 100 TB "project then dedup/ANN in
+    t ≪ d dims" pipeline stage."""
+    mat = F.array(
+        *[F.array(*[F.lit(float(s)) for s in row]) for row in signs]
+    )
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(
+        mat,
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def rp_signs_sql(signs: list[list[int]]) -> str:
+    """The same matrix as a DuckDB list-of-lists literal (DOUBLE)."""
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{float(s):.1f}" for s in row) + "]" for row in signs
+        )
+        + "]"
+    )

@@ -860,3 +860,200 @@ def q_hll_fold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection distortion audit
+# ---------------------------------------------------------------------------
+
+#: JL target-dim grid — NESTED prefixes of one projection at the grid
+#: maximum (operators/linalg.rp_signs rows are seed-deterministic, so
+#: the t=8 matrix is the first 8 rows of the t=32 one): ONE corpus
+#: pass serves the whole grid via array slices.
+_RP_GRID = (32, 16, 8)
+_RP_IN_DIM = 64
+_RP_SEED = 6
+
+
+def _rp_cos_sql(a: str, b: str) -> str:
+    """Guarded cosine over projected (DOUBLE) slices — same fold
+    order as the Spark side's cosine_similarity, NULL on zero norm
+    (DuckDB would otherwise emit IEEE inf where Spark guards)."""
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    d = (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[i] * {b}[i]))"
+    )
+    return f"CASE WHEN {na} * {nb} > 0 THEN {d} / ({na} * {nb}) END"
+
+
+def _rp_block_sql(t: int) -> str:
+    ratio = (
+        f"CAST(floor((list_sum(list_transform(y[1:{t}], v -> v * v))"
+        f" / (CAST({t} AS DOUBLE) * nx2)) * 1000000 + 0.5) AS BIGINT)"
+    )
+    return f"""err_{t} AS (
+        SELECT abs(CAST(floor(({_rp_cos_sql('sa', 'sb')}) * 1000000 + 0.5) AS BIGINT)
+                   - cosine_e6) AS aerr
+        FROM (SELECT ya[1:{t}] AS sa, yb[1:{t}] AS sb, cosine_e6 FROM pj)
+    ),
+    perr_{t} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(CAST(sum(aerr) AS HUGEINT), 0)
+                    // greatest(count(*), 1) AS BIGINT) AS mean_abs_err_e6,
+               CAST(COALESCE(max(aerr), 0) AS BIGINT) AS max_abs_err_e6
+        FROM err_{t}
+    ),
+    nr_{t} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(CAST(sum(ratio_e6) AS HUGEINT) // count(*) AS BIGINT)
+                   AS mean_norm_ratio_e6,
+               CAST(min(ratio_e6) AS BIGINT) AS min_norm_ratio_e6,
+               CAST(max(ratio_e6) AS BIGINT) AS max_norm_ratio_e6
+        FROM (SELECT {ratio} AS ratio_e6 FROM proj WHERE nx2 > 0)
+    ),
+    block_{t} AS (
+        SELECT CAST({t} AS BIGINT) AS t, p.n_pairs, p.mean_abs_err_e6,
+               p.max_abs_err_e6, n.n_vecs, n.mean_norm_ratio_e6,
+               n.min_norm_ratio_e6, n.max_norm_ratio_e6
+        FROM perr_{t} p, nr_{t} n
+    )"""
+
+
+def _rp_oracle_sql() -> str:
+    from week4_musemotion_spark.operators.linalg import rp_signs, rp_signs_sql
+
+    signs = rp_signs(_RP_IN_DIM, max(_RP_GRID), _RP_SEED)
+    blocks = ",\n    ".join(_rp_block_sql(t) for t in _RP_GRID)
+    union = "\n    UNION ALL ".join(f"SELECT * FROM block_{t}" for t in _RP_GRID)
+    return f"""
+    WITH proj AS (
+        SELECT vec_id,
+               list_transform({rp_signs_sql(signs)},
+                   row -> list_sum(list_transform(range(1, {_RP_IN_DIM + 1}),
+                          i -> CAST(embedding[i] AS DOUBLE) * row[i]))) AS y,
+               list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx2
+        FROM embeddings
+    ),
+    cosraw AS (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               {_COSINE_SQL_FRAG.format(a="a.embedding", b="b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    pe AS (
+        SELECT vec_id_a, vec_id_b,
+               CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+        FROM cosraw WHERE cos >= {EMBED_DUP_THRESHOLD}
+    ),
+    pj AS (
+        SELECT pe.cosine_e6, pa.y AS ya, pb.y AS yb
+        FROM pe JOIN proj pa ON pa.vec_id = pe.vec_id_a
+                JOIN proj pb ON pb.vec_id = pe.vec_id_b
+    ),
+    {blocks}
+    {union}
+    """
+
+
+@query("q_rp_distortion", covers=("X-RP-DISTORTION",), oracle=_rp_oracle_sql())
+def q_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection distortion audit: ONE ±1
+    sign projection (``operators/linalg.rp_project``, Achlioptas
+    2003 / JL lemma) at the grid-max target dim, prefix-sliced to
+    each candidate dim, scored two ways — (a) projected-vs-full
+    cosine error over the exact near-dup pair set (the pairs a
+    semantic dedup actually decides on) and (b) the per-vector norm
+    preservation ratio |y_t|²/(t·|x|²), whose expectation is exactly
+    1 under Rademacher signs.
+
+    Answers, with data: "how far can I shrink the embedding dim
+    before my dedup threshold starts misfiring?"  At 100 TB the
+    projection is a pure codegen map (no shuffle, no Python) and
+    every downstream cost — ANN scoring, LSH sketching, pair
+    verification — scales by t/d; the grid costs one projection pass
+    because the sign rows are nested (the fold-family one-pass
+    contract, for dimensionality).  The oracle replays the sign
+    matrix literal, every fold (left-to-right, bit-identical), the
+    pair set, and the fixed-point encoding.
+    """
+    from week4_musemotion_spark.functions.vector import cosine_similarity
+    from week4_musemotion_spark.operators.linalg import rp_project, rp_signs
+    from week4_musemotion_spark.operators.similarity import cosine_e6, cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = rp_signs(_RP_IN_DIM, max(_RP_GRID), _RP_SEED)
+    nx2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # one projection pass serves the pair sides AND every grid dim —
+    # pin it (lazy: each consumer is itself one narrow pass)
+    proj = emb.select(
+        "vec_id", rp_project("embedding", signs).alias("y"), nx2.alias("nx2")
+    ).localCheckpoint(eager=False)
+    # the near-dup pair set is tiny relative to the corpus — eager
+    # pin, then hash-join the projected sides in
+    pairs = cosine_pairs(emb, EMBED_DUP_THRESHOLD).localCheckpoint(eager=True)
+    pj = (
+        pairs.join(
+            proj.select(F.col("vec_id").alias("vec_id_a"), F.col("y").alias("ya")),
+            "vec_id_a",
+        )
+        .join(
+            proj.select(F.col("vec_id").alias("vec_id_b"), F.col("y").alias("yb")),
+            "vec_id_b",
+        )
+        .select("cosine_e6", "ya", "yb")
+        .localCheckpoint(eager=False)
+    )
+    blocks = []
+    for t in _RP_GRID:
+        aerr = F.abs(
+            cosine_e6(cosine_similarity(F.slice("ya", 1, t), F.slice("yb", 1, t)))
+            - F.col("cosine_e6")
+        )
+        perr = pj.select(aerr.alias("aerr")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            int_div_trunc(
+                F.coalesce(F.sum("aerr"), F.lit(0)),
+                F.greatest(F.count(F.lit(1)), F.lit(1)),
+            ).alias("mean_abs_err_e6"),
+            F.coalesce(F.max("aerr"), F.lit(0)).cast("long").alias("max_abs_err_e6"),
+        )
+        nyt = F.aggregate(
+            F.transform(F.slice("y", 1, t), lambda v: v * v),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        ratio_e6 = cosine_e6(nyt / (F.lit(float(t)) * F.col("nx2")))
+        nr = (
+            proj.filter(F.col("nx2") > 0)
+            .select(ratio_e6.alias("ratio_e6"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                int_div_trunc(F.sum("ratio_e6"), F.count(F.lit(1))).alias(
+                    "mean_norm_ratio_e6"
+                ),
+                F.min("ratio_e6").cast("long").alias("min_norm_ratio_e6"),
+                F.max("ratio_e6").cast("long").alias("max_norm_ratio_e6"),
+            )
+        )
+        blocks.append(
+            perr.crossJoin(nr).select(
+                F.lit(t).cast("long").alias("t"),
+                "n_pairs",
+                "mean_abs_err_e6",
+                "max_abs_err_e6",
+                "n_vecs",
+                "mean_norm_ratio_e6",
+                "min_norm_ratio_e6",
+                "max_norm_ratio_e6",
+            )
+        )
+    res = blocks[0]
+    for b in blocks[1:]:
+        res = res.unionByName(b)
+    return res
