@@ -37,6 +37,10 @@ week4_musemotion_spark.queries import staged_r8`` to
   registers AND estimate — to a direct build at that precision; the
   one-pass grid contract the bloom/cms fold family established,
   completed for cardinality.
+- q_rp_distortion — Johnson-Lindenstrauss ±1 projection audit:
+  projected-vs-full cosine error over the exact near-dup pair set
+  and the per-vector norm-preservation ratio, across a prefix-nested
+  target-dim grid served by ONE projection pass.
 """
 
 from __future__ import annotations
