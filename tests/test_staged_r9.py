@@ -1,0 +1,89 @@
+"""Round-9 staged queries (queries/staged_r9.py — not yet imported
+by queries/__init__): full Spark-vs-DuckDB differential checks here,
+so activation ships with evidence already in hand."""
+
+from __future__ import annotations
+
+from tests.conftest import staged_diff
+
+TABLES = ("documents", "events")
+
+
+def _diff(spark, name):
+    from week4_musemotion_spark.queries import staged_r9  # noqa: F401 — registers
+
+    return staged_diff(spark, name, TABLES)
+
+
+def test_winnow_density_matches_oracle(spark):
+    got = _diff(spark, "q_winnow_density")
+    assert len(got) == 20, "one row per source"
+    assert (got.n_prints <= got.n_grams).all()
+    # Schleimer et al. density bound: expected 2/(w+1) for random
+    # hashes; real text sits near it — assert a generous corridor
+    # that still catches a broken window (density 1.0) or a broken
+    # distinct (density ~0)
+    assert got.density_ppm.between(120_000, 450_000).all(), got.density_ppm
+
+
+def test_winnow_pairs_matches_oracle(spark):
+    got = _diff(spark, "q_winnow_pairs")
+    assert len(got) > 0, "planted near-dups must share winnowed prints"
+    assert (got.containment_ppm <= 1_000_000).all()
+    assert (got.shared_prints <= got[["na_prints", "nb_prints"]].min(axis=1)).all()
+    # planted near-dup pairs are close to containment 1
+    assert got.containment_ppm.max() > 500_000
+
+
+def test_substring_runs_matches_oracle(spark):
+    got = _diff(spark, "q_substring_runs")
+    assert len(got) > 0, "planted near-dups carry long shared runs"
+    # run length is grams + n - 1 >= n + 1 by the 2-gram minimum
+    assert (got.longest_run_tokens >= 9).all()
+    assert (got.run_grams >= got.n_runs * 2).all()
+    # planted near-dups share long spans, not just 9-token slivers
+    assert got.longest_run_tokens.max() >= 20
+
+
+def test_detector_agreement_matches_oracle(spark):
+    got = _diff(spark, "q_detector_agreement")
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.n_pairs == r.n_docs * (r.n_docs - 1) // 2
+    # both detectors fire on this corpus and overlap on planted dups
+    assert r.both_dup > 0
+    # near-all pairs are true negatives -> raw agreement ~ 1
+    assert r.agree_ppm > 990_000
+    # kappa's baseline on this corpus is SMALL (the detectors target
+    # different similarity bands: 63-bit SimHash Hamming<=1 fires on
+    # ~600 stopword-dominated pairs, 3-gram Jaccard>=0.8 on ~28
+    # planted near-dups) but must be strictly positive: observed
+    # both_dup is ~30x the independence expectation
+    # (sim_pos * jac_pos / n_pairs < 1), and kappa > 0 iff
+    # both > expected.  A kappa collapse to <= 0 is the rot alarm.
+    assert r.kappa_ppm > 0, r.kappa_ppm
+    exp_both = (r.both_dup + r.simhash_only) * (r.both_dup + r.jaccard_only) / r.n_pairs
+    assert r.both_dup > exp_both, (r.both_dup, exp_both)
+
+
+def test_provenance_bits_matches_oracle(spark):
+    got = _diff(spark, "q_provenance_bits")
+    assert (got.n_sources >= 1).all()
+    assert (got.n_docs >= got.n_groups).all()
+    # every doc lands in exactly one mask bucket (sf0.001 documents
+    # has 500 rows, all unique text -> single-bit masks only; the
+    # multi-bit cross-source path is exercised at sf0.1, which ships
+    # 8 two-source exact-dup groups — covered by the manual per-SF
+    # differential run)
+    assert got.n_docs.sum() == 500
+    # single-source masks are powers of two
+    ones = got.loc[got.n_sources == 1, "mask"]  # .mask is a pandas method
+    assert all((m & (m - 1)) == 0 for m in ones)
+
+
+def test_cusum_drift_matches_oracle(spark):
+    got = _diff(spark, "q_cusum_drift")
+    assert len(got) > 0, "one row per event_type"
+    assert (got.s_max >= 0).all() and (got.s_min <= 0).all(), "cusum sums to 0"
+    assert (got.drift_range == got.s_max - got.s_min).all()
+    assert (got.n_days > 1).all()

@@ -1,0 +1,660 @@
+"""Round-9 staged queries — registered on import, NOT imported by
+``queries/__init__`` yet, so the active registry (and the benched
+battery) is unchanged until activation.  ``import
+week4_musemotion_spark.queries.staged_r9`` to register.
+
+Wave theme: the remaining *provenance / overlap-forensics* layer of a
+training-data pipeline — who copied what from whom, at which
+granularity, and do the detectors agree:
+
+- q_winnow_density — winnowing fingerprint selection (Schleimer et
+  al. 2003, the MOSS algorithm): per-source audit of selected-print
+  density against the 2/(w+1) expectation.  The selection itself is
+  ONE window-min over a packed (hash, position) integer key — the
+  rightmost-min tie-break falls out of the key encoding, no argmin
+  subquery, no self-join.
+- q_winnow_pairs — document overlap via shared winnowed prints:
+  the MOSS use case, a print equi-join over an index that is only
+  ~2/(w+1) the size of the full gram stream (the winnowing guarantee:
+  any shared run of w+k-1 tokens shares >= 1 selected print, so
+  recall on long overlaps survives the 8x index shrink).
+- q_substring_runs — maximal duplicated-substring runs (the signal
+  behind exact-substring dedup, Lee et al. 2022): gaps-and-islands
+  over diagonal-aligned gram matches turns position pairs into
+  maximal runs with exact token lengths.
+- q_detector_agreement — Cohen's kappa (exact ppm integer
+  arithmetic) between the two independent near-dup detectors the
+  engine ships (63-bit SimHash Hamming<=1 vs exact 3-gram
+  Jaccard>=0.8) over the full C(n,2) pair universe — the monitoring
+  query that catches one detector silently rotting.
+- q_provenance_bits — per exact-dup-group source-provenance bitmask
+  (bit_or of per-source bits): which source combinations ship
+  identical content, sized in groups and docs.
+- q_cusum_drift — integer CUSUM changepoint statistic over daily
+  event counts per type: S_t = D*prefix_t - t*total stays in exact
+  BIGINT (no mean floats), peak day + range as the drift verdict.
+
+Differential evidence: tests/test_staged_r9.py (Spark vs DuckDB at
+sf0.001 via conftest.staged_diff; sf0.01/sf0.1 run manually per the
+verify-skill round-6 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.functions.eventtime import epoch_micros
+from week4_musemotion_spark.functions.exact import dec, int_div_trunc
+from week4_musemotion_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from week4_musemotion_spark.operators.dedup import jaccard_pairs, simhash_pairs
+from week4_musemotion_spark.queries.extensions import (
+    _SIMHASH_MAX_HAMMING,
+    _SIMHASH_PAIR_BITS,
+    JACCARD_THRESHOLD,
+    _jaccard_ctes,
+    _shingle_expr,
+    _simhash_sql,
+)
+from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer, Wilkerson, Aiken 2003 — "Winnowing: Local
+# Algorithms for Document Fingerprinting", the MOSS fingerprinter)
+# ---------------------------------------------------------------------------
+
+#: k-gram size for winnowing: 4 tokens — the noise threshold (any
+#: shared 4-token gram counts as a match candidate).
+_WK = 4
+#: Window size w: every window of 8 consecutive gram hashes selects
+#: one fingerprint, guaranteeing detection of shared runs of at least
+#: w + k - 1 = 11 tokens while keeping ~2/(w+1) of positions.
+_WW = 8
+#: Packed-key layout: key = (hash % 2^40) * 2^20 + (2^20 - 1 - pos).
+#: min(key) over a window is then EXACTLY robust winnowing's
+#: "min hash, rightmost on ties" rule — the position complement makes
+#: larger positions compare smaller within a tied hash — and both
+#: halves unpack with pure integer shifts.  40 + 20 = 60 bits keeps
+#: the key inside the engines' shared BIGINT range; positions are
+#: bounded by the 2^20-token document contract (testdata max is ~1e3).
+_H40 = 1 << 40
+_POSM = 1 << 20
+
+#: Pair-report knobs: prints shared by more than _WP_MAXDF docs are
+#: boilerplate (stop-print cutoff — bounds the equi-join fanout the
+#: same way stop-grams bound q_substring_runs); pairs need >=
+#: _WP_MIN_SHARED surviving shared prints to report.
+_WP_MAXDF = 16
+_WP_MIN_SHARED = 3
+_WP_TOPK = 200
+
+
+def _winnow_sel_sql() -> str:
+    """Shared oracle CTE chain: documents → gram stream with
+    positions → packed keys → per-window min (``sel(doc_id, source,
+    pos, selkey)``).  DuckDB zips the two unnests in one SELECT
+    (lockstep expansion), which is exactly Spark's posexplode."""
+    h = stable_hash64_sql("s")
+    return f"""tok AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents),
+    g AS (SELECT doc_id, source, unnest({_shingle_expr(_WK)}) AS s,
+                 unnest(range(0, len(ts) - {_WK - 1})) AS pos
+          FROM tok WHERE len(ts) >= {_WK}),
+    k AS (SELECT doc_id, source, pos,
+                 ({h} % {_H40}) * {_POSM} + ({_POSM - 1} - pos) AS key
+          FROM g),
+    sel AS (SELECT doc_id, source, pos,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN {_WW - 1} PRECEDING AND CURRENT ROW) AS selkey
+            FROM k)"""
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_winnow_sel_sql`: one posexplode, one
+    window-min — no argmin subquery, no position self-join.  The
+    window partitions by (doc_id, source) so the per-doc aggregate
+    downstream reuses the same hash partitioning (source is constant
+    within a doc — same semantics, one Exchange total)."""
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    from week4_musemotion_spark.functions.text import shingles, tokens
+
+    g = d.select(
+        "doc_id", "source", F.posexplode(shingles(tokens("text"), _WK)).alias("pos", "s")
+    )
+    key = (stable_hash64(F.col("s")) % F.lit(_H40)) * F.lit(_POSM) + (
+        F.lit(_POSM - 1) - F.col("pos")
+    )
+    w = (
+        Window.partitionBy("doc_id", "source")
+        .orderBy("pos")
+        .rowsBetween(-(_WW - 1), Window.currentRow)
+    )
+    return g.select("doc_id", "source", "pos", F.min(key).over(w).alias("selkey"))
+
+
+@query(
+    "q_winnow_density",
+    covers=("X-WINNOW-DENSITY",),
+    oracle=f"""
+    WITH {_winnow_sel_sql()},
+    pd AS (
+        SELECT doc_id, source, max(pos) + 1 AS n_grams,
+               count(DISTINCT CASE WHEN pos >= {_WW - 1} THEN selkey END) AS n_prints
+        FROM sel GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n_grams) AS BIGINT) AS n_grams,
+           CAST(sum(n_prints) AS BIGINT) AS n_prints,
+           CAST(CAST(sum(n_prints) AS HUGEINT) * 1000000
+                // CAST(sum(n_grams) AS HUGEINT) AS BIGINT) AS density_ppm
+    FROM pd GROUP BY source
+    """,
+)
+def q_winnow_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint density per source: selected prints /
+    gram positions, expected ≈ 2/(w+1) ≈ 222k ppm for w=8 (the paper's
+    density bound for random hashes) — a drifting density flags a
+    degenerate token distribution (e.g. boilerplate floods) before
+    any pair join runs.
+
+    Plan: posexplode → ONE window-min (packed key carries the
+    rightmost-min tie-break) → per-doc aggregate on the SAME
+    (doc_id, source) keys — Catalyst plans a single Exchange for
+    window + both aggregates; prints never leave their doc partition.
+    Windows shorter than w (pos < w-1) are warm-up rows, excluded
+    exactly as the paper defines; docs shorter than k grams contribute
+    nothing on either engine."""
+    sel = _winnow_selected(spark, sf_dir)
+    per_doc = sel.groupBy("doc_id", "source").agg(
+        (F.max("pos") + 1).alias("n_grams"),
+        F.countDistinct(
+            F.when(F.col("pos") >= _WW - 1, F.col("selkey"))
+        ).alias("n_prints"),
+    )
+    np_, ng = F.sum("n_prints"), F.sum("n_grams")
+    return per_doc.groupBy("source").agg(
+        ng.cast("long").alias("n_grams"),
+        np_.cast("long").alias("n_prints"),
+        int_div_trunc(dec(np_) * 1_000_000, ng).alias("density_ppm"),
+    )
+
+
+@query(
+    "q_winnow_pairs",
+    covers=("X-WINNOW-PAIRS",),
+    oracle=f"""
+    WITH {_winnow_sel_sql()},
+    fp AS (SELECT DISTINCT doc_id, selkey >> 20 AS ph
+           FROM sel WHERE pos >= {_WW - 1}),
+    st AS (SELECT doc_id, ph,
+                  count(*) OVER (PARTITION BY ph) AS nd,
+                  count(*) OVER (PARTITION BY doc_id) AS nsz
+           FROM fp),
+    cap AS (SELECT * FROM st WHERE nd <= {_WP_MAXDF}),
+    pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               min(a.nsz) AS na, min(b.nsz) AS nb
+        FROM cap a JOIN cap b ON a.ph = b.ph AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS BIGINT) AS shared_prints,
+           CAST(na AS BIGINT) AS na_prints,
+           CAST(nb AS BIGINT) AS nb_prints,
+           CAST(shared * 1000000 // least(na, nb) AS BIGINT) AS containment_ppm
+    FROM pr WHERE shared >= {_WP_MIN_SHARED}
+    ORDER BY shared DESC, doc_a, doc_b LIMIT {_WP_TOPK}
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-overlap pairs via shared winnowed fingerprints — the
+    MOSS report: top pairs by shared print count with a
+    containment score against the smaller doc's print set.
+
+    Scale story: the join runs over the winnowed INDEX (~2/(w+1) ≈
+    22% of gram positions, distinct-ed per doc), not the gram stream,
+    and the stop-print cutoff (prints in > {_WP_MAXDF} docs are
+    boilerplate) caps per-key fanout, so candidate volume tracks true
+    overlap, never corpus².  The winnowing guarantee bounds recall:
+    any shared run of w+k-1 = 11 tokens shares at least one selected
+    print on both sides (same hash, same local window content), so
+    long overlaps cannot evade the 8× index shrink.  LIMIT rides a
+    total order (shared DESC, doc_a, doc_b)."""
+    sel = _winnow_selected(spark, sf_dir)
+    fp = (
+        sel.filter(F.col("pos") >= _WW - 1)
+        .select("doc_id", F.shiftright("selkey", 20).alias("ph"))
+        .distinct()
+    )
+    st = fp.select(
+        "doc_id",
+        "ph",
+        F.count(F.lit(1)).over(Window.partitionBy("ph")).alias("nd"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("nsz"),
+    )
+    cap = st.filter(F.col("nd") <= _WP_MAXDF)
+    a = cap.select(F.col("doc_id").alias("doc_a"), "ph", F.col("nsz").alias("nsa"))
+    b = cap.select(F.col("doc_id").alias("doc_b"), "ph", F.col("nsz").alias("nsb"))
+    pr = (
+        a.join(b, "ph")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("nsa").alias("na"),
+            F.min("nsb").alias("nb"),
+        )
+        .filter(F.col("shared") >= _WP_MIN_SHARED)
+    )
+    return (
+        pr.select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared_prints"),
+            F.col("na").cast("long").alias("na_prints"),
+            F.col("nb").cast("long").alias("nb_prints"),
+            int_div_trunc(
+                dec(F.col("shared")) * 1_000_000, F.least("na", "nb")
+            ).alias("containment_ppm"),
+        )
+        .orderBy(F.desc("shared_prints"), "doc_a", "doc_b")
+        .limit(_WP_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximal duplicated-substring runs (exact-substring dedup signal —
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"; suffix-array substring dedup re-expressed as
+# gram-anchored gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+#: Gram anchor size for run detection (tokens): shared 8-grams imply
+#: copied text on this vocabulary.
+_RUN_N = 8
+#: Stop-gram cutoff: grams occurring in more than this many docs are
+#: template boilerplate; skipping them bounds the position join at
+#: O(df² · positions) per gram — the standard suffix-dedup trick.
+_RUN_MAXDF = 4
+#: A "run" must chain at least this many consecutive aligned grams
+#: (2 grams ⇒ ≥ n+1 = 9 copied tokens) — single-gram hits are noise.
+_RUN_MIN_GRAMS = 2
+_RUN_TOPK = 100
+
+
+@query(
+    "q_substring_runs",
+    covers=("X-SUBSTRING-RUNS",),
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents),
+    g AS (SELECT doc_id, unnest({_shingle_expr(_RUN_N)}) AS s,
+                 unnest(range(0, len(ts) - {_RUN_N - 1})) AS pos
+          FROM tok WHERE len(ts) >= {_RUN_N}),
+    hx AS (SELECT doc_id, pos, {stable_hash64_sql("s")} AS h FROM g),
+    df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hx GROUP BY h),
+    keep AS (SELECT hx.* FROM hx JOIN df USING (h) WHERE df.nd BETWEEN 2 AND {_RUN_MAXDF}),
+    mt AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, a.pos - b.pos AS diag
+        FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pa,
+               pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        FROM mt
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, count(*) AS grams, min(pa) AS start_a
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+        HAVING count(*) >= {_RUN_MIN_GRAMS}
+    )
+    SELECT doc_a, doc_b,
+           CAST(max(grams) + {_RUN_N - 1} AS BIGINT) AS longest_run_tokens,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(grams) AS BIGINT) AS run_grams
+    FROM runs GROUP BY doc_a, doc_b
+    ORDER BY longest_run_tokens DESC, doc_a, doc_b LIMIT {_RUN_TOPK}
+    """,
+)
+def q_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring runs between document pairs:
+    aligned gram matches (same hash, same position diagonal)
+    collapsed into maximal consecutive runs via gaps-and-islands
+    (pos - row_number is constant exactly within a consecutive run),
+    reported as exact token lengths (grams + n - 1).
+
+    This is the per-pair signal of exact-substring dedup: a
+    boilerplate paragraph repeated across otherwise-distinct pages
+    shows up as one long run even when whole-doc Jaccard stays below
+    every near-dup threshold.
+
+    Plan shape: gram stream → doc-frequency filter (2 ≤ df ≤
+    {_RUN_MAXDF}: unique grams can't match, high-df grams are
+    template stop-grams — this caps join fanout) → position
+    equi-join on the 8-byte hash → one window + two aggregates all
+    keyed by (doc_a, doc_b[, diag]) — the window's partitioning is
+    reused by both groupBys, so the run analysis costs one Exchange
+    after the join.  Hash collisions gluing different grams appear
+    with p ≈ n²/2^61 and the oracle hashes identically, so both
+    engines agree bit-for-bit regardless."""
+    from week4_musemotion_spark.functions.text import shingles, tokens
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    g = d.select("doc_id", F.posexplode(shingles(tokens("text"), _RUN_N)).alias("pos", "s"))
+    hx = g.select("doc_id", "pos", stable_hash64(F.col("s")).alias("h"))
+    wdf = Window.partitionBy("h")
+    # distinct-docs-per-gram without countDistinct: dense_rank over
+    # doc_id peaks at the distinct count; max over the partition
+    # broadcasts it back to every row (same single Exchange on h).
+    ranked = hx.withColumn(
+        "dr", F.dense_rank().over(Window.partitionBy("h").orderBy("doc_id"))
+    ).withColumn("nd", F.max("dr").over(wdf))
+    keep = ranked.filter((F.col("nd") >= 2) & (F.col("nd") <= _RUN_MAXDF)).select(
+        "doc_id", "pos", "h"
+    )
+    a = keep.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = keep.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h")
+    mt = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wisl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = mt.withColumn("grp", F.col("pa") - F.row_number().over(wisl))
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("grams"))
+        .filter(F.col("grams") >= _RUN_MIN_GRAMS)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("grams") + (_RUN_N - 1)).cast("long").alias("longest_run_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.sum("grams").cast("long").alias("run_grams"),
+        )
+        .orderBy(F.desc("longest_run_tokens"), "doc_a", "doc_b")
+        .limit(_RUN_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Detector agreement (Cohen's kappa, exact integer ppm)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_detector_agreement",
+    covers=("X-DETECTOR-AGREEMENT",),
+    oracle=f"""
+    WITH sh2 AS ({_simhash_sql(_SIMHASH_PAIR_BITS)}),
+    sim AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    ),
+    {_jaccard_ctes(JACCARD_THRESHOLD)},
+    jac AS (SELECT doc_a, doc_b FROM pairs),
+    u AS (
+        SELECT coalesce(s.doc_a, j.doc_a) AS doc_a,
+               CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS sf,
+               CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END AS jf
+        FROM sim s FULL OUTER JOIN jac j
+          ON s.doc_a = j.doc_a AND s.doc_b = j.doc_b
+    ),
+    c AS (
+        SELECT CAST(sum(sf * jf) AS HUGEINT) AS both_cnt,
+               CAST(sum(sf * (1 - jf)) AS HUGEINT) AS only_sim,
+               CAST(sum((1 - sf) * jf) AS HUGEINT) AS only_jac
+        FROM u
+    ),
+    n AS (SELECT CAST(count(*) AS HUGEINT) AS nd FROM documents),
+    k AS (
+        SELECT nd, nd * (nd - 1) // 2 AS np, both_cnt, only_sim, only_jac,
+               nd * (nd - 1) // 2 - both_cnt - only_sim - only_jac AS neither
+        FROM c CROSS JOIN n
+    ),
+    k2 AS (
+        SELECT *,
+               np * (both_cnt + neither)
+                 - ((both_cnt + only_sim) * (both_cnt + only_jac)
+                    + (np - both_cnt - only_sim) * (np - both_cnt - only_jac)) AS num,
+               np * np
+                 - ((both_cnt + only_sim) * (both_cnt + only_jac)
+                    + (np - both_cnt - only_sim) * (np - both_cnt - only_jac)) AS den
+        FROM k
+    )
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(both_cnt AS BIGINT) AS both_dup,
+           CAST(only_sim AS BIGINT) AS simhash_only,
+           CAST(only_jac AS BIGINT) AS jaccard_only,
+           CAST((both_cnt + neither) * 1000000 // np AS BIGINT) AS agree_ppm,
+           CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+                     ELSE -((-num * 1000000) // den) END AS BIGINT) AS kappa_ppm
+    FROM k2
+    """,
+)
+def q_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine's two independent near-dup
+    detectors — 63-bit SimHash (Hamming ≤ 1) and exact 3-gram Jaccard
+    (≥ 0.8) — over the full C(n,2) pair universe, in exact integer
+    ppm (decimal(38,0) throughout: n_pairs² · 10^6 passes 2^63 well
+    below warehouse scale, and a silent long wrap here would read as
+    a detector-rot alarm).
+
+    Chance-corrected agreement is the right monitor for paired
+    detectors: raw agreement is ≈ 1 by construction (almost all pairs
+    are negatives for both), so only kappa moves when one detector
+    starts drifting.  The pair universe never materializes — the
+    negative-negative cell is computed by subtraction from C(n,2).
+
+    Baseline note: on this corpus kappa is small (~12k ppm) because
+    the two detectors deliberately target different similarity bands
+    — SimHash Hamming≤1 is a loose cosine band that fires on
+    stopword-dominated pairs Jaccard 0.8 rejects — yet both_dup sits
+    ~30× above the independence expectation, so kappa stays strictly
+    positive.  The monitor thresholds on DRIFT of the whole
+    confusion row (both/only_sim/only_jac/kappa), not on a large
+    absolute kappa.
+
+    Both detectors are already oracle-pinned individually
+    (q_dedup_simhash_pairs, q_dedup_ngram_jaccard); this query pins
+    their JOINT distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    sim = simhash_pairs(docs, _SIMHASH_MAX_HAMMING, bits=_SIMHASH_PAIR_BITS).select(
+        "doc_a", "doc_b", F.lit(1).alias("sf")
+    )
+    jac = jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.lit(1).alias("jf")
+    )
+    u = sim.join(jac, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("sf", F.lit(0)).alias("sf"), F.coalesce("jf", F.lit(0)).alias("jf")
+    )
+    c = u.agg(
+        F.sum(F.col("sf") * F.col("jf")).alias("both_cnt"),
+        F.sum(F.col("sf") * (1 - F.col("jf"))).alias("only_sim"),
+        F.sum((1 - F.col("sf")) * F.col("jf")).alias("only_jac"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    k = c.crossJoin(n)  # 1-row × 1-row
+
+    nd, bo, os_, oj = dec(F.col("nd")), dec(F.col("both_cnt")), dec(F.col("only_sim")), dec(F.col("only_jac"))
+    np_ = int_div_trunc(nd * (nd - 1), F.lit(2))
+    npd = dec(np_)
+    neither = npd - bo - os_ - oj
+    pos_s, pos_j = bo + os_, bo + oj
+    neg_s, neg_j = npd - pos_s, npd - pos_j
+    num = npd * (bo + neither) - (pos_s * pos_j + neg_s * neg_j)
+    den = npd * npd - (pos_s * pos_j + neg_s * neg_j)
+    kmag = int_div_trunc(F.abs(num) * 1_000_000, den)
+    return k.select(
+        F.col("nd").cast("long").alias("n_docs"),
+        np_.alias("n_pairs"),
+        F.col("both_cnt").cast("long").alias("both_dup"),
+        F.col("only_sim").cast("long").alias("simhash_only"),
+        F.col("only_jac").cast("long").alias("jaccard_only"),
+        int_div_trunc((bo + neither) * 1_000_000, npd).alias("agree_ppm"),
+        F.when(num >= 0, kmag).otherwise(-kmag).cast("long").alias("kappa_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Provenance bitmasks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_provenance_bits",
+    covers=("X-PROVENANCE-BITS",),
+    oracle=f"""
+    WITH r AS (
+        SELECT source,
+               CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS rk
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    g AS (
+        SELECT {stable_hash64_sql("text")} AS h,
+               (CAST(1 AS BIGINT) << r.rk) AS bitv
+        FROM documents d JOIN r USING (source)
+    ),
+    g1 AS (SELECT h, bit_or(bitv) AS mask, count(*) AS ndocs FROM g GROUP BY h)
+    SELECT mask,
+           CAST(bit_count(mask) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(ndocs) AS BIGINT) AS n_docs
+    FROM g1 GROUP BY mask
+    """,
+)
+def q_provenance_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-provenance bitmask per exact-content group: which
+    EXACT combinations of sources ship byte-identical documents, how
+    many groups and docs per combination.  Multi-bit masks are the
+    cross-source contamination map (licensing/quota decisions need
+    the combination, not just a source count — bit_count gives the
+    count for free).
+
+    Plan: sources get stable bit positions from a 20-row sorted
+    rank (broadcast back), then ONE hash aggregate folds doc bits
+    into group masks and a second tiny aggregate histograms the
+    masks; bit_or is a map-side-combinable monoid, so the corpus
+    shuffle carries one long per (content-hash, partition).  The
+    mask stays in one BIGINT through |sources| ≤ 63 — beyond that,
+    switch to a sorted source-set string (documented, not needed on
+    this corpus's 20)."""
+    d = load_table(spark, sf_dir, "documents")
+    srcs = (
+        d.select("source")
+        .distinct()
+        .withColumn("rk", F.row_number().over(Window.orderBy("source")) - 1)
+    )
+    g = d.join(F.broadcast(srcs), "source").select(
+        stable_hash64(F.col("text")).alias("h"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), rk)").alias("bitv"),
+    )
+    g1 = g.groupBy("h").agg(
+        F.bit_or("bitv").alias("mask"), F.count(F.lit(1)).alias("ndocs")
+    )
+    return g1.groupBy("mask").agg(
+        F.bit_count("mask").cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("ndocs").cast("long").alias("n_docs"),
+    ).select("mask", "n_sources", "n_groups", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift (exact integer changepoint statistic)
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "q_cusum_drift",
+    covers=("X-CUSUM-DRIFT",),
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day_idx,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, day_idx, cnt,
+               count(*) OVER (PARTITION BY event_type) AS nd,
+               sum(cnt) OVER (PARTITION BY event_type) AS total
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type, day_idx, nd, total,
+               sum(cnt * nd - total) OVER (PARTITION BY event_type ORDER BY day_idx
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        FROM t
+    ),
+    agg AS (
+        SELECT event_type, CAST(min(nd) AS BIGINT) AS n_days,
+               CAST(min(total) AS BIGINT) AS total_events,
+               CAST(max(cusum) AS BIGINT) AS s_max, CAST(min(cusum) AS BIGINT) AS s_min,
+               max({{'c': cusum, 'nd': -day_idx}}) AS pk
+        FROM s GROUP BY event_type
+    )
+    SELECT event_type, n_days, total_events, s_max, s_min,
+           s_max - s_min AS drift_range,
+           CAST(-(pk.nd) AS BIGINT) AS peak_day_idx
+    FROM agg
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistic over daily event counts per type,
+    in exact integers: S_t = Σ(cnt_i·D − total) = D·prefix_t −
+    t·total (deviation from the mean scaled by the day count D, so no
+    fractional mean ever exists).  The peak day is where the
+    cumulative deviation tops out — the classic changepoint estimate
+    — and (s_max − s_min) is the drift range a monitor thresholds.
+
+    All window work happens on the |types|×|days| daily grid (a few
+    thousand rows at any scale — the corpus shuffle is the grouped
+    count, everything after is negligible), and the peak day rides
+    the SAME single aggregate as the extrema via a struct-max
+    (max(cusum, −day) — lexicographic struct ordering in both
+    engines), so the corpus is scanned exactly once.  Ties on the
+    peak break to the earliest day, keeping the LIMIT-free output
+    fully deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    day = int_div_trunc(epoch_micros(e), F.lit(_US_PER_DAY))
+    daily = e.groupBy("event_type", day.alias("day_idx")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = Window.partitionBy("event_type")
+    t = daily.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        F.count(F.lit(1)).over(wt).alias("nd"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    ws = wt.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = t.select(
+        "event_type",
+        "day_idx",
+        "nd",
+        "total",
+        F.sum(F.col("cnt") * F.col("nd") - F.col("total")).over(ws).alias("cusum"),
+    )
+    agg = s.groupBy("event_type").agg(
+        F.min("nd").cast("long").alias("n_days"),
+        F.min("total").cast("long").alias("total_events"),
+        F.max("cusum").cast("long").alias("s_max"),
+        F.min("cusum").cast("long").alias("s_min"),
+        F.max(
+            F.struct(F.col("cusum").alias("c"), (-F.col("day_idx")).alias("ndl"))
+        ).alias("pk"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "total_events",
+        "s_max",
+        "s_min",
+        (F.col("s_max") - F.col("s_min")).alias("drift_range"),
+        (-F.col("pk.ndl")).cast("long").alias("peak_day_idx"),
+    )
