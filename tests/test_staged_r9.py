@@ -26,6 +26,18 @@ def test_winnow_density_matches_oracle(spark):
     assert got.density_ppm.between(120_000, 450_000).all(), got.density_ppm
 
 
+def test_winnow_position_guard_survives_catalyst(spark):
+    # the 2^20-token contract guard must reach the physical plan
+    # (F.assert_true lowers to raise_error; Catalyst prunes it unless
+    # it rides a used expression — verify-skill round-6 note)
+    from week4_musemotion_spark.plans.audit import plan_string
+    from week4_musemotion_spark.queries import staged_r9  # noqa: F401
+    from week4_musemotion_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["q_winnow_density"].builder(spark, "/root/testdata/sf0.001")
+    assert "raise_error" in plan_string(df, "simple")
+
+
 def test_winnow_pairs_matches_oracle(spark):
     got = _diff(spark, "q_winnow_pairs")
     assert len(got) > 0, "planted near-dups must share winnowed prints"

@@ -72,12 +72,16 @@ _WK = 4
 #: w + k - 1 = 11 tokens while keeping ~2/(w+1) of positions.
 _WW = 8
 #: Packed-key layout: key = (hash % 2^40) * 2^20 + (2^20 - 1 - pos).
-#: min(key) over a window is then EXACTLY robust winnowing's
-#: "min hash, rightmost on ties" rule — the position complement makes
-#: larger positions compare smaller within a tied hash — and both
-#: halves unpack with pure integer shifts.  40 + 20 = 60 bits keeps
-#: the key inside the engines' shared BIGINT range; positions are
-#: bounded by the 2^20-token document contract (testdata max is ~1e3).
+#: min(key) over a window is then EXACTLY winnowing's base rule
+#: ("select the minimum hash; if there is more than one, select the
+#: rightmost" — robust winnowing additionally prefers the previous
+#: window's pick, which a pure window-min deliberately does NOT do) —
+#: the position complement makes larger positions compare smaller
+#: within a tied hash — and both halves unpack with pure integer
+#: shifts.  40 + 20 = 60 bits keeps the key inside the engines'
+#: shared BIGINT range; positions are bounded by the 2^20-token
+#: document contract (testdata max is ~1e3), and BOTH engines raise
+#: on a violating document rather than silently corrupting keys.
 _H40 = 1 << 40
 _POSM = 1 << 20
 
@@ -90,18 +94,30 @@ _WP_MIN_SHARED = 3
 _WP_TOPK = 200
 
 
+def _gram_sql(n: int, cols: str = "doc_id") -> str:
+    """Shared oracle CTE chain ``tok`` → ``g``: whitespace tokens →
+    positioned n-gram stream (DuckDB zips the two unnests in one
+    SELECT — lockstep expansion, exactly Spark's posexplode).  ONE
+    definition serves both the winnowing and substring-run oracles so
+    a tokenization fix cannot desynchronize them (the Spark twin is
+    ``functions.text.tokens``/``shingles``, already shared)."""
+    return f"""tok AS (SELECT {cols}, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents),
+    g AS (SELECT {cols}, unnest({_shingle_expr(n)}) AS s,
+                 unnest(range(0, len(ts) - {n - 1})) AS pos
+          FROM tok WHERE len(ts) >= {n})"""
+
+
 def _winnow_sel_sql() -> str:
     """Shared oracle CTE chain: documents → gram stream with
     positions → packed keys → per-window min (``sel(doc_id, source,
     pos, selkey)``).  DuckDB zips the two unnests in one SELECT
     (lockstep expansion), which is exactly Spark's posexplode."""
     h = stable_hash64_sql("s")
-    return f"""tok AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents),
-    g AS (SELECT doc_id, source, unnest({_shingle_expr(_WK)}) AS s,
-                 unnest(range(0, len(ts) - {_WK - 1})) AS pos
-          FROM tok WHERE len(ts) >= {_WK}),
+    return f"""{_gram_sql(_WK, cols="doc_id, source")},
     k AS (SELECT doc_id, source, pos,
-                 ({h} % {_H40}) * {_POSM} + ({_POSM - 1} - pos) AS key
+                 ({h} % {_H40}) * {_POSM}
+                 + ({_POSM - 1} - CASE WHEN pos < {_POSM} THEN pos
+                                       ELSE error('winnow: document exceeds the 2^20-token contract') END) AS key
           FROM g),
     sel AS (SELECT doc_id, source, pos,
                    min(key) OVER (PARTITION BY doc_id ORDER BY pos
@@ -121,8 +137,17 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select(
         "doc_id", "source", F.posexplode(shingles(tokens("text"), _WK)).alias("pos", "s")
     )
+    # contract guard: a pos >= 2^20 would bleed the position
+    # complement into the hash field, silently inverting the
+    # tie-break — fail loudly instead (assert must ride the USED
+    # expression or Catalyst prunes it; the oracle raises via the
+    # matching CASE/error() in _winnow_sel_sql)
+    pos_ok = F.assert_true(
+        F.col("pos") < _POSM,
+        F.lit("winnow: document exceeds the 2^20-token contract"),
+    )
     key = (stable_hash64(F.col("s")) % F.lit(_H40)) * F.lit(_POSM) + (
-        F.lit(_POSM - 1) - F.col("pos")
+        F.lit(_POSM - 1) - F.when(pos_ok.isNull(), F.col("pos"))
     )
     w = (
         Window.partitionBy("doc_id", "source")
@@ -215,11 +240,18 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     22% of gram positions, distinct-ed per doc), not the gram stream,
     and the stop-print cutoff (prints in > {_WP_MAXDF} docs are
     boilerplate) caps per-key fanout, so candidate volume tracks true
-    overlap, never corpus².  The winnowing guarantee bounds recall:
-    any shared run of w+k-1 = 11 tokens shares at least one selected
-    print on both sides (same hash, same local window content), so
-    long overlaps cannot evade the 8× index shrink.  LIMIT rides a
-    total order (shared DESC, doc_a, doc_b)."""
+    overlap, never corpus².  The winnowing guarantee bounds recall
+    BELOW the cutoff: any shared run of w+k-1 = 11 tokens shares at
+    least one selected print on both sides (same hash, same local
+    window content), so pairwise overlaps cannot evade the 8× index
+    shrink.  The cutoff is a deliberate precision/size trade with a
+    known blind spot: content replicated across MORE than
+    {_WP_MAXDF} docs loses ALL its prints here — by design, because
+    such mega-clusters are the exact-dedup layer's job
+    (q_dedup_exact / q_provenance_bits catch byte-identical
+    replication at any cluster size; MOSS drops high-df prints for
+    the same reason).  LIMIT rides a total order (shared DESC,
+    doc_a, doc_b)."""
     sel = _winnow_selected(spark, sf_dir)
     fp = (
         sel.filter(F.col("pos") >= _WW - 1)
@@ -286,10 +318,7 @@ _RUN_TOPK = 100
     "q_substring_runs",
     covers=("X-SUBSTRING-RUNS",),
     oracle=f"""
-    WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents),
-    g AS (SELECT doc_id, unnest({_shingle_expr(_RUN_N)}) AS s,
-                 unnest(range(0, len(ts) - {_RUN_N - 1})) AS pos
-          FROM tok WHERE len(ts) >= {_RUN_N}),
+    WITH {_gram_sql(_RUN_N)},
     hx AS (SELECT doc_id, pos, {stable_hash64_sql("s")} AS h FROM g),
     df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hx GROUP BY h),
     keep AS (SELECT hx.* FROM hx JOIN df USING (h) WHERE df.nd BETWEEN 2 AND {_RUN_MAXDF}),
@@ -548,7 +577,10 @@ def q_provenance_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("rk", F.row_number().over(Window.orderBy("source")) - 1)
     )
-    g = d.join(F.broadcast(srcs), "source").select(
+    # spread() before the md5-over-full-text hashing: a single-row-
+    # group scan would otherwise compute every content hash in one
+    # task (no-op on wide production scans)
+    g = spread(d.select("source", "text")).join(F.broadcast(srcs), "source").select(
         stable_hash64(F.col("text")).alias("h"),
         F.expr("shiftleft(CAST(1 AS BIGINT), rk)").alias("bitv"),
     )
@@ -578,11 +610,18 @@ _US_PER_DAY = 86_400_000_000
                count(*) AS cnt
         FROM events GROUP BY 1, 2
     ),
+    span AS (SELECT event_type, min(day_idx) AS d0, max(day_idx) AS d1
+             FROM daily GROUP BY event_type),
+    grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day_idx FROM span),
+    dense AS (
+        SELECT g.event_type, g.day_idx, coalesce(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN daily d USING (event_type, day_idx)
+    ),
     t AS (
         SELECT event_type, day_idx, cnt,
                count(*) OVER (PARTITION BY event_type) AS nd,
                sum(cnt) OVER (PARTITION BY event_type) AS total
-        FROM daily
+        FROM dense
     ),
     s AS (
         SELECT event_type, day_idx, nd, total,
@@ -611,9 +650,14 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative deviation tops out — the classic changepoint estimate
     — and (s_max − s_min) is the drift range a monitor thresholds.
 
-    All window work happens on the |types|×|days| daily grid (a few
-    thousand rows at any scale — the corpus shuffle is the grouped
-    count, everything after is negligible), and the peak day rides
+    All window work happens on the |types|×|days| daily grid,
+    DENSIFIED over each type's [min, max] day span so zero-event
+    days carry cnt=0 (deviation −total per silent day — a full
+    dropout drives the CUSUM hard negative instead of being
+    compressed away; n_days is therefore the span length, not the
+    active-day count).  The grid is a few thousand rows at any scale
+    — the corpus shuffle is the grouped count, everything after is
+    negligible — and the peak day rides
     the SAME single aggregate as the extrema via a struct-max
     (max(cusum, −day) — lexicographic struct ordering in both
     engines), so the corpus is scanned exactly once.  Ties on the
@@ -624,8 +668,22 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("event_type", day.alias("day_idx")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # densify over each type's full [min, max] day span so a
+    # zero-event day contributes cnt=0 (deviation -total) — a full
+    # dropout is the changepoint this monitor most needs to see.
+    # The grid join is |types| x |days| rows; both sides derive from
+    # the already-tiny daily aggregate.
+    span = daily.groupBy("event_type").agg(
+        F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day_idx")
+    )
+    dense = grid.join(daily, ["event_type", "day_idx"], "left").select(
+        "event_type", "day_idx", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
     wt = Window.partitionBy("event_type")
-    t = daily.select(
+    t = dense.select(
         "event_type",
         "day_idx",
         "cnt",
