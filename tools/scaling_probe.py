@@ -412,6 +412,62 @@ def main() -> int:
             )
         )
 
+        # round-9 staged shapes: winnowing selection (posexplode →
+        # packed key → ONE window-min + per-doc agg on the same keys
+        # — must track the stream linearly with a single keyed
+        # shuffle) and the df-capped substring-run join (amplified
+        # identical copies push every gram's doc-frequency past
+        # _RUN_MAXDF, so the stop-gram filter — not fanout — absorbs
+        # the duplication flood; the join must NOT grow
+        # quadratically).
+        from week4_musemotion_spark.queries.staged_r9 import (
+            _H40 as _wH40,
+            _POSM as _wPOSM,
+            _RUN_MAXDF as _rMAXDF,
+            _RUN_N as _rN,
+            _WK as _wWK,
+            _WW as _wWW,
+        )
+
+        wg = docs.select(
+            "doc_id", "source",
+            F.posexplode(_shingles(_tokens(F.col("text")), _wWK)).alias("pos", "s"),
+        )
+        wkey = (_sh64(F.col("s")) % F.lit(_wH40)) * F.lit(_wPOSM) + (
+            F.lit(_wPOSM - 1) - F.col("pos")
+        )
+        wwin = _W.partitionBy("doc_id", "source").orderBy("pos").rowsBetween(
+            -(_wWW - 1), _W.currentRow
+        )
+        winnow = (
+            wg.select("doc_id", "source", "pos", F.min(wkey).over(wwin).alias("selkey"))
+            .groupBy("doc_id", "source")
+            .agg(
+                (F.max("pos") + 1).alias("n_grams"),
+                F.countDistinct(
+                    F.when(F.col("pos") >= _wWW - 1, F.col("selkey"))
+                ).alias("n_prints"),
+            )
+            .groupBy("source")
+            .agg(F.sum("n_grams").alias("g"), F.sum("n_prints").alias("p"))
+        )
+        rhx = docs.select(
+            "doc_id", F.posexplode(_shingles(_tokens(F.col("text")), _rN)).alias("pos", "s")
+        ).select("doc_id", "pos", _sh64(F.col("s")).alias("h"))
+        rk = rhx.withColumn(
+            "dr", F.dense_rank().over(_W.partitionBy("h").orderBy("doc_id"))
+        ).withColumn("nd", F.max("dr").over(_W.partitionBy("h")))
+        rkeep = rk.filter((F.col("nd") >= 2) & (F.col("nd") <= _rMAXDF)).select(
+            "doc_id", "pos", "h"
+        )
+        rmt = (
+            rkeep.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
+            .join(rkeep.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"), "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -434,6 +490,8 @@ def main() -> int:
             ("hll_registers_sketch", hll),
             ("dup_span_window", span),
             ("cms_cells_sketch", cms),
+            ("winnow_select_window", winnow),
+            ("substring_runs_dfcap_join", rmt),
         ]:
             if only is not None and shape not in only:
                 continue
