@@ -78,6 +78,27 @@ def test_detector_agreement_matches_oracle(spark):
     assert r.both_dup > exp_both, (r.both_dup, exp_both)
 
 
+def test_dedup_simhash_ngram_matches_oracle(spark):
+    got = _diff(spark, "q_dedup_simhash_ngram")
+    assert len(got) > 0, "planted near-dups must land within Hamming 4"
+    assert (got.hamming <= 4).all()
+    assert (got.doc_a < got.doc_b).all()
+
+
+def test_detector_agreement_ngram_matches_oracle(spark):
+    got = _diff(spark, "q_detector_agreement_ngram")
+    r = got.iloc[0]
+    assert r.n_pairs == r.n_docs * (r.n_docs - 1) // 2
+    # the feature-space fix: shingle-space SimHash agrees strongly
+    # with shingle Jaccard (measured kappa ~0.92 at sf0.001, vs the
+    # unigram detector's 0.012 in test_detector_agreement)
+    assert r.kappa_ppm > 800_000, r.kappa_ppm
+    assert r.both_dup > 0
+    # shingle-space Hamming<=4 is high-precision vs Jaccard 0.8 on
+    # this corpus: false fires stay a small fraction of true overlaps
+    assert r.simhash_only <= r.both_dup
+
+
 def test_provenance_bits_matches_oracle(spark):
     got = _diff(spark, "q_provenance_bits")
     assert (got.n_sources >= 1).all()

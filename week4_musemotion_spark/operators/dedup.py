@@ -275,24 +275,44 @@ def minhash_lsh_join(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    ngram: int = 1,
 ) -> DataFrame:
     """Per-document SimHash: sign of per-bit vote sums over distinct
-    token hashes; near-dup docs land at small Hamming distance.
+    feature hashes; near-dup docs land at small Hamming distance.
 
-    Shape: explode distinct tokens, hash each once, then one hash
+    ``ngram`` picks the feature space: 1 (default) votes over distinct
+    unigram tokens; n > 1 votes over distinct word n-gram shingles.
+    The feature space decides what "similar" means — on a corpus with
+    a small shared vocabulary, unigram signatures collapse (most docs
+    share most of the vocab, so votes correlate corpus-wide) while
+    shingle signatures track the same n-gram sets a Jaccard detector
+    measures; pick the space to match the detector you pair it with
+    (see staged q_detector_agreement / q_detector_agreement_ngram for
+    the measured kappa gap: 0.012 vs ~0.9).
+
+    Shape: explode distinct features, hash each once, then one hash
     aggregate computes all ``bits`` vote sums (conditional sums over
     the same rows).  A per-row formulation (``aggregate`` over a
     hash array, once per bit) re-evaluates the md5 array per bit —
     ~bits× the hash work.
     """
+    from week4_musemotion_spark.functions.text import shingles
     from week4_musemotion_spark.sources.tables import spread
 
+    feats = (
+        tokens(F.col(text_col))
+        if ngram == 1
+        else shingles(tokens(F.col(text_col)), ngram)
+    )
     # spread: parallelize the explode+md5 and the vote aggregate's
     # partial pass above a single-row-group scan (sources.tables.spread)
     tok = spread(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        F.explode(F.array_distinct(feats)).alias("tok"),
     ).withColumn("h", stable_hash64(F.col("tok")))
     votes = tok.groupBy("_id").agg(
         *[
@@ -315,6 +335,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 16,
+    ngram: int = 1,
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``max_hamming`` over
     SimHash signatures — EXACT output through a bucketed (never
@@ -332,7 +353,7 @@ def simhash_pairs(
     """
     n_bands = max_hamming + 1
     band_bits = -(-bits // n_bands)
-    sig = simhash_signatures(df, text_col, id_col, bits)
+    sig = simhash_signatures(df, text_col, id_col, bits, ngram=ngram)
     mask = (1 << band_bits) - 1
     bands = sig.select(
         F.col(id_col).alias("_id"),

@@ -27,6 +27,11 @@ granularity, and do the detectors agree:
   engine ships (63-bit SimHash Hamming<=1 vs exact 3-gram
   Jaccard>=0.8) over the full C(n,2) pair universe — the monitoring
   query that catches one detector silently rotting.
+- q_dedup_simhash_ngram / q_detector_agreement_ngram — the fix the
+  kappa baseline demanded: SimHash moved into the SAME shingle
+  feature space the Jaccard detector measures (distinct word
+  3-grams, Hamming<=4), and the after-picture kappa line (~0.9 vs
+  0.012) proving the two detectors now see the same duplicates.
 - q_provenance_bits — per exact-dup-group source-provenance bitmask
   (bit_or of per-source bits): which source combinations ship
   identical content, sized in groups and docs.
@@ -94,17 +99,20 @@ _WP_MIN_SHARED = 3
 _WP_TOPK = 200
 
 
-def _gram_sql(n: int, cols: str = "doc_id") -> str:
-    """Shared oracle CTE chain ``tok`` → ``g``: whitespace tokens →
-    positioned n-gram stream (DuckDB zips the two unnests in one
-    SELECT — lockstep expansion, exactly Spark's posexplode).  ONE
-    definition serves both the winnowing and substring-run oracles so
-    a tokenization fix cannot desynchronize them (the Spark twin is
-    ``functions.text.tokens``/``shingles``, already shared)."""
-    return f"""tok AS (SELECT {cols}, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents),
-    g AS (SELECT {cols}, unnest({_shingle_expr(n)}) AS s,
+def _gram_sql(n: int, cols: str = "doc_id", prefix: str = "") -> str:
+    """Shared oracle CTE chain ``{prefix}tok`` → ``{prefix}g``:
+    whitespace tokens → positioned n-gram stream (DuckDB zips the two
+    unnests in one SELECT — lockstep expansion, exactly Spark's
+    posexplode).  ONE definition serves the winnowing, substring-run,
+    and shingle-SimHash oracles so a tokenization fix cannot
+    desynchronize them (the Spark twin is ``functions.text.tokens``/
+    ``shingles``, already shared).  ``prefix`` namespaces the CTEs
+    when composed with other chains that also tokenize (e.g.
+    _jaccard_ctes' own ``tok``)."""
+    return f"""{prefix}tok AS (SELECT {cols}, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts FROM documents),
+    {prefix}g AS (SELECT {cols}, unnest({_shingle_expr(n)}) AS s,
                  unnest(range(0, len(ts) - {n - 1})) AS pos
-          FROM tok WHERE len(ts) >= {n})"""
+          FROM {prefix}tok WHERE len(ts) >= {n})"""
 
 
 def _winnow_sel_sql() -> str:
@@ -411,18 +419,10 @@ def q_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Detector agreement (Cohen's kappa, exact integer ppm)
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "q_detector_agreement",
-    covers=("X-DETECTOR-AGREEMENT",),
-    oracle=f"""
-    WITH sh2 AS ({_simhash_sql(_SIMHASH_PAIR_BITS)}),
-    sim AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
-    ),
-    {_jaccard_ctes(JACCARD_THRESHOLD)},
+#: Kappa algebra over a `sim(doc_a, doc_b)` CTE + the Jaccard `pairs`
+#: CTE — ONE definition shared by both agreement queries so the two
+#: kappa lines can never disagree on the statistic itself.
+_KAPPA_TAIL_SQL = """
     jac AS (SELECT doc_a, doc_b FROM pairs),
     u AS (
         SELECT coalesce(s.doc_a, j.doc_a) AS doc_a,
@@ -461,7 +461,59 @@ def q_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((both_cnt + neither) * 1000000 // np AS BIGINT) AS agree_ppm,
            CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
                      ELSE -((-num * 1000000) // den) END AS BIGINT) AS kappa_ppm
-    FROM k2
+    FROM k2"""
+
+
+def _kappa_report(docs: DataFrame, sim: DataFrame, jac: DataFrame) -> DataFrame:
+    """Spark twin of :data:`_KAPPA_TAIL_SQL`: exact-integer Cohen's
+    kappa (decimal(38,0) throughout) between two pair detectors over
+    the full C(n,2) universe, negative-negative cell by subtraction —
+    the pair universe never materializes."""
+    sim = sim.select("doc_a", "doc_b", F.lit(1).alias("sf"))
+    jac = jac.select("doc_a", "doc_b", F.lit(1).alias("jf"))
+    u = sim.join(jac, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("sf", F.lit(0)).alias("sf"), F.coalesce("jf", F.lit(0)).alias("jf")
+    )
+    c = u.agg(
+        F.sum(F.col("sf") * F.col("jf")).alias("both_cnt"),
+        F.sum(F.col("sf") * (1 - F.col("jf"))).alias("only_sim"),
+        F.sum((1 - F.col("sf")) * F.col("jf")).alias("only_jac"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    k = c.crossJoin(n)  # 1-row × 1-row
+
+    nd, bo, os_, oj = dec(F.col("nd")), dec(F.col("both_cnt")), dec(F.col("only_sim")), dec(F.col("only_jac"))
+    np_ = int_div_trunc(nd * (nd - 1), F.lit(2))
+    npd = dec(np_)
+    neither = npd - bo - os_ - oj
+    pos_s, pos_j = bo + os_, bo + oj
+    neg_s, neg_j = npd - pos_s, npd - pos_j
+    num = npd * (bo + neither) - (pos_s * pos_j + neg_s * neg_j)
+    den = npd * npd - (pos_s * pos_j + neg_s * neg_j)
+    kmag = int_div_trunc(F.abs(num) * 1_000_000, den)
+    return k.select(
+        F.col("nd").cast("long").alias("n_docs"),
+        np_.alias("n_pairs"),
+        F.col("both_cnt").cast("long").alias("both_dup"),
+        F.col("only_sim").cast("long").alias("simhash_only"),
+        F.col("only_jac").cast("long").alias("jaccard_only"),
+        int_div_trunc((bo + neither) * 1_000_000, npd).alias("agree_ppm"),
+        F.when(num >= 0, kmag).otherwise(-kmag).cast("long").alias("kappa_ppm"),
+    )
+
+
+@query(
+    "q_detector_agreement",
+    covers=("X-DETECTOR-AGREEMENT",),
+    oracle=f"""
+    WITH sh2 AS ({_simhash_sql(_SIMHASH_PAIR_BITS)}),
+    sim AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    ),
+    {_jaccard_ctes(JACCARD_THRESHOLD)},
+    {_KAPPA_TAIL_SQL}
     """,
 )
 def q_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,40 +543,106 @@ def q_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_dedup_simhash_pairs, q_dedup_ngram_jaccard); this query pins
     their JOINT distribution."""
     docs = load_table(spark, sf_dir, "documents")
-    sim = simhash_pairs(docs, _SIMHASH_MAX_HAMMING, bits=_SIMHASH_PAIR_BITS).select(
-        "doc_a", "doc_b", F.lit(1).alias("sf")
+    return _kappa_report(
+        docs,
+        simhash_pairs(docs, _SIMHASH_MAX_HAMMING, bits=_SIMHASH_PAIR_BITS),
+        jaccard_pairs(docs, JACCARD_THRESHOLD),
     )
-    jac = jaccard_pairs(docs, JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.lit(1).alias("jf")
-    )
-    u = sim.join(jac, ["doc_a", "doc_b"], "full_outer").select(
-        F.coalesce("sf", F.lit(0)).alias("sf"), F.coalesce("jf", F.lit(0)).alias("jf")
-    )
-    c = u.agg(
-        F.sum(F.col("sf") * F.col("jf")).alias("both_cnt"),
-        F.sum(F.col("sf") * (1 - F.col("jf"))).alias("only_sim"),
-        F.sum((1 - F.col("sf")) * F.col("jf")).alias("only_jac"),
-    )
-    n = docs.agg(F.count(F.lit(1)).alias("nd"))
-    k = c.crossJoin(n)  # 1-row × 1-row
 
-    nd, bo, os_, oj = dec(F.col("nd")), dec(F.col("both_cnt")), dec(F.col("only_sim")), dec(F.col("only_jac"))
-    np_ = int_div_trunc(nd * (nd - 1), F.lit(2))
-    npd = dec(np_)
-    neither = npd - bo - os_ - oj
-    pos_s, pos_j = bo + os_, bo + oj
-    neg_s, neg_j = npd - pos_s, npd - pos_j
-    num = npd * (bo + neither) - (pos_s * pos_j + neg_s * neg_j)
-    den = npd * npd - (pos_s * pos_j + neg_s * neg_j)
-    kmag = int_div_trunc(F.abs(num) * 1_000_000, den)
-    return k.select(
-        F.col("nd").cast("long").alias("n_docs"),
-        np_.alias("n_pairs"),
-        F.col("both_cnt").cast("long").alias("both_dup"),
-        F.col("only_sim").cast("long").alias("simhash_only"),
-        F.col("only_jac").cast("long").alias("jaccard_only"),
-        int_div_trunc((bo + neither) * 1_000_000, npd).alias("agree_ppm"),
-        F.when(num >= 0, kmag).otherwise(-kmag).cast("long").alias("kappa_ppm"),
+
+# ---------------------------------------------------------------------------
+# Shingle-space SimHash (feature-space fix the kappa monitor demanded)
+# ---------------------------------------------------------------------------
+
+#: SimHash over distinct word 3-grams — the SAME feature space the
+#: Jaccard detector measures.  The unigram detector collapses on this
+#: corpus (a small shared vocabulary correlates votes corpus-wide:
+#: 611 firings vs Jaccard's 28, overlap 4, kappa 0.012); in shingle
+#: space Hamming ≤ 4 of 63 bits fires almost exactly on the Jaccard
+#: pair set (kappa ~0.9).  Banding: 5 bands of 13 bits, pigeonhole
+#: recall intact.
+_NG_SIMHASH_N = 3
+_NG_SIMHASH_HAM = 4
+
+
+def _simhash_ngram_sql(bits: int, n: int) -> str:
+    """Oracle CTE chain ending in ``sig(doc_id, simhash)``: SimHash
+    votes over DISTINCT word n-gram shingles (group-by formulation —
+    same sign rule as extensions._simhash_sql's list form)."""
+    h = stable_hash64_sql("s")
+    terms = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return f"""{_gram_sql(n, prefix="sh_")},
+    ds AS (SELECT DISTINCT doc_id, s FROM sh_g),
+    hxs AS (SELECT doc_id, {h} AS h FROM ds),
+    sig AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hxs GROUP BY doc_id)"""
+
+
+@query(
+    "q_dedup_simhash_ngram",
+    covers=("X-DEDUP-SIMHASH-NGRAM",),
+    oracle=f"""
+    WITH {_simhash_ngram_sql(_SIMHASH_PAIR_BITS, _NG_SIMHASH_N)}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_NG_SIMHASH_HAM}
+    """,
+)
+def q_dedup_simhash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs in SHINGLE feature space (distinct word
+    3-grams, 63 bits, Hamming ≤ 4) — the detector the kappa monitor
+    says to actually pair with n-gram Jaccard: same feature sets, so
+    small Hamming distance tracks high shingle-Jaccard instead of
+    unigram-vocabulary overlap (measured: every Hamming≤4 pair on
+    this corpus is also a Jaccard≥0.8 pair).
+
+    Plan: identical banded shape to q_dedup_simhash_pairs (pigeonhole
+    over 5 bands of 13 bits — perfect recall, bucket equi-join, XOR
+    verify), only the vote stream is the shingle explode.  Oracle is
+    the exact quadratic scan over signatures."""
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        _NG_SIMHASH_HAM,
+        bits=_SIMHASH_PAIR_BITS,
+        ngram=_NG_SIMHASH_N,
+    )
+
+
+@query(
+    "q_detector_agreement_ngram",
+    covers=("X-DETECTOR-AGREEMENT-NGRAM",),
+    oracle=f"""
+    WITH {_simhash_ngram_sql(_SIMHASH_PAIR_BITS, _NG_SIMHASH_N)},
+    sim AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_NG_SIMHASH_HAM}
+    ),
+    {_jaccard_ctes(JACCARD_THRESHOLD)},
+    {_KAPPA_TAIL_SQL}
+    """,
+)
+def q_detector_agreement_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between shingle-space SimHash (Hamming ≤ 4) and
+    3-gram Jaccard (≥ 0.8) — the after picture to
+    q_detector_agreement's before: moving SimHash into the feature
+    space the Jaccard detector measures lifts kappa from ~0.012 to
+    ~0.9 on this corpus (the pair of kappa lines is itself the
+    monitor: a detector change that re-opens the gap is a
+    regression).  Same exact-integer algebra, same shared
+    _KAPPA_TAIL_SQL — the two agreement queries cannot drift apart on
+    the statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _kappa_report(
+        docs,
+        simhash_pairs(
+            docs, _NG_SIMHASH_HAM, bits=_SIMHASH_PAIR_BITS, ngram=_NG_SIMHASH_N
+        ),
+        jaccard_pairs(docs, JACCARD_THRESHOLD),
     )
 
 
