@@ -114,6 +114,30 @@ def test_provenance_bits_matches_oracle(spark):
     assert all((m & (m - 1)) == 0 for m in ones)
 
 
+def test_dup_cluster_purity_matches_oracle(spark):
+    got = _diff(spark, "q_dup_cluster_purity")
+    assert len(got) > 0, "planted near-dup clusters exist"
+    assert (got["size"] >= 2).all(), "clusters are >=2 docs by construction"
+    assert (got.purity_ppm <= 1_000_000).all()
+    # purity of a single-source cluster is exactly 1
+    pure = got[got.n_sources == 1]
+    if len(pure):
+        assert (pure.purity_ppm == 1_000_000).all()
+    # majority share can never be below 1/n_sources
+    assert (got.purity_ppm * got.n_sources >= 1_000_000 - got.n_sources).all()
+
+
+def test_dup_quality_bias_matches_oracle(spark):
+    got = _diff(spark, "q_dup_quality_bias")
+    # every source appears; is_dup in {0, 1}
+    assert set(got.is_dup.unique()) <= {0, 1}
+    assert got.n_docs.sum() == 500  # every sf0.001 doc in exactly one cell
+    assert (got.mean_quality_e4.between(0, 10_000)).all()
+    # dup + non-dup doc counts per source reconcile to the source total
+    per_src = got.groupby("source").n_docs.sum()
+    assert (per_src == 25).all()  # 500 docs / 20 sources
+
+
 def test_cusum_drift_matches_oracle(spark):
     got = _diff(spark, "q_cusum_drift")
     assert len(got) > 0, "one row per event_type"

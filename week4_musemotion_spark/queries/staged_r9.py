@@ -60,6 +60,7 @@ from week4_musemotion_spark.queries.extensions import (
     _jaccard_ctes,
     _shingle_expr,
     _simhash_sql,
+    _STOPLIST as _STOPLIST_SQL,
 )
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table, spread
@@ -710,6 +711,148 @@ def q_provenance_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("ndocs").cast("long").alias("n_docs"),
     ).select("mask", "n_sources", "n_groups", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster forensics: source purity + quality bias
+# ---------------------------------------------------------------------------
+
+#: Recursive-CTE transitive closure over the Jaccard pair graph →
+#: ``cl(doc_id, keep_id)`` — the same independent closure formulation
+#: q_dedup_clusters' oracle uses (extensions._clusters_sql).
+_CLOSURE_SQL = f"""{_jaccard_ctes(JACCARD_THRESHOLD)},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cl AS (SELECT u AS doc_id, least(u, min(v)) AS keep_id
+           FROM reach GROUP BY u)"""
+
+
+@query(
+    "q_dup_cluster_purity",
+    covers=("X-DUP-CLUSTER-PURITY",),
+    oracle=f"""
+    WITH RECURSIVE {_CLOSURE_SQL},
+    mem AS (SELECT cl.keep_id, d.source
+            FROM cl JOIN documents d USING (doc_id)),
+    ps AS (SELECT keep_id, source, count(*) AS cnt FROM mem GROUP BY 1, 2),
+    pc AS (SELECT keep_id,
+                  CAST(sum(cnt) AS BIGINT) AS size,
+                  CAST(count(*) AS BIGINT) AS n_sources,
+                  max({{'c': cnt, 's': source}}) AS top
+           FROM ps GROUP BY keep_id)
+    SELECT keep_id AS cluster_id, size, n_sources,
+           top.s AS majority_source,
+           CAST(top.c * 1000000 // size AS BIGINT) AS purity_ppm
+    FROM pc
+    """,
+)
+def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity per near-dup cluster: is duplication WITHIN a
+    source (scraper re-crawl — fix the pipeline) or ACROSS sources
+    (mirror sites / syndication — a licensing and quota question)?
+    Reports cluster size, distinct sources, the majority source and
+    its share in exact ppm.
+
+    Plan: near-dup pairs (banded, never corpus²) → pointer-jumping
+    connected components → ONE equi-join to recover sources → two
+    nested aggregates on the same keep_id key (the second reuses the
+    first's partitioning).  The majority source rides a struct-max
+    (cnt, source) — lexicographic struct ordering in both engines,
+    ties break to the larger source string deterministically.
+    Oracle recomputes the closure with a recursive CTE, same as
+    q_dedup_clusters'."""
+    from week4_musemotion_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(jaccard_pairs(docs, JACCARD_THRESHOLD))
+    mem = clusters.join(docs.select("doc_id", "source"), "doc_id")
+    ps = mem.groupBy("keep_id", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    pc = ps.groupBy("keep_id").agg(
+        F.sum("cnt").cast("long").alias("size"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.max(F.struct(F.col("cnt").alias("c"), F.col("source").alias("s"))).alias("top"),
+    )
+    return pc.select(
+        F.col("keep_id").alias("cluster_id"),
+        "size",
+        "n_sources",
+        F.col("top.s").alias("majority_source"),
+        int_div_trunc(dec(F.col("top.c")) * 1_000_000, F.col("size")).alias("purity_ppm"),
+    )
+
+
+@query(
+    "q_dup_quality_bias",
+    covers=("X-DUP-QUALITY-BIAS",),
+    oracle=f"""
+    WITH RECURSIVE {_CLOSURE_SQL},
+    t AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    q AS (
+        -- quality_e4: the EXACT formula q_text_quality pins
+        -- (operators/textstats.quality_stats); stop list via the
+        -- same shared constant
+        SELECT doc_id, source, len(ts) AS n_tokens,
+               (2 * 50 * least(len(ts), 200)
+                  * (len(ts) - len(list_filter(ts, w -> w IN ({_STOPLIST_SQL}))))
+                + len(ts)) // (2 * len(ts)) AS quality_e4
+        FROM t
+    ),
+    j AS (
+        SELECT q.source, q.n_tokens, q.quality_e4,
+               CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        FROM q LEFT JOIN cl USING (doc_id)
+    )
+    SELECT source, CAST(is_dup AS BIGINT) AS is_dup,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(quality_e4) // count(*) AS BIGINT) AS mean_quality_e4,
+           CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens
+    FROM j GROUP BY source, is_dup
+    """,
+)
+def q_dup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality bias of near-dup membership, per source: mean quality
+    score and length of documents inside vs outside near-dup
+    clusters.  The question a dedup rollout must answer before
+    deleting anything — if duplicated documents score systematically
+    HIGHER than the rest of their source, a keep-one-per-cluster
+    policy is deleting the best content and the keep rule should
+    switch to keep-best (operators/dedup.keep_best exists for exactly
+    that).
+
+    Plan: quality features ride the corpus scan (quality_stats
+    keep_cols — no join-back), cluster membership is ONE left join
+    against the CC output, then a |sources|×2 aggregate.  Exact
+    integer means (truncating division, both engines)."""
+    from week4_musemotion_spark.operators.graph import dedup_clusters
+    from week4_musemotion_spark.operators.textstats import quality_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(jaccard_pairs(docs, JACCARD_THRESHOLD))
+    q = quality_stats(docs, keep_cols=("source",))
+    j = q.join(clusters.select("doc_id", F.lit(1).alias("_m")), "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        "quality_e4",
+        F.when(F.col("_m").isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_dup"),
+    )
+    n = F.count(F.lit(1))
+    return j.groupBy("source", "is_dup").agg(
+        n.cast("long").alias("n_docs"),
+        int_div_trunc(dec(F.sum("quality_e4")), n).alias("mean_quality_e4"),
+        int_div_trunc(dec(F.sum("n_tokens")), n).alias("mean_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------
