@@ -298,22 +298,27 @@ def simhash_signatures(
     aggregate computes all ``bits`` vote sums (conditional sums over
     the same rows).  A per-row formulation (``aggregate`` over a
     hash array, once per bit) re-evaluates the md5 array per bit —
-    ~bits× the hash work.
+    ~bits× the hash work.  The n-gram path reuses
+    :func:`shingle_strings` (posexplode + window ``lead`` — codegen,
+    measured ~4× faster than the interpreted transform/slice lambda
+    form, see shingle_sets) and dedups on the 60-bit portable hash so
+    the vote multiset is defined identically in both engines.
     """
-    from week4_musemotion_spark.functions.text import shingles
     from week4_musemotion_spark.sources.tables import spread
 
-    feats = (
-        tokens(F.col(text_col))
-        if ngram == 1
-        else shingles(tokens(F.col(text_col)), ngram)
-    )
-    # spread: parallelize the explode+md5 and the vote aggregate's
-    # partial pass above a single-row-group scan (sources.tables.spread)
-    tok = spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(feats)).alias("tok"),
-    ).withColumn("h", stable_hash64(F.col("tok")))
+    if ngram == 1:
+        # spread: parallelize the explode+md5 and the vote aggregate's
+        # partial pass above a single-row-group scan (sources.tables.spread)
+        tok = spread(df).select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        ).withColumn("h", stable_hash64(F.col("tok")))
+    else:
+        tok = (
+            shingle_strings(df, text_col, id_col, ngram)
+            .select("_id", stable_hash64(F.col("s")).alias("h"))
+            .distinct()
+        )
     votes = tok.groupBy("_id").agg(
         *[
             F.sum(

@@ -27,7 +27,7 @@ from week4_musemotion_spark.operators.curation import (
 from week4_musemotion_spark.operators.sampling import GRANULARITY
 from week4_musemotion_spark.operators.textstats import QUALITY_STOPWORDS
 from week4_musemotion_spark.operators.similarity import quantize_stats
-from week4_musemotion_spark.queries.extensions import _shingle_expr
+from week4_musemotion_spark.queries.extensions import _quality_e4_sql, _shingle_expr
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
 
@@ -694,8 +694,7 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT doc_id, lang, n_tokens,
-               CAST((2 * 50 * least(n_tokens, 200) * (n_tokens - stop_cnt) + n_tokens)
-                    // (2 * n_tokens) AS BIGINT) AS quality_e4
+               CAST({_quality_e4_sql("n_tokens", "stop_cnt")} AS BIGINT) AS quality_e4
         FROM f
     )
     SELECT lang,
@@ -730,7 +729,7 @@ def q_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_curation_funnel",
     covers=("X-CURATION-FUNNEL",),
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
         FROM documents
@@ -744,7 +743,7 @@ def q_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     f AS (
         SELECT doc_id,
                n >= 20 AS g1,
-               n > 0 AND CAST((2 * 50 * least(n, 200) * (n - st) + n) // (2 * n) AS BIGINT) >= 1500 AS g2,
+               n > 0 AND CAST({_quality_e4_sql("n", "st")} AS BIGINT) >= 1500 AS g2,
                n > 0 AND u * 10000 >= 4000 * n AS g3
         FROM s
     )

@@ -305,13 +305,14 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_lsh(aug, EMBED_LSH_THRESHOLD)
 
 
-def _clusters_sql(threshold: float, n: int = 3) -> str:
-    """Oracle for dedup clusters: transitive closure of the near-dup
-    pair graph via a recursive CTE, then min reachable id per node —
-    an independent (closure-based) formulation of the engine's
-    iterative label propagation."""
-    return f"""
-    WITH RECURSIVE {_jaccard_ctes(threshold, n)},
+def _closure_ctes(threshold: float, n: int = 3) -> str:
+    """Recursive-CTE transitive closure over the near-dup pair graph,
+    composing :func:`_jaccard_ctes` and ending in ``cl(doc_id,
+    keep_id)`` — ONE fragment every dedup-cluster oracle builds on
+    (clusters, cluster-keep, size distribution, inflation, purity,
+    quality bias), so the cluster definition cannot drift between
+    oracles.  Callers must open with ``WITH RECURSIVE``."""
+    return f"""{_jaccard_ctes(threshold, n)},
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION
@@ -321,10 +322,19 @@ def _clusters_sql(threshold: float, n: int = 3) -> str:
         SELECT u, v FROM edges
         UNION
         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    )
-    SELECT u AS doc_id, least(u, min(v)) AS keep_id
-    FROM reach
-    GROUP BY u
+    ),
+    cl AS (SELECT u AS doc_id, least(u, min(v)) AS keep_id
+           FROM reach GROUP BY u)"""
+
+
+def _clusters_sql(threshold: float, n: int = 3) -> str:
+    """Oracle for dedup clusters: transitive closure of the near-dup
+    pair graph via a recursive CTE, then min reachable id per node —
+    an independent (closure-based) formulation of the engine's
+    iterative label propagation."""
+    return f"""
+    WITH RECURSIVE {_closure_ctes(threshold, n)}
+    SELECT doc_id, keep_id FROM cl
     """
 
 
@@ -394,6 +404,16 @@ def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPLIST = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 
 
+def _quality_e4_sql(nt: str, stop: str) -> str:
+    """The exact ``quality_e4`` formula
+    (operators/textstats.quality_stats): round-half-up of
+    ``50 · min(nt, 200) · (nt − stop) / nt`` in ten-thousandths.
+    ONE renderer for every oracle that scores quality — the Spark
+    side already shares the one ``quality_stats`` implementation, so
+    both engines now have a single formula definition each."""
+    return f"(2 * 50 * least({nt}, 200) * ({nt} - {stop}) + {nt}) // (2 * {nt})"
+
+
 @query(
     "q_text_quality",
     covers=("X-TEXT-QUALITY",),
@@ -415,8 +435,7 @@ _STOPLIST = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(n_uniq_tokens AS BIGINT) AS n_uniq_tokens,
            CAST((2 * stop_cnt * 10000 + n_tokens) // (2 * n_tokens) AS BIGINT) AS stop_ratio_e4,
-           CAST((2 * 50 * least(n_tokens, 200) * (n_tokens - stop_cnt) + n_tokens)
-                // (2 * n_tokens) AS BIGINT) AS quality_e4
+           CAST({_quality_e4_sql("n_tokens", "stop_cnt")} AS BIGINT) AS quality_e4
     FROM s
     """,
 )

@@ -15,13 +15,14 @@ from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.hashing import stable_hash64_sql
 from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.queries.extensions import _quality_e4_sql
 from week4_musemotion_spark.sources.tables import load_table
 
 _DOC_HASH = stable_hash64_sql("CAST(doc_id AS VARCHAR)")
 
 #: Shared oracle fragment: per-document token counts + quality score
 #: (the exact integer formulation of operators/textstats.quality_stats).
-_QUALITY_CTE = """
+_QUALITY_CTE = f"""
     t AS (
         SELECT doc_id, source,
                list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
@@ -35,8 +36,7 @@ _QUALITY_CTE = """
     ),
     q AS (
         SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-               CAST((2 * 50 * least(n_tokens, 200) * (n_tokens - stop_cnt) + n_tokens)
-                    // (2 * n_tokens) AS BIGINT) AS quality_e4
+               CAST({_quality_e4_sql("n_tokens", "stop_cnt")} AS BIGINT) AS quality_e4
         FROM s WHERE n_tokens > 0
     )
 """

@@ -16,6 +16,7 @@ from week4_musemotion_spark.operators.textstats import QUALITY_STOPWORDS
 
 _Q_STOPLIST = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.queries.extensions import _quality_e4_sql
 from week4_musemotion_spark.sources.tables import load_table
 
 _cents_tp = cents_sql("o_totalprice")
@@ -450,8 +451,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT doc_id,
-               CAST((2 * 50 * least(n_tokens, 200) * (n_tokens - stop_cnt) + n_tokens)
-                    // (2 * n_tokens) AS BIGINT) AS quality_e4
+               CAST({_quality_e4_sql("n_tokens", "stop_cnt")} AS BIGINT) AS quality_e4
         FROM f
     )
     SELECT doc_id, quality_e4 FROM q

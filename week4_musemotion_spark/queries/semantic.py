@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from week4_musemotion_spark.queries.extensions import (
     _COSINE_SQL_FRAG,
+    _closure_ctes,
     _jaccard_ctes,
     EMBED_DUP_THRESHOLD,
     JACCARD_THRESHOLD,
@@ -335,21 +336,8 @@ def q_source_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_cluster_keep",
     covers=("X-DEDUP-MATERIALIZE",),
     oracle=f"""
-    WITH RECURSIVE {_jaccard_ctes(JACCARD_THRESHOLD)},
-    e2 AS (
-        SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION
-        SELECT doc_b AS u, doc_a AS v FROM pairs
-    ),
-    reach(u, v) AS (
-        SELECT u, v FROM e2
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
-    ),
-    drop_ids AS (
-        SELECT u AS doc_id FROM reach GROUP BY u
-        HAVING least(u, min(v)) != u
-    )
+    WITH RECURSIVE {_closure_ctes(JACCARD_THRESHOLD)},
+    drop_ids AS (SELECT doc_id FROM cl WHERE keep_id != doc_id)
     SELECT d.doc_id, d.source, d.lang
     FROM documents d LEFT JOIN drop_ids x ON d.doc_id = x.doc_id
     WHERE x.doc_id IS NULL
@@ -414,22 +402,8 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dup_cluster_sizes",
     covers=("X-DEDUP-CLUSTER-DIST",),
     oracle=f"""
-    WITH RECURSIVE {_jaccard_ctes(JACCARD_THRESHOLD)},
-    e2 AS (
-        SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION
-        SELECT doc_b AS u, doc_a AS v FROM pairs
-    ),
-    reach(u, v) AS (
-        SELECT u, v FROM e2
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
-    ),
-    lab AS (
-        SELECT u AS doc_id, least(u, min(v)) AS keep_id
-        FROM reach GROUP BY u
-    ),
-    csz AS (SELECT keep_id, count(*) AS csize FROM lab GROUP BY keep_id)
+    WITH RECURSIVE {_closure_ctes(JACCARD_THRESHOLD)},
+    csz AS (SELECT keep_id, count(*) AS csize FROM cl GROUP BY keep_id)
     SELECT CAST(csize AS BIGINT) AS cluster_size,
            CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(csize) AS BIGINT) AS n_docs

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.exact import dec, int_div_trunc, ratio_e4
 from week4_musemotion_spark.functions.hashing import stable_hash64, stable_hash64_sql
-from week4_musemotion_spark.queries.extensions import _jaccard_ctes
+from week4_musemotion_spark.queries.extensions import _closure_ctes, _jaccard_ctes
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
 
@@ -301,21 +301,8 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dup_inflation",
     covers=("X-DUP-INFLATION",),
     oracle=f"""
-    WITH RECURSIVE {_jaccard_ctes(0.8)},
-    e2 AS (
-        SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION
-        SELECT doc_b AS u, doc_a AS v FROM pairs
-    ),
-    reach(u, v) AS (
-        SELECT u, v FROM e2
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
-    ),
-    drop_ids AS (
-        SELECT u AS doc_id FROM reach GROUP BY u
-        HAVING least(u, min(v)) != u
-    )
+    WITH RECURSIVE {_closure_ctes(0.8)},
+    drop_ids AS (SELECT doc_id FROM cl WHERE keep_id != doc_id)
     SELECT d.source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(x.doc_id) AS BIGINT) AS n_dropped,

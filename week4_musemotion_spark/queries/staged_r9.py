@@ -57,7 +57,9 @@ from week4_musemotion_spark.queries.extensions import (
     _SIMHASH_MAX_HAMMING,
     _SIMHASH_PAIR_BITS,
     JACCARD_THRESHOLD,
+    _closure_ctes,
     _jaccard_ctes,
+    _quality_e4_sql,
     _shingle_expr,
     _simhash_sql,
     _STOPLIST as _STOPLIST_SQL,
@@ -568,7 +570,9 @@ _NG_SIMHASH_HAM = 4
 
 def _simhash_ngram_sql(bits: int, n: int) -> str:
     """Oracle CTE chain ending in ``sig(doc_id, simhash)``: SimHash
-    votes over DISTINCT word n-gram shingles (group-by formulation —
+    votes over per-doc DISTINCT shingle HASHES (the Spark side dedups
+    on the same 60-bit portable hash, so the vote multiset is defined
+    identically even under an md5 collision; group-by formulation —
     same sign rule as extensions._simhash_sql's list form)."""
     h = stable_hash64_sql("s")
     terms = " + ".join(
@@ -577,8 +581,7 @@ def _simhash_ngram_sql(bits: int, n: int) -> str:
         for j in range(bits)
     )
     return f"""{_gram_sql(n, prefix="sh_")},
-    ds AS (SELECT DISTINCT doc_id, s FROM sh_g),
-    hxs AS (SELECT doc_id, {h} AS h FROM ds),
+    hxs AS (SELECT DISTINCT doc_id, {h} AS h FROM sh_g),
     sig AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hxs GROUP BY doc_id)"""
 
 
@@ -718,21 +721,9 @@ def q_provenance_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: Recursive-CTE transitive closure over the Jaccard pair graph →
-#: ``cl(doc_id, keep_id)`` — the same independent closure formulation
-#: q_dedup_clusters' oracle uses (extensions._clusters_sql).
-_CLOSURE_SQL = f"""{_jaccard_ctes(JACCARD_THRESHOLD)},
-    edges AS (
-        SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION
-        SELECT doc_b AS u, doc_a AS v FROM pairs
-    ),
-    reach(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    ),
-    cl AS (SELECT u AS doc_id, least(u, min(v)) AS keep_id
-           FROM reach GROUP BY u)"""
+#: ``cl(doc_id, keep_id)`` — the shared fragment every dedup-cluster
+#: oracle composes (extensions._closure_ctes).
+_CLOSURE_SQL = _closure_ctes(JACCARD_THRESHOLD)
 
 
 @query(
@@ -763,8 +754,11 @@ def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: near-dup pairs (banded, never corpus²) → pointer-jumping
     connected components → ONE equi-join to recover sources → two
-    nested aggregates on the same keep_id key (the second reuses the
-    first's partitioning).  The majority source rides a struct-max
+    nested aggregates (the second re-shuffles (keep_id, source) rows
+    down to keep_id — hash partitioning on the pair does NOT satisfy
+    keep_id clustering — but its input is already one row per
+    cluster×source, negligible at any scale).  The majority source
+    rides a struct-max
     (cnt, source) — lexicographic struct ordering in both engines,
     ties break to the larger source string deterministically.
     Oracle recomputes the closure with a recursive CTE, same as
@@ -799,15 +793,15 @@ def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
         FROM documents
     ),
-    q AS (
-        -- quality_e4: the EXACT formula q_text_quality pins
-        -- (operators/textstats.quality_stats); stop list via the
-        -- same shared constant
+    s9q AS (
         SELECT doc_id, source, len(ts) AS n_tokens,
-               (2 * 50 * least(len(ts), 200)
-                  * (len(ts) - len(list_filter(ts, w -> w IN ({_STOPLIST_SQL}))))
-                + len(ts)) // (2 * len(ts)) AS quality_e4
+               len(list_filter(ts, w -> w IN ({_STOPLIST_SQL}))) AS stop_cnt
         FROM t
+    ),
+    q AS (
+        SELECT doc_id, source, n_tokens,
+               {_quality_e4_sql("n_tokens", "stop_cnt")} AS quality_e4
+        FROM s9q
     ),
     j AS (
         SELECT q.source, q.n_tokens, q.quality_e4,

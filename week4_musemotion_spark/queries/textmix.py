@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from week4_musemotion_spark.queries.registry import query
+from week4_musemotion_spark.queries.extensions import _quality_e4_sql
 from week4_musemotion_spark.sources.tables import load_table
 
 #: A bigram is "covered" when the corpus contains it at least this
@@ -253,7 +254,7 @@ def _card_doc_sql(pred: str) -> str:
     return f"""
         SELECT source, lang, md5(text) AS th, n,
                CASE WHEN n > 0
-                    THEN CAST((2 * 50 * least(n, 200) * (n - st) + n) // (2 * n) AS BIGINT)
+                    THEN CAST({_quality_e4_sql("n", "st")} AS BIGINT)
                     ELSE 0 END AS qe4
         FROM (
             SELECT source, lang, text,
