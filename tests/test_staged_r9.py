@@ -4,7 +4,7 @@ so activation ships with evidence already in hand."""
 
 from __future__ import annotations
 
-from tests.conftest import staged_diff
+from tests.conftest import SF_SMOKE as SF, staged_diff
 
 TABLES = ("documents", "events")
 
@@ -24,6 +24,59 @@ def test_winnow_density_matches_oracle(spark):
     # that still catches a broken window (density 1.0) or a broken
     # distinct (density ~0)
     assert got.density_ppm.between(120_000, 450_000).all(), got.density_ppm
+
+
+def test_winnow_matches_pure_python_reference(spark):
+    """Third-engine pin for the packed-key winnowing trick: a direct
+    pure-Python implementation of Schleimer et al.'s selection rule
+    (min hash per window of 8, rightmost on ties) over the real
+    sf0.001 corpus must reproduce the Spark per-doc print counts
+    exactly — independent of BOTH the window-min/key-encoding
+    formulation and the DuckDB oracle."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.queries import staged_r9  # noqa: F401
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_prints"])
+        for r in staged_r9._winnow_selected(spark, SF)
+        .groupBy("doc_id")
+        .agg(
+            (F.max("pos") + 1).alias("n_grams"),
+            F.countDistinct(
+                F.when(F.col("pos") >= staged_r9._WW - 1, F.col("selkey"))
+            ).alias("n_prints"),
+        )
+        .collect()
+    }
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    k, w = staged_r9._WK, staged_r9._WW
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = [t for t in re.split(r"\s+", text) if t]
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if not grams:
+            assert doc_id not in got
+            continue
+        # winnowing selection, literal form: min hash per window,
+        # rightmost wins ties (no packed key anywhere)
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % (1 << 40)
+            for g in grams
+        ]
+        sel = set()
+        for i in range(w - 1, len(hs)):
+            lo, best = None, None
+            for j in range(i - w + 1, i + 1):
+                if lo is None or hs[j] <= lo:  # <= keeps the rightmost
+                    lo, best = hs[j], j
+            sel.add((hs[best], best))
+        assert got[doc_id] == (len(grams), len(sel)), doc_id
 
 
 def test_winnow_position_guard_survives_catalyst(spark):
