@@ -4,7 +4,7 @@ so activation ships with evidence already in hand."""
 
 from __future__ import annotations
 
-from tests.conftest import staged_diff
+from tests.conftest import SF_SMOKE as SF, staged_diff
 
 TABLES = ("documents",)
 
@@ -38,3 +38,49 @@ def test_quasi_identifier_risk_matches_oracle(spark):
     # min_group == 1 somewhere is expected on a 500-doc corpus with
     # a 3-dim QI; the audit exists to surface exactly that
     assert (got.min_group >= 1).all()
+
+
+def test_bm25_topk_matches_oracle(spark):
+    got = _diff(spark, "q_bm25_topk")
+    assert 0 < len(got) <= 20
+    assert (got.n_terms_hit >= 1).all() and (got.n_terms_hit <= 3).all()
+    # scores strictly positive and sorted desc (doc_id tie-break)
+    assert (got.score > 0).all()
+    assert (got.score.diff().dropna() <= 0).all()
+
+
+def test_bm25_saturates_vs_tfidf(spark):
+    # the reason BM25 exists: per-term contribution saturates near
+    # idf*(k1+1) instead of growing linearly with tf.  Verify on the
+    # oracle scores: max score <= sum over terms of idf*(k1+1) (e3)
+    import duckdb
+
+    from week4_musemotion_spark.queries import staged_r10 as s10
+    from week4_musemotion_spark.queries.registry import REGISTRY
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    top = con.execute(REGISTRY["q_bm25_topk"].oracle).fetchdf()
+    idf = con.execute(f"""
+        WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS term
+                     FROM documents),
+        n AS (SELECT count(DISTINCT doc_id) AS nd FROM tok)
+        SELECT term, (SELECT nd FROM n) * 1000 // count(DISTINCT doc_id) AS idf
+        FROM tok WHERE term IN ({s10._BM25_TERMS_SQL}) GROUP BY term
+    """).fetchdf()
+    cap = int(idf.idf.sum()) * (s10._BM25_K1_E3 + 1000) // 1000
+    assert (top.score <= cap).all(), (top.score.max(), cap)
+
+
+def test_seasonal_residuals_matches_oracle(spark):
+    got = staged_diff_events(spark, "q_seasonal_residuals")
+    assert len(got) == 5, "one row per event_type"
+    assert (got.max_abs_resid <= got.sum_abs_resid).all()
+    assert (got.n_resid >= 1).all()
+
+
+def staged_diff_events(spark, name):
+    from week4_musemotion_spark.queries import staged_r10  # noqa: F401
+
+    return staged_diff(spark, name, ("events",))

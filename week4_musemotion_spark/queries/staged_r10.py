@@ -17,6 +17,14 @@ Wave theme: corpus accounting under duplication + governance:
   documents whose QI group has fewer than k members are
   re-identification risks when metadata ships with the corpus
   (Sweeney 2002's k-anonymity, applied as a release gate).
+- q_bm25_topk — BM25 retrieval (Robertson-Spärck Jones) in exact
+  fixed-point integer arithmetic: every division is a truncating
+  integer division evaluated in the same order on both engines, so
+  the ranking replays bit-for-bit — the saturation + length-
+  normalization upgrade over q_doc_search's plain tf·idf.
+- q_seasonal_residuals — seasonal-naive drift (cnt − cnt 7 days
+  earlier) over the DENSIFIED daily grid per event type: the
+  weekly-pattern-aware companion to q_cusum_drift's level monitor.
 
 Differential evidence: tests/test_staged_r10.py (Spark vs DuckDB at
 sf0.001 via conftest.staged_diff; sf0.01/sf0.1 run manually per the
@@ -176,4 +184,209 @@ def q_quasi_identifier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         risky.cast("long").alias("risky_docs"),
         F.min("gsize").cast("long").alias("min_group"),
         int_div_trunc(dec(risky) * 1_000_000, F.sum("gsize")).alias("risky_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval, exact fixed-point integers
+# ---------------------------------------------------------------------------
+
+#: BM25 constants in thousandths: k1 = 1.2, b = 0.75 — the standard
+#: defaults, carried as integers so both engines evaluate identical
+#: truncating divisions.
+_BM25_K1_E3 = 1200
+_BM25_B_E3 = 750
+_BM25_TOPK = 20
+_BM25_TERMS = ("dup", "join", "scan")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "q_bm25_topk",
+    covers=("X-BM25",),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ts
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(ts)) AS BIGINT) AS total_tokens
+          FROM tok),
+    hits AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hits
+           WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits
+            WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               (n.n_docs * 1000) // dfq.df AS idf_int,
+               (dl.dl * 1000 * n.n_docs) // n.total_tokens AS r_e3,
+               tf.tf
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+    ),
+    contrib AS (
+        SELECT doc_id,
+               (idf_int * tf * ({_BM25_K1_E3} + 1000))
+                 // (tf * 1000
+                     + ({_BM25_K1_E3} * (1000 - {_BM25_B_E3}
+                                         + ({_BM25_B_E3} * r_e3) // 1000)) // 1000)
+                   AS c
+        FROM scored
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS score,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_BM25_TOPK} retrieval in exact fixed-point integers:
+    per (doc, term) contribution ``idf · tf·(k1+1) / (tf + k1·(1 − b
+    + b·dl/avgdl))`` with k1 = 1.2, b = 0.75, every ratio carried in
+    thousandths and every division truncating — both engines evaluate
+    the identical nested integer expression, so the ranking (and the
+    scores themselves) replay bit-for-bit.  This is the saturation +
+    length-normalization upgrade over q_doc_search's raw tf·idf: a
+    200-hit spam doc no longer drowns a 3-hit short doc (tf
+    saturates at ~k1+1), and long documents pay their length.
+
+    The idf is q_doc_search's integer rarity weight ``(N·1000) div
+    df`` — log-free on purpose (libm log differs in the last ulp
+    across engines; the integer weight is monotone in the same
+    order).  Plan: term filter lands before the tf aggregate (only
+    matching tokens shuffle), df/doclen/corpus stats broadcast back,
+    top-k via TakeOrderedAndProject; the token stream never
+    materializes beyond the scan stage."""
+    from week4_musemotion_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("ts"))
+    dl = tok.select("doc_id", F.size("ts").cast("long").alias("dl"))
+    n = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("ts")).cast("long").alias("total_tokens"),
+    )
+    hits = tok.select("doc_id", F.explode("ts").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            int_div_trunc(F.col("n_docs") * 1000, F.col("df")).alias("idf_int"),
+            int_div_trunc(
+                F.col("dl") * 1000 * F.col("n_docs"), F.col("total_tokens")
+            ).alias("r_e3"),
+            "tf",
+        )
+    )
+    norm_e3 = F.lit(1000 - _BM25_B_E3) + int_div_trunc(
+        F.lit(_BM25_B_E3) * F.col("r_e3"), F.lit(1000)
+    )
+    denom_e3 = F.col("tf") * 1000 + int_div_trunc(F.lit(_BM25_K1_E3) * norm_e3, F.lit(1000))
+    contrib = scored.select(
+        "doc_id",
+        int_div_trunc(
+            dec(F.col("idf_int")) * F.col("tf") * (_BM25_K1_E3 + 1000), denom_e3
+        ).alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive residual drift
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+_SEASON = 7
+
+
+@query(
+    "q_seasonal_residuals",
+    covers=("X-SEASONAL-RESIDUALS",),
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day_idx,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(day_idx) AS d0, max(day_idx) AS d1
+             FROM daily GROUP BY event_type),
+    grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day_idx FROM span),
+    dense AS (
+        SELECT g.event_type, g.day_idx, coalesce(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN daily d USING (event_type, day_idx)
+    ),
+    r AS (
+        SELECT event_type, day_idx, cnt,
+               cnt - lag(cnt, {_SEASON}) OVER (PARTITION BY event_type ORDER BY day_idx)
+                   AS resid
+        FROM dense
+    )
+    SELECT event_type,
+           CAST(count(resid) AS BIGINT) AS n_resid,
+           CAST(sum(abs(resid)) AS BIGINT) AS sum_abs_resid,
+           CAST(max(abs(resid)) AS BIGINT) AS max_abs_resid,
+           CAST(-(max({{'a': abs(resid), 'nd': -day_idx}}).nd) AS BIGINT) AS peak_day_idx
+    FROM r WHERE resid IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive residual drift per event type: today's count
+    minus the count {_SEASON} days earlier over the DENSIFIED daily
+    grid (missing days carry cnt = 0, so the lag is always exactly
+    {_SEASON} calendar days — a row-lag over a gappy grid would
+    silently compare across gaps).  The weekly-difference series is
+    the standard first monitor for traffic with day-of-week
+    structure: a level shift shows up once, a broken weekday pattern
+    shows up every day, and CUSUM-style level drift (q_cusum_drift)
+    stays quiet on pure pattern changes — run both.
+
+    All window work happens on the tiny |types|×|days| grid; the
+    corpus shuffle is the grouped count.  Peak day rides the same
+    aggregate via struct-max with earliest-day tie-break, exact
+    integers end to end."""
+    from week4_musemotion_spark.functions.eventtime import epoch_micros
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    day = int_div_trunc(epoch_micros(e), F.lit(_US_PER_DAY))
+    daily = e.groupBy("event_type", day.alias("day_idx")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1")
+    )
+    grid = span.select("event_type", F.explode(F.sequence("d0", "d1")).alias("day_idx"))
+    dense = grid.join(daily, ["event_type", "day_idx"], "left").select(
+        "event_type", "day_idx", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    r = dense.select(
+        "event_type",
+        "day_idx",
+        (F.col("cnt") - F.lag("cnt", _SEASON).over(w)).alias("resid"),
+    ).filter(F.col("resid").isNotNull())
+    return r.groupBy("event_type").agg(
+        F.count("resid").cast("long").alias("n_resid"),
+        F.sum(F.abs("resid")).cast("long").alias("sum_abs_resid"),
+        F.max(F.abs("resid")).cast("long").alias("max_abs_resid"),
+        (-F.max(
+            F.struct(F.abs("resid").alias("a"), (-F.col("day_idx")).alias("nd"))
+        ).getField("nd")).cast("long").alias("peak_day_idx"),
     )
