@@ -9,10 +9,10 @@ from tests.conftest import SF_SMOKE as SF, staged_diff
 TABLES = ("documents",)
 
 
-def _diff(spark, name):
+def _diff(spark, name, tables=TABLES):
     from week4_musemotion_spark.queries import staged_r10  # noqa: F401 — registers
 
-    return staged_diff(spark, name, TABLES)
+    return staged_diff(spark, name, tables)
 
 
 def test_effective_tokens_matches_oracle(spark):
@@ -52,35 +52,32 @@ def test_bm25_topk_matches_oracle(spark):
 def test_bm25_saturates_vs_tfidf(spark):
     # the reason BM25 exists: per-term contribution saturates near
     # idf*(k1+1) instead of growing linearly with tf.  Verify on the
-    # oracle scores: max score <= sum over terms of idf*(k1+1) (e3)
-    import duckdb
+    # oracle scores: max score <= sum over terms of idf*(k1+1) (e3).
+    # n_docs here matches the query's own count(*) over documents
+    # (NOT distinct doc_ids of the token stream — zero-token docs
+    # would silently shrink that and understate the cap).
+    from tests.conftest import staged_oracle
 
     from week4_musemotion_spark.queries import staged_r10 as s10
     from week4_musemotion_spark.queries.registry import REGISTRY
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    top = con.execute(REGISTRY["q_bm25_topk"].oracle).fetchdf()
-    idf = con.execute(f"""
+    top = staged_oracle(REGISTRY["q_bm25_topk"].oracle, TABLES)
+    idf = staged_oracle(
+        f"""
         WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS term
                      FROM documents),
-        n AS (SELECT count(DISTINCT doc_id) AS nd FROM tok)
+        n AS (SELECT count(*) AS nd FROM documents)
         SELECT term, (SELECT nd FROM n) * 1000 // count(DISTINCT doc_id) AS idf
         FROM tok WHERE term IN ({s10._BM25_TERMS_SQL}) GROUP BY term
-    """).fetchdf()
+        """,
+        TABLES,
+    )
     cap = int(idf.idf.sum()) * (s10._BM25_K1_E3 + 1000) // 1000
     assert (top.score <= cap).all(), (top.score.max(), cap)
 
 
 def test_seasonal_residuals_matches_oracle(spark):
-    got = staged_diff_events(spark, "q_seasonal_residuals")
+    got = _diff(spark, "q_seasonal_residuals", ("events",))
     assert len(got) == 5, "one row per event_type"
     assert (got.max_abs_resid <= got.sum_abs_resid).all()
     assert (got.n_resid >= 1).all()
-
-
-def staged_diff_events(spark, name):
-    from week4_musemotion_spark.queries import staged_r10  # noqa: F401
-
-    return staged_diff(spark, name, ("events",))

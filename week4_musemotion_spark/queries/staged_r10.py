@@ -43,6 +43,10 @@ from week4_musemotion_spark.queries.extensions import (
     _closure_ctes,
 )
 from week4_musemotion_spark.queries.registry import query
+
+# staged_r9's shared daily-grid helpers; importing it also registers
+# the r9 wave, which is the intended activation order (r9 < r10)
+from week4_musemotion_spark.queries.staged_r9 import _daily_dense, _daily_dense_sql
 from week4_musemotion_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -221,7 +225,9 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
             WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term),
     scored AS (
         SELECT tf.doc_id, tf.term,
-               (n.n_docs * 1000) // dfq.df AS idf_int,
+               -- HUGEINT: mirrors the Spark side's dec() widening so
+               -- idf*tf*(k1+1) cannot overflow BIGINT at scale
+               CAST((n.n_docs * 1000) // dfq.df AS HUGEINT) AS idf_int,
                (dl.dl * 1000 * n.n_docs) // n.total_tokens AS r_e3,
                tf.tf
         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN n
@@ -311,7 +317,6 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Seasonal-naive residual drift
 # ---------------------------------------------------------------------------
 
-_US_PER_DAY = 86_400_000_000
 _SEASON = 7
 
 
@@ -319,18 +324,7 @@ _SEASON = 7
     "q_seasonal_residuals",
     covers=("X-SEASONAL-RESIDUALS",),
     oracle=f"""
-    WITH daily AS (
-        SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day_idx,
-               count(*) AS cnt
-        FROM events GROUP BY 1, 2
-    ),
-    span AS (SELECT event_type, min(day_idx) AS d0, max(day_idx) AS d1
-             FROM daily GROUP BY event_type),
-    grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day_idx FROM span),
-    dense AS (
-        SELECT g.event_type, g.day_idx, coalesce(d.cnt, 0) AS cnt
-        FROM grid g LEFT JOIN daily d USING (event_type, day_idx)
-    ),
+    WITH {_daily_dense_sql()},
     r AS (
         SELECT event_type, day_idx, cnt,
                cnt - lag(cnt, {_SEASON}) OVER (PARTITION BY event_type ORDER BY day_idx)
@@ -361,21 +355,9 @@ def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle is the grouped count.  Peak day rides the same
     aggregate via struct-max with earliest-day tie-break, exact
     integers end to end."""
-    from week4_musemotion_spark.functions.eventtime import epoch_micros
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
-    day = int_div_trunc(epoch_micros(e), F.lit(_US_PER_DAY))
-    daily = e.groupBy("event_type", day.alias("day_idx")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    span = daily.groupBy("event_type").agg(
-        F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1")
-    )
-    grid = span.select("event_type", F.explode(F.sequence("d0", "d1")).alias("day_idx"))
-    dense = grid.join(daily, ["event_type", "day_idx"], "left").select(
-        "event_type", "day_idx", F.coalesce("cnt", F.lit(0)).alias("cnt")
-    )
+    dense = _daily_dense(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day_idx")
     r = dense.select(
         "event_type",

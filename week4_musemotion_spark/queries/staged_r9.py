@@ -856,11 +856,19 @@ def q_dup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 _US_PER_DAY = 86_400_000_000
 
 
-@query(
-    "q_cusum_drift",
-    covers=("X-CUSUM-DRIFT",),
-    oracle=f"""
-    WITH daily AS (
+def _daily_dense_sql() -> str:
+    """CTE chain ``daily`` → ``span`` → ``grid`` → ``dense(event_type,
+    day_idx, cnt)``: per-type daily event counts densified over each
+    type's [min, max] day span so zero-event days carry cnt = 0 —
+    ONE definition shared by every daily-grid monitor (CUSUM,
+    seasonal residuals) so the grid semantics cannot drift.
+
+    Day bucketing truncates epoch-µs; both engines assume
+    NON-NEGATIVE epochs (int_div_trunc's p ≥ 0 contract — DuckDB
+    ``//`` truncates toward zero while the Spark helper is only
+    defined for p ≥ 0, so a pre-1970 timestamp would bucket
+    differently; the testdata contract is post-1970 event time)."""
+    return f"""daily AS (
         SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day_idx,
                count(*) AS cnt
         FROM events GROUP BY 1, 2
@@ -871,7 +879,35 @@ _US_PER_DAY = 86_400_000_000
     dense AS (
         SELECT g.event_type, g.day_idx, coalesce(d.cnt, 0) AS cnt
         FROM grid g LEFT JOIN daily d USING (event_type, day_idx)
-    ),
+    )"""
+
+
+def _daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_daily_dense_sql` — ``(event_type,
+    day_idx, cnt)`` densified per type.  The grid join is
+    |types|×|days| rows; both sides derive from the already-tiny
+    daily aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    day = int_div_trunc(epoch_micros(e), F.lit(_US_PER_DAY))
+    daily = e.groupBy("event_type", day.alias("day_idx")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day_idx")
+    )
+    return grid.join(daily, ["event_type", "day_idx"], "left").select(
+        "event_type", "day_idx", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+
+
+@query(
+    "q_cusum_drift",
+    covers=("X-CUSUM-DRIFT",),
+    oracle=f"""
+    WITH {_daily_dense_sql()},
     t AS (
         SELECT event_type, day_idx, cnt,
                count(*) OVER (PARTITION BY event_type) AS nd,
@@ -918,25 +954,7 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), so the corpus is scanned exactly once.  Ties on the
     peak break to the earliest day, keeping the LIMIT-free output
     fully deterministic."""
-    e = load_table(spark, sf_dir, "events")
-    day = int_div_trunc(epoch_micros(e), F.lit(_US_PER_DAY))
-    daily = e.groupBy("event_type", day.alias("day_idx")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    # densify over each type's full [min, max] day span so a
-    # zero-event day contributes cnt=0 (deviation -total) — a full
-    # dropout is the changepoint this monitor most needs to see.
-    # The grid join is |types| x |days| rows; both sides derive from
-    # the already-tiny daily aggregate.
-    span = daily.groupBy("event_type").agg(
-        F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1")
-    )
-    grid = span.select(
-        "event_type", F.explode(F.sequence("d0", "d1")).alias("day_idx")
-    )
-    dense = grid.join(daily, ["event_type", "day_idx"], "left").select(
-        "event_type", "day_idx", F.coalesce("cnt", F.lit(0)).alias("cnt")
-    )
+    dense = _daily_dense(spark, sf_dir)
     wt = Window.partitionBy("event_type")
     t = dense.select(
         "event_type",
