@@ -81,3 +81,9 @@ def test_seasonal_residuals_matches_oracle(spark):
     assert len(got) == 5, "one row per event_type"
     assert (got.max_abs_resid <= got.sum_abs_resid).all()
     assert (got.n_resid >= 1).all()
+
+
+def test_stream_counts_report_matches_oracle(spark):
+    got = _diff(spark, "q_stream_counts_report", ("events",))
+    assert (got.cnt >= 1).all()
+    assert got.cnt.sum() == 1_000  # sf0.001 events rows — replay counted once

@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+#: Micro-seconds per day — the day-bucketing divisor every daily-grid
+#: consumer shares (staged CUSUM/seasonal monitors, streaming count
+#: store).  Bucketing truncates, so epochs are assumed NON-NEGATIVE
+#: (int_div_trunc's p ≥ 0 contract; DuckDB ``//`` truncates toward
+#: zero and would disagree on pre-1970 timestamps).
+US_PER_DAY = 86_400_000_000
+
+
 def epoch_micros(df: DataFrame, col: str = "ts") -> Column:
     """Epoch-µs BIGINT from any supported encoding of ``col``."""
     dt = df.schema[col].dataType

@@ -25,6 +25,13 @@ Wave theme: corpus accounting under duplication + governance:
 - q_seasonal_residuals — seasonal-naive drift (cnt − cnt 7 days
   earlier) over the DENSIFIED daily grid per event type: the
   weekly-pattern-aware companion to q_cusum_drift's level monitor.
+- q_stream_counts_report — the streaming daily-count store
+  (streaming/counts.py, additive-state txn-marker protocol) driven
+  through the REAL foreachBatch body with one batch REPLAYED, then
+  folded and value-compared against the plain batch count: the
+  oracle hash certifies exactly-once for the additive branch of the
+  streaming design rule (the idempotent-merge branch is pinned by
+  q_stream_distinct_report).
 
 Differential evidence: tests/test_staged_r10.py (Spark vs DuckDB at
 sf0.001 via conftest.staged_diff; sf0.01/sf0.1 run manually per the
@@ -43,6 +50,8 @@ from week4_musemotion_spark.queries.extensions import (
     _closure_ctes,
 )
 from week4_musemotion_spark.queries.registry import query
+
+from week4_musemotion_spark.functions.eventtime import US_PER_DAY
 
 # staged_r9's shared daily-grid helpers; importing it also registers
 # the r9 wave, which is the intended activation order (r9 < r10)
@@ -371,4 +380,84 @@ def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.max(
             F.struct(F.abs("resid").alias("a"), (-F.col("day_idx")).alias("nd"))
         ).getField("nd")).cast("long").alias("peak_day_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming daily-count store report (fixture-driven, value-oracled)
+# ---------------------------------------------------------------------------
+
+_COUNT_BATCHES = 3
+
+
+def _build_count_store(spark: SparkSession, sf_dir: str, tmp: str) -> None:
+    """Run the REAL streaming sink body deterministically: events
+    split into ordered micro-batches by event_id residue, each pushed
+    through make_count_sink (the foreachBatch body).  Batch 1 is
+    pushed TWICE — a committed-batch replay — so the exactly-once
+    marker protocol is part of what the value oracle certifies (an
+    additive store without markers would double-count and fail the
+    hash compare)."""
+    import os
+
+    from week4_musemotion_spark.streaming.counts import make_count_sink
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    sink = make_count_sink(["event_type"], os.path.join(tmp, "store"))
+    for b in range(_COUNT_BATCHES):
+        sink(ev.filter(F.col("event_id") % _COUNT_BATCHES == b), b)
+        if b == 1:
+            sink(ev.filter(F.col("event_id") % _COUNT_BATCHES == b), b)  # replay
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+
+def _count_store_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from week4_musemotion_spark.queries.pipeline_ops import (
+        _publish_fixture,
+        _sf_fingerprint,
+    )
+
+    tag = f"count_store:{_COUNT_BATCHES}".encode()
+    out = os.path.join(
+        tempfile.gettempdir(), "musemotion_count_store", _sf_fingerprint(sf_dir, tag)
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _publish_fixture(out, lambda tmp: _build_count_store(spark, sf_dir, tmp))
+    return out
+
+
+@query(
+    "q_stream_counts_report",
+    covers=("X-STREAM-COUNTS",),
+    oracle=f"""
+    SELECT event_type,
+           CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day_idx,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_counts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming daily-count store read back: events pushed
+    through the REAL foreachBatch body (streaming/counts.py) in
+    ordered micro-batches — WITH one committed batch replayed — then
+    the committed partial log folded to totals.  The oracle is the
+    plain batch daily count, so a hash match certifies the additive
+    txn-marker protocol end to end: partials appended exactly once
+    under replay, torn attempts excluded, fold equals truth.
+
+    This is the additive-state counterpart of q_stream_distinct_report
+    (whose HLL store is exactly-once by idempotent-merge algebra and
+    needs no markers) — together the two queries pin BOTH branches of
+    the streaming design rule under the value oracle."""
+    import os
+
+    from week4_musemotion_spark.streaming.counts import read_daily_counts
+
+    fixture = _count_store_fixture(spark, sf_dir)
+    out = read_daily_counts(spark, os.path.join(fixture, "store"))
+    return out.select(
+        "event_type", F.col("day_idx").cast("long"), F.col("cnt").cast("long")
     )

@@ -853,7 +853,7 @@ def q_dup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUSUM drift (exact integer changepoint statistic)
 # ---------------------------------------------------------------------------
 
-_US_PER_DAY = 86_400_000_000
+from week4_musemotion_spark.functions.eventtime import US_PER_DAY as _US_PER_DAY
 
 
 def _daily_dense_sql() -> str:
