@@ -48,15 +48,14 @@ def test_stream_store_equals_batch_counts(spark, tmp_path):
     _flat_file(ev.filter(F.col("event_id") % 2 == 0), tmp_path / "s0", src / "b0.parquet")
     _flat_file(ev.filter(F.col("event_id") % 2 == 1), tmp_path / "s1", src / "b1.parquet")
 
-    schema = ev.schema.simpleString()[7:-1].replace(":", " ").replace(",", ", ")
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(src))
     )
     store = str(tmp_path / "store")
     q = stream_daily_counts(stream, ["event_type"], store, str(tmp_path / "ckpt"))
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow query did not drain in time"
 
     got = read_daily_counts(spark, store)
     assert _key(got) == _key(_batch_truth(spark))
@@ -110,6 +109,53 @@ def test_torn_attempt_is_purged_before_recompute(spark, tmp_path):
     assert len(n_bid1) >= 1
     total = read_daily_counts(spark, store).agg(F.sum("cnt")).collect()[0][0]
     assert total == ev.count() + 50
+
+
+def test_empty_store_keeps_schema(spark, tmp_path):
+    """An uncommitted/absent store returns zero rows WITH the group
+    columns, so downstream selects don't blow up mid-stream."""
+    from week4_musemotion_spark.streaming.counts import read_daily_counts
+
+    out = read_daily_counts(spark, str(tmp_path / "nope"))
+    assert out.columns == ["event_type", "day_idx", "cnt"]
+    assert out.count() == 0
+
+
+def test_compaction_preserves_totals_and_replay(spark, tmp_path):
+    """compact_counts folds N committed batches into one, totals are
+    unchanged, a replay of a folded batch still no-ops (its marker
+    survives), and a SECOND compaction composes (c1 folded into c2)."""
+    import os
+
+    from week4_musemotion_spark.streaming.counts import (
+        compact_counts,
+        make_count_sink,
+        read_daily_counts,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    store = str(tmp_path / "store")
+    sink = make_count_sink(["event_type"], store)
+    for b in range(3):
+        sink(ev.filter(F.col("event_id") % 3 == b), b)
+    before = _key(read_daily_counts(spark, store))
+
+    stats = compact_counts(spark, store)
+    assert stats["folded"] == 3 and stats["files_removed"] >= 3
+    assert _key(read_daily_counts(spark, store)) == before
+    data_dir = os.path.join(store, "counts")
+    assert all(n.startswith("bid-c1-") for n in os.listdir(data_dir))
+
+    # replay of a folded batch: marker survived compaction -> no-op
+    sink(ev.filter(F.col("event_id") % 3 == 0), 0)
+    assert _key(read_daily_counts(spark, store)) == before
+
+    # more batches + second compaction: c1 folds into c2
+    sink(ev.limit(30), 7)
+    compact_counts(spark, store)
+    assert {n.split("-")[1] for n in os.listdir(data_dir)} == {"c2"}
+    total = read_daily_counts(spark, store).agg(F.sum("cnt")).collect()[0][0]
+    assert total == ev.count() + 30
 
 
 def test_feeds_the_seasonal_monitor(spark, tmp_path):

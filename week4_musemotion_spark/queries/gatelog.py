@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.exact import ratio_e4, ratio_e4_sql
 from week4_musemotion_spark.queries.extensions import JACCARD_THRESHOLD, _jaccard_ctes
-from week4_musemotion_spark.queries.pipeline_ops import _publish_fixture, _sf_fingerprint
 from week4_musemotion_spark.queries.registry import query
 from week4_musemotion_spark.sources.tables import load_table
 
@@ -71,16 +70,14 @@ def _gate_fixture(spark: SparkSession, sf_dir: str) -> str:
     ``_SUCCESS`` written after the last batch committed — also the
     token ``_publish_fixture`` checks to treat a lost concurrent
     publish race as benign."""
-    import os
-    import tempfile
+    from week4_musemotion_spark.queries.pipeline_ops import cached_fixture
 
-    tag = f"gate_report:{_N_BATCHES}".encode()
-    out = os.path.join(
-        tempfile.gettempdir(), "musemotion_gate", _sf_fingerprint(sf_dir, tag)
+    return cached_fixture(
+        "musemotion_gate",
+        sf_dir,
+        f"gate_report:{_N_BATCHES}".encode(),
+        lambda tmp: _build_gate(spark, sf_dir, tmp),
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        _publish_fixture(out, lambda tmp: _build_gate(spark, sf_dir, tmp))
-    return out
 
 
 def _gate_compacted_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -91,35 +88,34 @@ def _gate_compacted_fixture(spark: SparkSession, sf_dir: str) -> str:
     compaction contract) and compacting the copy."""
     import os
     import shutil
-    import tempfile
 
+    from week4_musemotion_spark.queries.pipeline_ops import cached_fixture
     from week4_musemotion_spark.streaming.neardup import compact_gate
 
     base = _gate_fixture(spark, sf_dir)
-    tag = f"gate_compacted:{_N_BATCHES}".encode()
-    out = os.path.join(
-        tempfile.gettempdir(), "musemotion_gate_compacted", _sf_fingerprint(sf_dir, tag)
+
+    def _build(tmp: str) -> None:
+        shutil.copytree(base, tmp, dirs_exist_ok=True)
+        # copytree brought the BASE fixture's marker along — remove
+        # it before compacting so the "marker present ⇒ compaction
+        # complete" invariant is real, not coincidental (a future
+        # in-place or resumable build must not trust a
+        # half-compacted dir)
+        os.remove(os.path.join(tmp, "_SUCCESS"))
+        compact_gate(
+            spark,
+            os.path.join(tmp, "idx"),
+            os.path.join(tmp, "corpus"),
+            os.path.join(tmp, "quarantine"),
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return cached_fixture(
+        "musemotion_gate_compacted",
+        sf_dir,
+        f"gate_compacted:{_N_BATCHES}".encode(),
+        _build,
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-
-        def _build(tmp: str) -> None:
-            shutil.copytree(base, tmp, dirs_exist_ok=True)
-            # copytree brought the BASE fixture's marker along — remove
-            # it before compacting so the "marker present ⇒ compaction
-            # complete" invariant is real, not coincidental (a future
-            # in-place or resumable build must not trust a
-            # half-compacted dir)
-            os.remove(os.path.join(tmp, "_SUCCESS"))
-            compact_gate(
-                spark,
-                os.path.join(tmp, "idx"),
-                os.path.join(tmp, "corpus"),
-                os.path.join(tmp, "quarantine"),
-            )
-            open(os.path.join(tmp, "_SUCCESS"), "w").close()
-
-        _publish_fixture(out, _build)
-    return out
 
 
 def _gate_report(spark: SparkSession, fixture: str) -> DataFrame:

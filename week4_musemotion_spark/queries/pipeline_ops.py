@@ -893,14 +893,17 @@ def _card_counts(df: DataFrame) -> DataFrame:
     )
 
 
-def _sf_fingerprint(sf_dir: str, tag: bytes) -> str:
-    """Content fingerprint of a testdata table dir, used as a fixture
+def _sf_fingerprint(sf_dir: str, tag: bytes, table: str = "documents") -> str:
+    """Content fingerprint of a testdata table, used as a fixture
     cache key: file paths + sizes + mtimes, so a driver-regenerated
-    testdata round invalidates every cached fixture."""
+    testdata round invalidates every cached fixture.  Pass the table
+    the fixture is actually BUILT from — fingerprinting a different
+    table would serve a stale cache when only the input table
+    changes."""
     import hashlib
     import os
 
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     finger = hashlib.md5(tag + b":" + os.path.abspath(sf_dir).encode())
     paths = [src] if os.path.isfile(src) else sorted(
         os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs
@@ -909,6 +912,23 @@ def _sf_fingerprint(sf_dir: str, tag: bytes) -> str:
         st = os.stat(p)
         finger.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
     return finger.hexdigest()[:16]
+
+
+def cached_fixture(subdir: str, sf_dir: str, tag: bytes, build_fn, table: str = "documents") -> str:
+    """The cached-fixture protocol in ONE place: tempdir keyed by the
+    input table's content fingerprint, ``_SUCCESS``-gated is-built
+    check, atomic publish via :func:`_publish_fixture`.  ``build_fn``
+    receives the staging dir and must create ``_SUCCESS`` inside it
+    as its last act.  Every fixture-backed query (gate log, HLL
+    store, count store, export) composes this instead of re-rolling
+    the tempdir + fingerprint + publish dance."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), subdir, _sf_fingerprint(sf_dir, tag, table))
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _publish_fixture(out, build_fn)
+    return out
 
 
 def _export_fixture(spark: SparkSession, sf_dir: str) -> str:

@@ -519,21 +519,15 @@ def _build_hll_store(spark: SparkSession, sf_dir: str, tmp: str) -> None:
 
 
 def _hll_store_fixture(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
+    from week4_musemotion_spark.queries.pipeline_ops import cached_fixture
 
-    from week4_musemotion_spark.queries.pipeline_ops import (
-        _publish_fixture,
-        _sf_fingerprint,
+    return cached_fixture(
+        "musemotion_hll_store",
+        sf_dir,
+        f"hll_store:{_STREAM_BATCHES}:{_HLL_M}".encode(),
+        lambda tmp: _build_hll_store(spark, sf_dir, tmp),
+        table="events",  # fingerprint the table the store is BUILT from
     )
-
-    tag = f"hll_store:{_STREAM_BATCHES}:{_HLL_M}".encode()
-    out = os.path.join(
-        tempfile.gettempdir(), "musemotion_hll_store", _sf_fingerprint(sf_dir, tag)
-    )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        _publish_fixture(out, lambda tmp: _build_hll_store(spark, sf_dir, tmp))
-    return out
 
 
 @query(
