@@ -87,3 +87,18 @@ def test_stream_counts_report_matches_oracle(spark):
     got = _diff(spark, "q_stream_counts_report", ("events",))
     assert (got.cnt >= 1).all()
     assert got.cnt.sum() == 1_000  # sf0.001 events rows — replay counted once
+
+
+def test_stream_counts_compacted_matches_oracle(spark):
+    import os
+
+    got = _diff(spark, "q_stream_counts_compacted", ("events",))
+    assert got.cnt.sum() == 1_000
+    # the compacted fixture's log really is one folded batch
+    from week4_musemotion_spark.queries.staged_r10 import (
+        _compacted_count_store_fixture,
+    )
+    from tests.conftest import SF_SMOKE
+
+    data = os.path.join(_compacted_count_store_fixture(spark, SF_SMOKE), "store", "counts")
+    assert {n.split("-")[1] for n in os.listdir(data)} == {"c1"}

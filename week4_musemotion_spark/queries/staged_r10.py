@@ -455,3 +455,63 @@ def q_stream_counts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.col("day_idx").cast("long"), F.col("cnt").cast("long")
     )
+
+
+def _compacted_count_store_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The count-store fixture after ``compact_counts`` folded the
+    committed partial log into one batch — built by copying the base
+    fixture (content-identical by the compaction contract) and
+    compacting the copy."""
+    import os
+    import shutil
+
+    from week4_musemotion_spark.queries.pipeline_ops import cached_fixture
+    from week4_musemotion_spark.streaming.counts import compact_counts
+
+    base = _count_store_fixture(spark, sf_dir)
+
+    def _build(tmp: str) -> None:
+        shutil.copytree(base, tmp, dirs_exist_ok=True)
+        # the copied base marker must not pre-certify the compacted
+        # build (same invariant as the gate's compacted fixture)
+        os.remove(os.path.join(tmp, "_SUCCESS"))
+        compact_counts(spark, os.path.join(tmp, "store"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return cached_fixture(
+        "musemotion_count_store_compacted",
+        sf_dir,
+        f"count_store_compacted:{_COUNT_BATCHES}".encode(),
+        _build,
+        table="events",
+    )
+
+
+@query(
+    "q_stream_counts_compacted",
+    covers=("X-STREAM-COUNTS-COMPACT",),
+    oracle=f"""
+    SELECT event_type,
+           CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day_idx,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_counts_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME totals after ``compact_counts`` folded the partial
+    log into one ``bid-c1`` batch — driver evidence that the
+    manifest-flip compaction is content-preserving: the oracle is
+    IDENTICAL to q_stream_counts_report's, so a fold that
+    double-counts a batch (originals + compacted both read), drops
+    one, or mutates a cell hash-fails.  Compaction is what keeps a
+    month-old monitor's read at O(groups × days) instead of
+    O(#micro-batches) file opens."""
+    import os
+
+    from week4_musemotion_spark.streaming.counts import read_daily_counts
+
+    fixture = _compacted_count_store_fixture(spark, sf_dir)
+    out = read_daily_counts(spark, os.path.join(fixture, "store"))
+    return out.select(
+        "event_type", F.col("day_idx").cast("long"), F.col("cnt").cast("long")
+    )
