@@ -468,6 +468,78 @@ def main() -> int:
             .agg(F.count(F.lit(1)).alias("m"))
         )
 
+        # round-10 staged shapes: fixed-point BM25 (term filter below
+        # the tf aggregate — only matching tokens shuffle, so cost
+        # tracks the scan) and the effective-token accounting (CC
+        # over banded pairs + cluster-size join back; the corpus scan
+        # carries the token counting).
+        from week4_musemotion_spark.functions.exact import dec as _dec
+        from week4_musemotion_spark.functions.exact import int_div_trunc as _idt
+        from week4_musemotion_spark.operators.dedup import jaccard_pairs as _jp
+        from week4_musemotion_spark.operators.graph import dedup_clusters as _dc
+
+        _terms = ("dup", "join", "scan")
+        _btok = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
+        _bdl = _btok.select("doc_id", F.size("ts").cast("long").alias("dl"))
+        _bn = _btok.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size("ts")).cast("long").alias("total_tokens"),
+        )
+        _bh = _btok.select("doc_id", F.explode("ts").alias("term")).filter(
+            F.col("term").isin(*_terms)
+        )
+        _btf = _bh.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        _bdf = _bh.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        _bsc = (
+            _btf.join(F.broadcast(_bdf), "term")
+            .join(_bdl, "doc_id")
+            .join(F.broadcast(_bn))
+            .select(
+                "doc_id",
+                _idt(F.col("n_docs") * 1000, F.col("df")).alias("idf_int"),
+                _idt(F.col("dl") * 1000 * F.col("n_docs"), F.col("total_tokens")).alias("r_e3"),
+                "tf",
+            )
+        )
+        _bden = F.col("tf") * 1000 + _idt(
+            F.lit(1200) * (F.lit(250) + _idt(F.lit(750) * F.col("r_e3"), F.lit(1000))),
+            F.lit(1000),
+        )
+        bm25 = (
+            _bsc.select(
+                "doc_id", _idt(_dec(F.col("idf_int")) * F.col("tf") * 2200, _bden).alias("c")
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("score"), F.count(F.lit(1)).alias("hits"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(20)
+        )
+        # CC's pointer-jumping rounds run EAGERLY while dedup_clusters
+        # builds its result (driver-coordinated iterations), so this
+        # shape times construction + execution together (the pca_fit
+        # pattern) — timing only the final plan would hide the CC cost
+        if only is None or "effective_tokens_cc_join" in only:
+            t0 = time.perf_counter()
+            _cl = _dc(_jp(docs, 0.8))
+            _csz = _cl.groupBy("keep_id").agg(F.count(F.lit(1)).alias("csize"))
+            _mem = _cl.join(_csz, "keep_id").select("doc_id", "csize")
+            efftok = (
+                docs.select(
+                    "doc_id", "source", F.size(_tokens(F.col("text"))).cast("long").alias("nt")
+                )
+                .join(_mem, "doc_id", "left")
+                .select("source", "nt", F.coalesce("csize", F.lit(1)).alias("cs"))
+                .groupBy("source")
+                .agg(
+                    F.sum(_idt(_dec(F.col("nt")) * 1_000_000, F.col("cs"))).alias("eff"),
+                    F.sum("nt").alias("raw"),
+                )
+            )
+            efftok.write.format("noop").mode("overwrite").save()
+            results.setdefault("effective_tokens_cc_join", {})[n] = round(
+                time.perf_counter() - t0, 2
+            )
+
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -492,6 +564,7 @@ def main() -> int:
             ("cms_cells_sketch", cms),
             ("winnow_select_window", winnow),
             ("substring_runs_dfcap_join", rmt),
+            ("bm25_fixed_point", bm25),
         ]:
             if only is not None and shape not in only:
                 continue
