@@ -102,3 +102,18 @@ def test_stream_counts_compacted_matches_oracle(spark):
 
     data = os.path.join(_compacted_count_store_fixture(spark, SF_SMOKE), "store", "counts")
     assert {n.split("-")[1] for n in os.listdir(data)} == {"c1"}
+
+
+def test_lang_confusion_matches_oracle(spark):
+    got = _diff(spark, "q_lang_confusion")
+    assert got.n_docs.sum() == 500
+    # this synthetic corpus is exactly the pathology the audit hunts:
+    # texts draw mostly English-marker vocabulary under non-en labels,
+    # so the off-diagonal mass is LARGE (declared fr -> detected en is
+    # the biggest cell after en/en).  Assert the structural facts, not
+    # a clean diagonal: some agreement exists, disagreements exist,
+    # and every 'und' cell is evidence-free by definition.
+    diag = got[got.declared_lang == got.lang_pred].n_docs.sum()
+    assert diag > 0
+    assert (got.declared_lang != got.lang_pred).any()
+    assert (got.loc[got.lang_pred == "und", "marker_hits"] == 0).all()

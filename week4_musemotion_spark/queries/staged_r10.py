@@ -48,6 +48,7 @@ from week4_musemotion_spark.operators.dedup import jaccard_pairs
 from week4_musemotion_spark.queries.extensions import (
     JACCARD_THRESHOLD,
     _closure_ctes,
+    _lang_id_sql,
 )
 from week4_musemotion_spark.queries.registry import query
 
@@ -514,4 +515,42 @@ def q_stream_counts_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = read_daily_counts(spark, os.path.join(fixture, "store"))
     return out.select(
         "event_type", F.col("day_idx").cast("long"), F.col("cnt").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language confusion matrix (declared vs detected)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lang_confusion",
+    covers=("X-LANG-CONFUSION",),
+    oracle=f"""
+    WITH p AS ({_lang_id_sql()})
+    SELECT declared_lang, lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(marker_hits) AS BIGINT) AS marker_hits
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the corpus's DECLARED language column
+    against the engine's marker-based detector (q_lang_id's exact
+    semantics, shared oracle fragment): off-diagonal cells are
+    mislabeled shards — the audit a multilingual mixing run must
+    pass before trusting the lang column for temperature weights
+    (q_source_mixture rebalances BY lang; feeding it mislabeled
+    docs silently skews the mixture).  marker_hits per cell shows
+    whether a disagreement is confident (many markers for the other
+    language) or evidence-free ('und' rows).
+
+    Plan: the detector is per-row expression work on the scan; the
+    matrix is one |langs|² aggregate."""
+    from week4_musemotion_spark.operators.textstats import lang_id
+
+    p = lang_id(load_table(spark, sf_dir, "documents"))
+    return p.groupBy("declared_lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("marker_hits").cast("long").alias("marker_hits"),
     )
