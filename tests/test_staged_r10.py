@@ -117,3 +117,19 @@ def test_lang_confusion_matches_oracle(spark):
     assert diag > 0
     assert (got.declared_lang != got.lang_pred).any()
     assert (got.loc[got.lang_pred == "und", "marker_hits"] == 0).all()
+
+
+def test_winnow_recall_matches_oracle(spark):
+    got = _diff(spark, "q_winnow_recall")
+    r = got.iloc[0]
+    assert r.jaccard_pairs > 0
+    assert r.caught_min <= r.caught_1 <= r.jaccard_pairs
+    # the winnowing guarantee covers CONTIGUOUS runs >= w+k-1 = 11
+    # tokens, and it is exactly sharp on this corpus: sf0.001 has
+    # one Jaccard-0.8 pair (docs of 11 and 10 tokens) whose longest
+    # shared contiguous run is 10 tokens — one short of the bound —
+    # and that is precisely the single miss (27/28).  Assert the
+    # measured floor, not perfect recall; a drop BELOW it means the
+    # selection broke, not that the theory has exceptions.
+    assert r.recall_1_ppm >= 950_000, r.recall_1_ppm
+    assert r.jaccard_pairs - r.caught_1 <= 1

@@ -48,6 +48,7 @@ from week4_musemotion_spark.operators.dedup import jaccard_pairs
 from week4_musemotion_spark.queries.extensions import (
     JACCARD_THRESHOLD,
     _closure_ctes,
+    _jaccard_ctes,
     _lang_id_sql,
 )
 from week4_musemotion_spark.queries.registry import query
@@ -56,7 +57,13 @@ from week4_musemotion_spark.functions.eventtime import US_PER_DAY
 
 # staged_r9's shared daily-grid helpers; importing it also registers
 # the r9 wave, which is the intended activation order (r9 < r10)
-from week4_musemotion_spark.queries.staged_r9 import _daily_dense, _daily_dense_sql
+from week4_musemotion_spark.queries.staged_r9 import (
+    _WP_MIN_SHARED,
+    _WW,
+    _daily_dense,
+    _daily_dense_sql,
+    _winnow_sel_sql,
+)
 from week4_musemotion_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -553,4 +560,91 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy("declared_lang", "lang_pred").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("marker_hits").cast("long").alias("marker_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing recall vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_winnow_recall",
+    covers=("X-WINNOW-RECALL",),
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes(JACCARD_THRESHOLD)},
+    jacp AS (SELECT doc_a, doc_b FROM pairs),
+    {_winnow_sel_sql(prefix="w_")},
+    fp AS (SELECT DISTINCT doc_id, selkey >> 20 AS ph
+           FROM w_sel WHERE pos >= {_WW - 1}),
+    wp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM fp a JOIN fp b ON a.ph = b.ph AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT jacp.doc_a, coalesce(wp.shared, 0) AS shared
+        FROM jacp LEFT JOIN wp USING (doc_a, doc_b)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS jaccard_pairs,
+           CAST(count(*) FILTER (shared >= 1) AS BIGINT) AS caught_1,
+           CAST(count(*) FILTER (shared >= {_WP_MIN_SHARED}) AS BIGINT) AS caught_min,
+           CAST(CAST(count(*) FILTER (shared >= 1) AS HUGEINT) * 1000000
+                // greatest(count(*), 1) AS BIGINT) AS recall_1_ppm,
+           CAST(min(shared) AS BIGINT) AS min_shared
+    FROM j
+    """,
+)
+def q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the winnowed print index against the EXACT Jaccard
+    detector: of all true near-dup pairs (3-gram Jaccard ≥ 0.8), how
+    many share ≥1 winnowed print (the index would surface them) and
+    how many clear the pair report's ≥{_WP_MIN_SHARED}-print bar —
+    the certification query for trading the full gram stream for the
+    2/(w+1) print index (ann_recall_report's role, played for the
+    text side).  The winnowing guarantee predicts a catch whenever a
+    shared CONTIGUOUS run is ≥ w+k−1 = 11 tokens — and it is exactly
+    sharp here: sf0.001's single miss (27/28) is a Jaccard-0.8 pair
+    of 11- and 10-token docs whose longest shared run is 10 tokens,
+    one below the bound (verified by direct run enumeration).  A
+    recall drop below the measured floor flags a broken selection;
+    the boundary miss is the theory working as stated.
+
+    Note this intentionally skips q_winnow_pairs' stop-print df
+    cutoff: recall is a property of the INDEX, measured before
+    precision filters.
+
+    Plan: both pair sets are bucketed equi-joins (shingle buckets /
+    print buckets), the comparison is one left join on the tiny true
+    pair set, and the report is a single row."""
+    from week4_musemotion_spark.queries.staged_r9 import _WP_MIN_SHARED as _MS
+    from week4_musemotion_spark.queries.staged_r9 import _WW as _W9
+    from week4_musemotion_spark.queries.staged_r9 import _winnow_selected
+
+    docs = load_table(spark, sf_dir, "documents")
+    jac = jaccard_pairs(docs, JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    sel = _winnow_selected(spark, sf_dir)
+    fp = (
+        sel.filter(F.col("pos") >= _W9 - 1)
+        .select("doc_id", F.shiftright("selkey", 20).alias("ph"))
+        .distinct()
+    )
+    wp = (
+        fp.select(F.col("doc_id").alias("doc_a"), "ph")
+        .join(fp.select(F.col("doc_id").alias("doc_b"), "ph"), "ph")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = jac.join(wp, ["doc_a", "doc_b"], "left").select(
+        F.coalesce("shared", F.lit(0)).alias("shared")
+    )
+    n = F.count(F.lit(1))
+    caught1 = F.sum(F.when(F.col("shared") >= 1, 1).otherwise(0))
+    return j.agg(
+        n.cast("long").alias("jaccard_pairs"),
+        caught1.cast("long").alias("caught_1"),
+        F.sum(F.when(F.col("shared") >= _MS, 1).otherwise(0)).cast("long").alias("caught_min"),
+        int_div_trunc(dec(caught1) * 1_000_000, F.greatest(n, F.lit(1))).alias("recall_1_ppm"),
+        F.min("shared").cast("long").alias("min_shared"),
     )

@@ -118,22 +118,24 @@ def _gram_sql(n: int, cols: str = "doc_id", prefix: str = "") -> str:
           FROM {prefix}tok WHERE len(ts) >= {n})"""
 
 
-def _winnow_sel_sql() -> str:
+def _winnow_sel_sql(prefix: str = "") -> str:
     """Shared oracle CTE chain: documents → gram stream with
     positions → packed keys → per-window min (``sel(doc_id, source,
     pos, selkey)``).  DuckDB zips the two unnests in one SELECT
-    (lockstep expansion), which is exactly Spark's posexplode."""
+    (lockstep expansion), which is exactly Spark's posexplode.
+    ``prefix`` namespaces every CTE for composition with chains that
+    also tokenize (forwarded to :func:`_gram_sql`)."""
     h = stable_hash64_sql("s")
-    return f"""{_gram_sql(_WK, cols="doc_id, source")},
-    k AS (SELECT doc_id, source, pos,
+    return f"""{_gram_sql(_WK, cols="doc_id, source", prefix=prefix)},
+    {prefix}k AS (SELECT doc_id, source, pos,
                  ({h} % {_H40}) * {_POSM}
                  + ({_POSM - 1} - CASE WHEN pos < {_POSM} THEN pos
                                        ELSE error('winnow: document exceeds the 2^20-token contract') END) AS key
-          FROM g),
-    sel AS (SELECT doc_id, source, pos,
+          FROM {prefix}g),
+    {prefix}sel AS (SELECT doc_id, source, pos,
                    min(key) OVER (PARTITION BY doc_id ORDER BY pos
                                   ROWS BETWEEN {_WW - 1} PRECEDING AND CURRENT ROW) AS selkey
-            FROM k)"""
+            FROM {prefix}k)"""
 
 
 def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
