@@ -477,8 +477,16 @@ def main() -> int:
         from week4_musemotion_spark.functions.exact import int_div_trunc as _idt
         from week4_musemotion_spark.operators.dedup import jaccard_pairs as _jp
         from week4_musemotion_spark.operators.graph import dedup_clusters as _dc
+        from week4_musemotion_spark.queries.extensions import (
+            JACCARD_THRESHOLD as _JT,
+        )
+        from week4_musemotion_spark.queries.staged_r10 import (
+            _BM25_B_E3,
+            _BM25_K1_E3,
+            _BM25_TERMS,
+        )
 
-        _terms = ("dup", "join", "scan")
+        _terms = _BM25_TERMS
         _btok = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
         _bdl = _btok.select("doc_id", F.size("ts").cast("long").alias("dl"))
         _bn = _btok.agg(
@@ -502,12 +510,16 @@ def main() -> int:
             )
         )
         _bden = F.col("tf") * 1000 + _idt(
-            F.lit(1200) * (F.lit(250) + _idt(F.lit(750) * F.col("r_e3"), F.lit(1000))),
+            F.lit(_BM25_K1_E3)
+            * (F.lit(1000 - _BM25_B_E3) + _idt(F.lit(_BM25_B_E3) * F.col("r_e3"), F.lit(1000))),
             F.lit(1000),
         )
         bm25 = (
             _bsc.select(
-                "doc_id", _idt(_dec(F.col("idf_int")) * F.col("tf") * 2200, _bden).alias("c")
+                "doc_id",
+                _idt(
+                    _dec(F.col("idf_int")) * F.col("tf") * (_BM25_K1_E3 + 1000), _bden
+                ).alias("c"),
             )
             .groupBy("doc_id")
             .agg(F.sum("c").alias("score"), F.count(F.lit(1)).alias("hits"))
@@ -520,7 +532,7 @@ def main() -> int:
         # pattern) — timing only the final plan would hide the CC cost
         if only is None or "effective_tokens_cc_join" in only:
             t0 = time.perf_counter()
-            _cl = _dc(_jp(docs, 0.8))
+            _cl = _dc(_jp(docs, _JT))
             _csz = _cl.groupBy("keep_id").agg(F.count(F.lit(1)).alias("csize"))
             _mem = _cl.join(_csz, "keep_id").select("doc_id", "csize")
             efftok = (

@@ -617,18 +617,25 @@ def q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: both pair sets are bucketed equi-joins (shingle buckets /
     print buckets), the comparison is one left join on the tiny true
     pair set, and the report is a single row."""
-    from week4_musemotion_spark.queries.staged_r9 import _WP_MIN_SHARED as _MS
-    from week4_musemotion_spark.queries.staged_r9 import _WW as _W9
     from week4_musemotion_spark.queries.staged_r9 import _winnow_selected
 
     docs = load_table(spark, sf_dir, "documents")
     jac = jaccard_pairs(docs, JACCARD_THRESHOLD).select("doc_a", "doc_b")
     sel = _winnow_selected(spark, sf_dir)
     fp = (
-        sel.filter(F.col("pos") >= _W9 - 1)
+        sel.filter(F.col("pos") >= _WW - 1)
         .select("doc_id", F.shiftright("selkey", 20).alias("ph"))
         .distinct()
     )
+    # only prints of docs that appear in the (tiny) true pair set can
+    # contribute a consumed row, so semi-join BEFORE the print
+    # self-join — without it boilerplate prints fan out over the whole
+    # corpus even though the left join reads only |jac| pairs (values
+    # identical either way; the oracle keeps the unrestricted spec)
+    cand = jac.select(F.col("doc_a").alias("doc_id")).union(
+        jac.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    fp = fp.join(cand, "doc_id", "left_semi")
     wp = (
         fp.select(F.col("doc_id").alias("doc_a"), "ph")
         .join(fp.select(F.col("doc_id").alias("doc_b"), "ph"), "ph")
@@ -640,11 +647,16 @@ def q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("shared", F.lit(0)).alias("shared")
     )
     n = F.count(F.lit(1))
-    caught1 = F.sum(F.when(F.col("shared") >= 1, 1).otherwise(0))
+    # coalesce: a pair-free corpus must report 0, not NULL (the
+    # oracle's count(*) FILTER yields 0 on empty input)
+    caught1 = F.coalesce(F.sum(F.when(F.col("shared") >= 1, 1).otherwise(0)), F.lit(0))
+    caught_min = F.coalesce(
+        F.sum(F.when(F.col("shared") >= _WP_MIN_SHARED, 1).otherwise(0)), F.lit(0)
+    )
     return j.agg(
         n.cast("long").alias("jaccard_pairs"),
         caught1.cast("long").alias("caught_1"),
-        F.sum(F.when(F.col("shared") >= _MS, 1).otherwise(0)).cast("long").alias("caught_min"),
+        caught_min.cast("long").alias("caught_min"),
         int_div_trunc(dec(caught1) * 1_000_000, F.greatest(n, F.lit(1))).alias("recall_1_ppm"),
         F.min("shared").cast("long").alias("min_shared"),
     )
