@@ -86,8 +86,11 @@ _RBO_COEF_SQL = "CASE d " + " ".join(
 
 
 def _ranked_oracle(name: str) -> str:
-    """Wrap a registered top-k oracle (ordered SELECT) with a dense
-    rank column — nested WITH keeps its CTE names scoped."""
+    """Wrap a registered top-k oracle (ordered SELECT) with a
+    row_number rank — deliberately NOT dense_rank: ties must map to
+    DISTINCT depths or a depth-d prefix would hold more than d docs
+    and overcount X_d past the RBO ceiling.  Nested WITH keeps the
+    wrapped oracle's CTE names scoped."""
     return f"""SELECT doc_id,
                row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
         FROM ({REGISTRY[name].oracle})"""
@@ -118,7 +121,7 @@ def _ranked_oracle(name: str) -> str:
     """,
 )
 def q_rank_overlap_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-biased overlap between BM25 and tf·idf top-{_RBO_K}
+    """Rank-biased overlap between BM25 and tf·idf top-20
     retrieval (p = 0.9, RBO_min over truncated lists): head-weighted
     agreement — swapping ranks 1 and 2 moves it far more than
     swapping 19 and 20, which plain overlap@k cannot see.  The
@@ -134,7 +137,7 @@ def q_rank_overlap_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanity bound).
 
     Plan: both rankings are top-k TakeOrderedAndProject pipelines;
-    the comparison is a ≤k×k join plus a {_RBO_K}-row grid —
+    the comparison is a ≤k×k join plus a 20-row grid —
     driver-free and constant-size beyond the two retrieval scans."""
     from week4_musemotion_spark.queries.pipeline_ops import q_doc_search
     from week4_musemotion_spark.queries.staged_r10 import q_bm25_topk
@@ -142,7 +145,16 @@ def q_rank_overlap_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.orderBy(F.desc("score"), "doc_id")
     a = q_bm25_topk(spark, sf_dir).select("doc_id", F.row_number().over(wr).alias("ra"))
     b = q_doc_search(spark, sf_dir).select("doc_id", F.row_number().over(wr).alias("rb"))
-    c = a.join(b, "doc_id").select(F.greatest("ra", "rb").alias("m"))
+    # ONE full-outer merge feeds both the prefix-overlap branch and
+    # the list-size counts; localCheckpoint pins the <= 2k rows so
+    # neither branch re-executes a retrieval pipeline (branch-reuse,
+    # SCALING.md) — the query costs exactly two retrieval scans
+    merged = a.join(b, "doc_id", "full_outer").select("ra", "rb").localCheckpoint(
+        eager=False
+    )
+    c = merged.filter(F.col("ra").isNotNull() & F.col("rb").isNotNull()).select(
+        F.greatest("ra", "rb").alias("m")
+    )
     grid = spark.range(1, _RBO_K + 1).select(F.col("id").cast("int").alias("d"))
     x = (
         grid.join(c, c["m"] <= grid["d"], "left")
@@ -157,11 +169,11 @@ def q_rank_overlap_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(dec(coef) * F.col("xd")), F.lit(0)).alias("num"),
         F.max(F.when(F.col("d") == _RBO_K, F.col("xd"))).alias("overlap_k"),
     )
-    na = a.agg(F.count(F.lit(1)).alias("n_bm25"))
-    nb = b.agg(F.count(F.lit(1)).alias("n_tfidf"))
+    counts = merged.agg(
+        F.count("ra").alias("n_bm25"), F.count("rb").alias("n_tfidf")
+    )
     return (
-        s.crossJoin(na)  # 1-row × 1-row
-        .crossJoin(nb)
+        s.crossJoin(counts)  # 1-row × 1-row
         .select(
             F.col("n_bm25").cast("long"),
             F.col("n_tfidf").cast("long"),
@@ -248,7 +260,7 @@ _SR_REPS_SQL = "2 + doc_id % 3"
 )
 def q_self_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal repeated substrings WITHIN each document: self-matches
-    of {_SR_N}-gram hashes at distinct positions, collapsed along the
+    of 6-gram hashes at distinct positions, collapsed along the
     position-shift diagonal by gaps-and-islands — a doc that repeats
     a sentence k times shows a long run at shift = sentence length.
     This is the loop/template-generation signal inside ONE document
@@ -257,8 +269,11 @@ def q_self_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeat's cycle length in tokens.
 
     Plan: one gram explode → per-(doc, gram) occurrence count (the
-    2..{_SR_MAXOCC} band kills unique grams AND the degenerate
-    all-same-gram case — q_repetition owns that one) → within-doc
+    2..16 band kills unique grams and defers LONG degenerate docs —
+    22+ identical tokens push a gram past 16 occurrences — to
+    q_repetition's mass ratios; a SHORT degenerate doc of 7–21
+    identical tokens stays in-band and honestly reports
+    min_period = 1) → within-doc
     position self-join → one window + two aggregates, all keyed by
     (doc_id, shift); everything after the explode shuffles 8-byte
     hashes on doc-local keys.  LIMIT rides a total order."""
