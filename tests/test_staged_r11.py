@@ -54,15 +54,17 @@ def test_rbo_coefficients_are_exact():
 def test_self_repetition_runs_matches_oracle(spark):
     got = _diff(spark, "q_self_repetition_runs")
     # the synthesized loop (doc_id % 5 == 0, block of 8 repeated)
-    # guarantees positives: 100 of sf0.001's 500 docs, capped at the
-    # report's top-100
-    assert len(got) == 100, len(got)
-    assert (got.doc_id % 5 == 0).all()
+    # guarantees positives; a future regenerated corpus could add
+    # ORGANIC repeats (short degenerate docs stay in the occurrence
+    # band by design), so pin the planted subset, not exclusivity
+    assert len(got) == 100, len(got)  # top-100 cap reached
     assert (got.longest_repeat_tokens >= 7).all()  # >= n+1 by 2-gram min
+    planted = got[got.doc_id % 5 == 0]
+    assert len(planted) > 0
     # the planted cycle length is the 8-token block (shorter docs can
     # produce a shorter period when the doc itself is < 8 tokens)
-    assert (got.min_period <= 8).all()
-    assert got.min_period.max() == 8
+    assert (planted.min_period <= 8).all()
+    assert planted.min_period.max() == 8
     assert (got.n_runs >= 1).all()
 
 
