@@ -142,6 +142,9 @@ def q_rank_overlap_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.queries.pipeline_ops import q_doc_search
     from week4_musemotion_spark.queries.staged_r10 import q_bm25_topk
 
+    # unpartitioned window = single partition by design: it ranks a
+    # LIMIT-20 subtree (Spark's WindowExec warning is about unbounded
+    # inputs; this one is constant-size at any corpus scale)
     wr = Window.orderBy(F.desc("score"), "doc_id")
     a = q_bm25_topk(spark, sf_dir).select("doc_id", F.row_number().over(wr).alias("ra"))
     b = q_doc_search(spark, sf_dir).select("doc_id", F.row_number().over(wr).alias("rb"))
