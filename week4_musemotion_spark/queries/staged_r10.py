@@ -620,7 +620,17 @@ def q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.queries.staged_r9 import _winnow_selected
 
     docs = load_table(spark, sf_dir, "documents")
-    jac = jaccard_pairs(docs, JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    # branch-reuse pins (SCALING.md): jac feeds the candidate set
+    # (twice, via the union), the final left join, and the report —
+    # and fp self-joins against itself; without lineage truncation
+    # Catalyst re-plans the whole jaccard/winnow pipeline once per
+    # branch (measured: 84 scans / 109 exchanges unpinned vs one
+    # pipeline each pinned)
+    jac = (
+        jaccard_pairs(docs, JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     sel = _winnow_selected(spark, sf_dir)
     fp = (
         sel.filter(F.col("pos") >= _WW - 1)
@@ -635,7 +645,7 @@ def q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = jac.select(F.col("doc_a").alias("doc_id")).union(
         jac.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
-    fp = fp.join(cand, "doc_id", "left_semi")
+    fp = fp.join(cand, "doc_id", "left_semi").localCheckpoint(eager=False)
     wp = (
         fp.select(F.col("doc_id").alias("doc_a"), "ph")
         .join(fp.select(F.col("doc_id").alias("doc_b"), "ph"), "ph")
