@@ -189,8 +189,14 @@ def gram_exact(df: DataFrame, vec_col: str) -> DataFrame:
             "i",
             "j",
             n_guarded.alias("n"),
+            # STRING output, not decimal: decimal(38,0) is driver-hash
+            # hostile (DuckDB's client renders DECIMAL(38,0) as float64,
+            # Spark as decimal.Decimal — equal values, unequal hashes).
+            # The exact integer's decimal-digit string is render-stable
+            # on every engine; arithmetic stays decimal internally.
             (dec(n_guarded) * F.col("s") - F.col("sx_i") * F.col("sx_j"))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("cov_num"),
         )
     )

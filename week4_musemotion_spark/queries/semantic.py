@@ -681,7 +681,7 @@ def q_crossmodal_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
     SELECT m.i, m.j, t.n,
-           CAST(CAST(t.n AS HUGEINT) * m.sxy - li.sx * lj.sx AS DECIMAL(38,0)) AS cov_num
+           CAST(CAST(t.n AS HUGEINT) * m.sxy - li.sx * lj.sx AS VARCHAR) AS cov_num
     FROM m JOIN l li ON li.i = m.i JOIN l lj ON lj.i = m.j CROSS JOIN t
     """,
 )
@@ -689,8 +689,11 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact covariance numerator of the embedding corpus, one row
     per unordered dim pair: cov_num = n*sum(q_i*q_j) - sum(q_i)*
     sum(q_j) over e6-quantized values (n^2 x covariance, exact
-    decimal(38,0) integers — partition order cannot perturb it, and
-    a long would already wrap at 100 TB row counts).  This is the
+    decimal(38,0) integers internally — partition order cannot
+    perturb it, and a long would already wrap at 100 TB row counts;
+    EMITTED as the integer's digit STRING because decimal output
+    columns are driver-hash hostile: DuckDB's client renders
+    DECIMAL(38,0) as float64, Spark as decimal.Decimal).  This is the
     sufficient-statistics audit behind the PCA/whitening operator
     (``operators/linalg.pca_fit``): the float eigensolve is not
     SQL-expressible, but its d^2 inputs are, so THIS is the query
