@@ -26,3 +26,7 @@ from week4_musemotion_spark.queries import mixing  # noqa: E402,F401
 from week4_musemotion_spark.queries import textmix  # noqa: E402,F401
 from week4_musemotion_spark.queries import semantic  # noqa: E402,F401
 from week4_musemotion_spark.queries import gatelog  # noqa: E402,F401
+
+# Round-7 activation: the staged r7 wave (pre-built + 3-SF
+# differential-tested in round 6; see QUERIES.md and staged_r7.py).
+from week4_musemotion_spark.queries import staged_r7  # noqa: E402,F401
