@@ -31,6 +31,10 @@ _CANARIES = (
     "q_text_quality",
     "q_dedup_clusters",
     "q_jaccard_simjoin",
+    # staged-wave canary: snapshotted via audit_plans --staged, so a
+    # plan pathology in a not-yet-activated wave fails pytest at
+    # build time, not at activation time
+    "q_winnow_pairs",
 )
 
 
@@ -45,7 +49,7 @@ def _latest_snapshot() -> dict:
 
 def test_canary_plan_shapes_match_snapshot(spark):
     from week4_musemotion_spark.plans.audit import plan_string
-    from week4_musemotion_spark.queries import REGISTRY
+    from week4_musemotion_spark.queries import REGISTRY, staged_r11  # noqa: F401  (chains r10 -> r9: registers staged canaries)
     from tools.audit_plans import plan_metrics
 
     snap = _latest_snapshot()

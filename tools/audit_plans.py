@@ -2,7 +2,12 @@
 physical plan (shuffles, joins, top-k fusion, codegen, scans) so a
 pathological plan stands out at a glance.
 
-Usage: python tools/audit_plans.py [sf_dir] [--json]
+Usage: python tools/audit_plans.py [sf_dir] [--json] [--staged]
+
+``--staged`` also imports every ``queries/staged_*.py`` wave before
+reading the registry, so not-yet-activated queries get the same plan
+snapshot/diff coverage as registered ones — a plan pathology in a
+staged wave is caught at build time, not at activation time.
 
 ``--json`` emits one JSON object of per-query plan metrics counted
 on the SIMPLE plan (each node appears once — the table mode's
@@ -39,13 +44,34 @@ def plan_metrics(p: str) -> dict[str, int]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--json"]
+    flags = {"--json", "--staged"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     as_json = "--json" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from week4_musemotion_spark.plans.audit import plan_string
     from week4_musemotion_spark.queries import REGISTRY
     from week4_musemotion_spark.session import get_spark
+
+    if "--staged" in sys.argv[1:]:
+        # wave imports chain (r11 -> r10 -> r9); importing every
+        # module is idempotent and registers whatever is not yet live
+        import glob
+        import importlib
+        import os
+
+        for p in sorted(
+            glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "week4_musemotion_spark",
+                    "queries",
+                    "staged_*.py",
+                )
+            )
+        ):
+            mod = os.path.splitext(os.path.basename(p))[0]
+            importlib.import_module(f"week4_musemotion_spark.queries.{mod}")
 
     spark = get_spark("audit-plans")
     out: dict[str, dict[str, int]] = {}

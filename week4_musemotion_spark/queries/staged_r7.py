@@ -264,6 +264,9 @@ def q_stopword_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.operators.sketches import heavy_hitters
 
     d = load_table(spark, sf_dir, "documents")
+    # not spread: token explode + counting is light per input row —
+    # the doc redistribution exchange costs more than it saves here
+    # (round-7 A/B, see SCALING.md)
     tok = d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
     hh = heavy_hitters(tok.select("term"), "term", den=512).select("term").withColumn(
         "is_hh", F.lit(1)

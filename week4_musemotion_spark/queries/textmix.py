@@ -428,5 +428,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.operators.sketches import heavy_hitters
 
     d = load_table(spark, sf_dir, "documents")
+    # deliberately NOT spread: the explode+MG pass is light per input
+    # row, so redistributing the documents costs more than the serial
+    # pass saves (round-7 A/B: 1.1 s unspread vs 1.5-2.8 s spread at
+    # sf0.1); at production widths the scan parallelizes itself
     tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
     return heavy_hitters(tok, "term", den=512)

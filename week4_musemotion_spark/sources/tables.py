@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,10 +40,78 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         df.createOrReplaceTempView(name)
 
 
+#: Logical-plan node names that imply an exchange (or an explode)
+#: somewhere below — a round-robin repartition ABOVE such a node
+#: cannot parallelize the narrow scan underneath it (the exchange
+#: already did, for everything downstream of itself); it only adds
+#: a shuffle.  Measured round 7: spread() on the already-shuffled
+#: pairs/incremental frames cost +0.4-1.4 s per query at sf0.1.
+_WIDE_MARKERS = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Repartition",
+    "Generate",
+    "Deduplicate",
+    "GlobalLimit",
+)
+
+
+@functools.lru_cache(maxsize=4096)
+def _row_groups(path: str) -> int:
+    """Parquet footer row-group count (local paths), cached.
+
+    Row groups — not files, not split knobs — bound a parquet scan's
+    achievable parallelism: splits beyond the row-group start are
+    empty (SCALING.md round-4 note)."""
+    local = path
+    for prefix in ("file://", "file:"):
+        if local.startswith(prefix):
+            local = local[len(prefix):]
+            break
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(local).metadata.num_row_groups
+    except Exception:
+        return 1  # unreadable footer (remote FS, non-parquet): assume narrow
+
+
+def scan_width(df: DataFrame, probe_cap: int = 64) -> int | None:
+    """Achievable scan parallelism of a narrow (scan+project/filter)
+    frame, or None when the frame is already wide / not file-backed.
+
+    Decision inputs are pure metadata — the analyzed logical plan
+    string (no physical planning) and parquet footers (cached) — so
+    the per-call driver cost is ~10 ms, vs ~45 ms for the
+    ``df.rdd.getNumPartitions()`` physical-planning pass this
+    replaces (which the round-6 bench charged to every CPU-heavy
+    query build)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        # node names sit at the start of each tree line, after the
+        # ":  +- " scaffolding — match there, not anywhere in the
+        # line, so a column literally named e.g. "sort_key" can't
+        # flip the decision
+        for line in plan.splitlines():
+            node = line.lstrip(" :+-")
+            if node.startswith(_WIDE_MARKERS):
+                return None
+        paths = df.inputFiles()
+    except Exception:
+        return None
+    if not paths:
+        return None  # LocalRelation/RDD-backed: partitions already track parallelism
+    if len(paths) >= probe_cap:
+        return len(paths)  # plenty of files — footers can only raise the width
+    return sum(_row_groups(p) for p in paths)
+
+
 def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism`` when the
-    input has too few partitions to parallelize CPU-heavy downstream
-    work (shingling, hashing, Arrow kernels).
+    input is a genuinely narrow file scan feeding CPU-heavy work
+    (shingling, hashing, Arrow kernels).
 
     Why: a single-file/single-row-group parquet scan is ONE task no
     matter the split knobs (splits beyond the row-group start are
@@ -51,12 +120,26 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     shuffle; worse, the shuffle WRITE of the exploded stream is also
     that one task.  Redistributing the small pre-explosion rows first
     costs one trivial shuffle and lets every core work (measured 8×
-    on sf0.1 shingle hashing).  At production scale (many files /
-    row groups) the scan is already wide and this is a no-op — the
-    conditional keeps it from adding exchanges where parallelism
-    exists."""
+    on sf0.1 shingle hashing).
+
+    Two guards keep it from hurting where it can't help:
+
+    - frames that already contain a shuffle-inducing node (join,
+      aggregate, window, …) are returned untouched — a repartition
+      above an exchange cannot parallelize the narrow scan below it,
+      it only adds a shuffle (round-7 isolation: +0.4-1.4 s/query);
+    - the narrow-scan width comes from parquet FOOTER metadata
+      (cached), not a ``df.rdd`` physical-planning pass (~45 ms per
+      query build on the driver).
+
+    At production scale (many files / row groups) the scan is already
+    wide and this is a no-op.  ``SPARK_GRAFT_NO_SPREAD=1`` disables
+    it entirely (A/B isolation switch)."""
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= target:
+    width = scan_width(df)
+    if width is not None and width * min_factor <= target:
         return df.repartition(target)
     return df
