@@ -524,9 +524,12 @@ def cms_sketch(
     membership).
 
     Layout: one row per NON-ZERO cell ``(*group_cols, j, pos, cnt,
-    w)`` with ``pos = hash_j(value) & (width-1)`` for each of
-    ``depth`` seeded hashes; ``w`` carries the build width so
-    :func:`cms_lookup` can reject a mismatched sketch.  State is at
+    w, d)`` with ``pos = hash_j(value) & (width-1)`` for each of
+    ``depth`` seeded hashes; ``w`` and ``d`` carry the build width
+    and depth so :func:`cms_lookup` can reject a mismatched sketch
+    in EITHER dimension (looking up with a larger depth than built
+    would make the extra j rows miss every cell and min to 0 — a
+    silent break of the never-below-true-count guarantee).  State is at
     most ``depth × width`` rows per group regardless of stream size;
     two sketches merge by summing cells (:func:`cms_merge`); NULL
     values contribute nothing.  Estimates are the classic min over
@@ -548,6 +551,7 @@ def cms_sketch(
         .groupBy(*group_cols, "j", "pos")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("w", F.lit(width).cast("int"))
+        .withColumn("d", F.lit(depth).cast("int"))
     )
 
 
@@ -558,9 +562,9 @@ def cms_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
     result."""
     return (
         a.unionByName(b)
-        .groupBy(*group_cols, "j", "pos", "w")
+        .groupBy(*group_cols, "j", "pos", "w", "d")
         .agg(F.sum("cnt").alias("cnt"))
-        .select(*group_cols, "j", "pos", "cnt", "w")
+        .select(*group_cols, "j", "pos", "cnt", "w", "d")
     )
 
 
@@ -574,9 +578,12 @@ def cms_lookup(
 ) -> DataFrame:
     """Point-frequency estimates for every row of ``terms``:
     ``(*group_cols, term_col, cms_est)`` with ``cms_est = min_j
-    cnt[j][hash_j(term)]`` (absent cells read 0).  ``terms`` is
-    expected to be small (it is broadcast onto the sketch); the
-    sketch side is at most depth × width rows per group."""
+    cnt[j][hash_j(term)]`` (absent cells read 0).  The SKETCH side is
+    broadcast: it is compact by construction (at most depth × width
+    non-zero cells per group), and broadcasting the build side of a
+    left-outer join is the shape BroadcastHashJoin actually supports
+    — hinting the preserved (terms) side would be silently ignored
+    and fall back to a shuffle."""
     from week4_musemotion_spark.functions.hashing import stable_hash64
 
     gcols = group_cols or []
@@ -593,10 +600,12 @@ def cms_lookup(
     # geometry.  Absent cells (join miss) carry NULL w and must pass
     # — they legitimately read 0.
     w_ok = F.assert_true(
-        F.col("w").isNull() | (F.col("w") == width),
-        F.lit(f"cms_lookup: sketch was not built with width={width}"),
+        F.col("w").isNull() | ((F.col("w") == width) & (F.col("d") == depth)),
+        F.lit(
+            f"cms_lookup: sketch was not built with width={width}, depth={depth}"
+        ),
     )
-    joined = F.broadcast(tpos).join(sketch, gcols + ["j", "pos"], "left").select(
+    joined = tpos.join(F.broadcast(sketch), gcols + ["j", "pos"], "left").select(
         *gcols,
         term_col,
         "j",
@@ -623,9 +632,9 @@ def cms_fold(
     gcols = group_cols or []
     return (
         sketch.groupBy(
-            *gcols, "j", F.col("pos").bitwiseAND(new_width - 1).alias("pos")
+            *gcols, "j", "d", F.col("pos").bitwiseAND(new_width - 1).alias("pos")
         )
         .agg(F.sum("cnt").alias("cnt"))
         .withColumn("w", F.lit(new_width).cast("int"))
-        .select(*gcols, "j", "pos", "cnt", "w")
+        .select(*gcols, "j", "pos", "cnt", "w", "d")
     )

@@ -537,6 +537,9 @@ def _hll_store_fixture(spark: SparkSession, sf_dir: str) -> str:
     WITH hx AS (
         SELECT event_type, {stable_hash64_sql("CAST(user_id AS VARCHAR)")} AS h
         FROM events
+        -- mirror hll_registers' null guard: md5(NULL) is NULL in
+        -- DuckDB and would otherwise mint a NULL-bucket register row
+        WHERE user_id IS NOT NULL
     ),
     reg AS (
         SELECT event_type, h & {_HLL_M - 1} AS bucket,
