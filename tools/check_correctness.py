@@ -5,7 +5,11 @@ DuckDB oracle, then compares row count, column names, and
 order-insensitive values (sorted row tuples).  Stricter than a hash
 compare — if this passes, any reasonable value-hash also matches.
 
-Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+Usage:  python tools/check_correctness.py [sf_dir] [--staged] [query ...]
+
+``--staged`` imports every ``queries/staged_*.py`` wave first, so
+not-yet-activated queries can be differentially checked at any SF by
+name, exactly like registered ones.
 """
 
 from __future__ import annotations
@@ -37,10 +41,23 @@ def _rows(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--staged"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from week4_musemotion_spark.queries import REGISTRY
+
+    if "--staged" in sys.argv[1:]:
+        import glob
+        import importlib
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for pth in sorted(
+            glob.glob(os.path.join(root, "week4_musemotion_spark", "queries", "staged_*.py"))
+        ):
+            mod = os.path.splitext(os.path.basename(pth))[0]
+            importlib.import_module(f"week4_musemotion_spark.queries.{mod}")
     from week4_musemotion_spark.session import get_spark
 
     spark = get_spark("check-correctness")
