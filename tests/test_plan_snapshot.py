@@ -49,8 +49,10 @@ def _latest_snapshot() -> dict:
 
 def test_canary_plan_shapes_match_snapshot(spark):
     from week4_musemotion_spark.plans.audit import plan_string
-    from week4_musemotion_spark.queries import REGISTRY, staged_r11  # noqa: F401  (chains r10 -> r9: registers staged canaries)
+    from week4_musemotion_spark.queries import REGISTRY, import_staged
     from tools.audit_plans import plan_metrics
+
+    import_staged()  # registers staged canaries (all waves, not just one chain)
 
     snap = _latest_snapshot()
     mismatches = {}

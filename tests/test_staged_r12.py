@@ -95,7 +95,8 @@ def test_repetition_simpson_flags_planted_degenerate_doc(spark):
 def test_watermark_audit_matches_oracle_and_grid_semantics(spark):
     got = _diff(spark, "q_watermark_audit", ("events",))
     # lateness must be monotone non-increasing in the delay, and the
-    # 300s row must be exactly zero (jitter bound is 120s)
+    # 4h row must be exactly zero (lateness is bounded by the 4h
+    # jitter span)
     for et, grp in got.groupby("event_type"):
         g = grp.sort_values("delay_s")
         assert (g.n_late.diff().dropna() <= 0).all(), (et, g)

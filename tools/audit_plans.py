@@ -54,24 +54,9 @@ def main() -> int:
     from week4_musemotion_spark.session import get_spark
 
     if "--staged" in sys.argv[1:]:
-        # wave imports chain (r11 -> r10 -> r9); importing every
-        # module is idempotent and registers whatever is not yet live
-        import glob
-        import importlib
-        import os
+        from week4_musemotion_spark.queries import import_staged
 
-        for p in sorted(
-            glob.glob(
-                os.path.join(
-                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "week4_musemotion_spark",
-                    "queries",
-                    "staged_*.py",
-                )
-            )
-        ):
-            mod = os.path.splitext(os.path.basename(p))[0]
-            importlib.import_module(f"week4_musemotion_spark.queries.{mod}")
+        import_staged()
 
     spark = get_spark("audit-plans")
     out: dict[str, dict[str, int]] = {}

@@ -41,23 +41,23 @@ def _rows(rows, cols):
 
 
 def main() -> int:
+    import os
+
     argv = [a for a in sys.argv[1:] if a != "--staged"]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    # sf_dir is optional BEFORE query names: only an arg that is an
+    # actual directory is taken as sf_dir, so omitting it cannot
+    # silently consume the first query name as a data path
+    if argv and os.path.isdir(argv[0]):
+        sf_dir, only = argv[0], set(argv[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(argv)
 
     from week4_musemotion_spark.queries import REGISTRY
 
     if "--staged" in sys.argv[1:]:
-        import glob
-        import importlib
-        import os
+        from week4_musemotion_spark.queries import import_staged
 
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        for pth in sorted(
-            glob.glob(os.path.join(root, "week4_musemotion_spark", "queries", "staged_*.py"))
-        ):
-            mod = os.path.splitext(os.path.basename(pth))[0]
-            importlib.import_module(f"week4_musemotion_spark.queries.{mod}")
+        import_staged()
     from week4_musemotion_spark.session import get_spark
 
     spark = get_spark("check-correctness")

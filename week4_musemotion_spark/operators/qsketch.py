@@ -70,15 +70,11 @@ def log_bucket_sql(expr: str) -> str:
 
 
 def bucket_bounds() -> list[tuple[int, int]]:
-    """``(bucket, lower_bound)`` decode pairs for every encodable
-    bucket, precomputed in Python big-int arithmetic — ONE source
-    renders into both engines (broadcast table Spark-side, literal
-    CTE oracle-side), the same pattern as the RBO coefficient table."""
-    out = [(v, v) for v in range(4)]
-    for blen in range(3, 64):
-        for sub in range(4):
-            out.append((4 * blen + sub, (1 << (blen - 1)) + sub * (1 << (blen - 3))))
-    return out
+    """``(bucket, lower_bound)`` decode pairs — a projection of
+    :func:`bucket_bounds_full`, the ONE generator of the bucket
+    geometry (precomputed in Python big-int arithmetic; one source
+    renders into both engines, the RBO-coefficient-table pattern)."""
+    return [(b, lb) for b, lb, _ in bucket_bounds_full()]
 
 
 def bucket_bounds_full() -> list[tuple[int, int, int]]:
@@ -121,7 +117,7 @@ def bucket_lb_table(df_or_spark) -> DataFrame:
 
 def bucket_lb_sql_cte() -> str:
     """``lbt(bucket, lb)`` as a DuckDB CTE body (unnest of the
-    Python-precomputed pairs)."""
+    Python-precomputed pairs, same generator as the full table)."""
     pairs = bucket_bounds()
     bs = ", ".join(str(b) for b, _ in pairs)
     ls = ", ".join(str(lb) for _, lb in pairs)
@@ -134,10 +130,22 @@ def bucket_lb_sql_cte() -> str:
 def bucket_counts(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
     """The sketch build: ``(*group_cols, bucket, cnt)`` — one grouped
     count, NULL values contribute nothing.  Two sketches merge by
-    summing ``cnt`` per bucket."""
+    summing ``cnt`` per bucket.
+
+    NEGATIVE values fail the job instead of vanishing: a negative
+    long's two's-complement ``bin()`` would map to bucket ids absent
+    from the decode table, and the readout join would silently drop
+    those rows from both ``cum`` and ``n`` — identically on both
+    engines, i.e. the one failure mode the differential oracle
+    cannot catch.  (``F.assert_true`` must ride a USED expression or
+    Catalyst prunes it — hence the ``when`` wrap.)"""
+    v = F.col(value_col)
+    ok = F.assert_true(
+        v >= 0, F.lit(f"bucket_counts: negative value in {value_col!r}")
+    )
     return (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*group_cols, log_bucket(F.col(value_col)).alias("bucket"))
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, F.when(ok.isNull(), log_bucket(v)).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -205,10 +213,15 @@ def quantiles_sql(
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                sum(cnt) OVER ({part.strip() if part else ''}) AS n
         FROM (
-            SELECT {gq}{log_bucket_sql(value_expr)} AS bucket, count(*) AS cnt
-            FROM {source_cte}
-            WHERE ({value_expr}) IS NOT NULL
-            GROUP BY {gq}{log_bucket_sql(value_expr)}
+            SELECT {gq}bucket, count(*) AS cnt
+            FROM (
+                SELECT {gq}CASE WHEN ({value_expr}) < 0
+                            THEN error('bucket_counts: negative value')
+                            ELSE {log_bucket_sql(value_expr)} END AS bucket
+                FROM {source_cte}
+                WHERE ({value_expr}) IS NOT NULL
+            )
+            GROUP BY {gq}bucket
         ) c JOIN {bucket_lb_sql_cte()} lbt ON c.bucket = lbt.bucket
     )
     {f'GROUP BY {g}' if g else ''}

@@ -30,3 +30,19 @@ from week4_musemotion_spark.queries import gatelog  # noqa: E402,F401
 # Round-7 activation: the staged r7 wave (pre-built + 3-SF
 # differential-tested in round 6; see QUERIES.md and staged_r7.py).
 from week4_musemotion_spark.queries import staged_r7  # noqa: E402,F401
+
+
+def import_staged() -> None:
+    """Import every ``staged_*.py`` wave (idempotent), registering its
+    queries as a side effect — the ONE definition of how staged waves
+    load, shared by the tools' ``--staged`` flags and test canaries
+    (the per-wave import chains cover only r9+; r8 hangs off the
+    now-active r7, so a chain import alone would miss it)."""
+    import glob
+    import importlib
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "staged_*.py"))):
+        mod = os.path.splitext(os.path.basename(path))[0]
+        importlib.import_module(f"week4_musemotion_spark.queries.{mod}")

@@ -23,10 +23,11 @@ streaming-semantics tuning + LSH parameter tuning:
   in exact integers (complement of q_repetition's ratio family).
 - q_watermark_audit — watermark-delay tuning: replay events in a
   DETERMINISTIC simulated out-of-order arrival (portable-hash
-  jitter, 0-2 min — the testdata arrives perfectly ts-ordered, so
-  honest lateness must be synthesized, same pattern as
-  q_pii_scrub's planted PII) and count, per watermark delay on a
-  grid, the events a Structured-Streaming watermark would drop.
+  jitter, 0-4 h: the testdata arrives perfectly ts-ordered with
+  multi-hour per-type gaps, so honest lateness must be synthesized
+  above the gap scale — the q_pii_scrub planted-pathology pattern)
+  and count, per watermark delay on a grid, the events a
+  Structured-Streaming watermark would drop.
 - q_gap_histogram — inter-event user gap histogram on log buckets
   with a cumulative-share column: the session-timeout tuning curve
   (pick the knee where cum_ppm flattens).
@@ -344,13 +345,15 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts-ordered (zero natural lateness — a dead signal), so the audit
     REPLAYS the stream under a deterministic simulated network: each
     event's arrival position is its event time plus a portable-hash
-    jitter in [0, 120 s) — synthesized pathology, engine-identical
-    on both sides (the q_pii_scrub pattern).  An event is late when
-    its event time precedes the running max event time of earlier
-    ARRIVALS minus the delay — exactly the max-event-time watermark
-    Structured Streaming maintains.  The 300 s row must read 0 (the
-    jitter bound is 120 s): a built-in certificate that the replay
-    and the accounting agree.
+    jitter in [0, 4 h) — above the stream's multi-hour per-type gap
+    scale, else nothing ever reorders; synthesized pathology,
+    engine-identical on both sides (the q_pii_scrub pattern).  An
+    event is late when its event time precedes the running max event
+    time of earlier ARRIVALS minus the delay — exactly the
+    max-event-time watermark Structured Streaming maintains.  The
+    4 h row must read 0 (lateness is strictly bounded by the jitter
+    span): a built-in certificate that the replay and the accounting
+    agree.
 
     Scale shape: one scan, one per-type ordered window (running
     max — partition-parallel), a 3-row broadcast grid, one grouped
