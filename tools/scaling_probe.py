@@ -552,6 +552,38 @@ def main() -> int:
                 time.perf_counter() - t0, 2
             )
 
+        # round-7 shapes: the log-bucket quantile sketch (corpus
+        # collapses to <= ~260 bucket rows per group in ONE grouped
+        # count — must be scan-linear with a flat readout) and the
+        # source TV-distance (count-table self-join on term: per-term
+        # fanout is sources^2, so growth must track token volume,
+        # never corpus^2).
+        from week4_musemotion_spark.operators.qsketch import (
+            bucket_counts as _qbc,
+            quantiles_from_counts as _qfc,
+        )
+
+        qsk = _qfc(
+            _qbc(docs.select("source", F.length("text").alias("v")), ["source"], "v"),
+            ["source"],
+        )
+        _tvt = docs.select("source", F.explode(_tokens(F.col("text"))).alias("term"))
+        _tvc = _tvt.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+        _tvc = _tvc.localCheckpoint(eager=False)
+        _tvn = _tvc.groupBy("source").agg(F.sum("cnt").alias("nn"))
+        tvd = (
+            _tvc.select(F.col("source").alias("sa"), "term", F.col("cnt").alias("ca"))
+            .join(
+                _tvc.select(F.col("source").alias("sb"), "term", F.col("cnt").alias("cb")),
+                "term",
+            )
+            .filter(F.col("sa") < F.col("sb"))
+            .join(F.broadcast(_tvn.select(F.col("source").alias("sa"), F.col("nn").alias("na"))), "sa")
+            .join(F.broadcast(_tvn.select(F.col("source").alias("sb"), F.col("nn").alias("nb"))), "sb")
+            .groupBy("sa", "sb")
+            .agg(F.sum(F.abs(_dec(F.col("ca")) * F.col("nb") - _dec(F.col("cb")) * F.col("na"))).alias("sabs"))
+        )
+
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -577,6 +609,8 @@ def main() -> int:
             ("winnow_select_window", winnow),
             ("substring_runs_dfcap_join", rmt),
             ("bm25_fixed_point", bm25),
+            ("qsketch_quantiles", qsk),
+            ("tv_distance_pairs", tvd),
         ]:
             if only is not None and shape not in only:
                 continue
