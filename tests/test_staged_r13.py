@@ -1,0 +1,64 @@
+"""Round-13 staged queries (queries/staged_r13.py — not yet imported
+by queries/__init__): full Spark-vs-DuckDB differential checks here,
+so activation ships with evidence already in hand."""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import staged_diff
+
+
+def _diff(spark, name, tables):
+    from week4_musemotion_spark.queries import staged_r13  # noqa: F401 — registers
+
+    return staged_diff(spark, name, tables)
+
+
+def test_stream_len_quantiles_matches_batch_oracle(spark):
+    # the streamed readout must equal the batch quantile SQL to the
+    # digit: this single diff pins sketch math + marker protocol +
+    # mid-stream compaction at once (the fixture replays batch 1 and
+    # compacts after batch 3)
+    got = _diff(spark, "q_stream_len_quantiles", ("documents",))
+    assert (got.p50 <= got.p90).all() and (got.p90 <= got.p99).all()
+    assert (got.n > 0).all()
+
+
+def test_qsketch_store_replay_and_torn_files_are_exactly_once(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.streaming.counts import compact_counts
+    from week4_musemotion_spark.streaming.quantiles import (
+        make_qsketch_sink,
+        read_qsketch_counts,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 6 + ["b"] * 6, "v": [1, 2, 4, 8, 16, 32] * 2})
+    )
+    store = str(tmp_path / "store")
+    sink = make_qsketch_sink(["g"], "v", store)
+    sink(df, 0)
+    sink(df, 0)  # full replay: marker must short-circuit
+    # torn batch: files land but no marker — readers must ignore them
+    from week4_musemotion_spark.streaming.neardup import _append_keyed
+
+    _append_keyed(df.groupBy("g").agg(F.count("*").alias("cnt")), os.path.join(store, "counts"), "99")
+    folded = read_qsketch_counts(
+        spark, store, "g string, bucket int, cnt long"
+    ).toPandas()
+    # every (g, bucket) count must equal ONE pass over df: 6 values,
+    # all distinct buckets (1,2,4-octaves...), count 1 each per group
+    assert folded.cnt.eq(1).all() and len(folded) == 12
+    # compaction must not change the fold
+    sink(df.filter(F.col("v") > 2), 1)
+    before = folded_after = read_qsketch_counts(
+        spark, store, "g string, bucket int, cnt long"
+    ).toPandas().sort_values(["g", "bucket"]).reset_index(drop=True)
+    compact_counts(spark, store)
+    after = read_qsketch_counts(
+        spark, store, "g string, bucket int, cnt long"
+    ).toPandas().sort_values(["g", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
