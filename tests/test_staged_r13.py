@@ -62,3 +62,30 @@ def test_qsketch_store_replay_and_torn_files_are_exactly_once(spark, tmp_path):
         spark, store, "g string, bucket int, cnt long"
     ).toPandas().sort_values(["g", "bucket"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_len_quantiles_exact_matches_oracle_and_bounds_sketch(spark):
+    got = _diff(spark, "q_len_quantiles_exact", ("documents",))
+    assert (got.p50 <= got.p90).all() and (got.p90 <= got.p99).all()
+    # the sketch's lower-bound contract against the exact twin:
+    # sketch_p <= exact_p and within a quarter octave (lb > 3/4 * p)
+    from week4_musemotion_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    sk = REGISTRY["q_len_quantiles"].builder(spark, SF_SMOKE).toPandas()
+    m = got.merge(sk, on="source", suffixes=("_x", "_s"))
+    for p in ("p50", "p90", "p99"):
+        assert (m[f"{p}_s"] <= m[f"{p}_x"]).all(), p
+        assert (m[f"{p}_s"] * 4 >= m[f"{p}_x"] * 3).all(), p
+
+
+def test_packing_boundaries_matches_oracle_and_accounting(spark):
+    got = _diff(spark, "q_packing_boundaries", ("documents",))
+    assert (got.n_straddlers <= got.n_docs).all()
+    # at most one straddler per window boundary: total straddlers
+    # cannot exceed the number of boundaries the token stream crosses
+    total_tokens = got.n_tokens.sum()
+    assert got.n_straddlers.sum() <= total_tokens // 512
+    # this corpus has ~30-token docs in a 512 window: straddlers must
+    # exist (streams don't align) but be a small minority
+    assert 0 < got.n_straddlers.sum() < got.n_docs.sum() // 2
