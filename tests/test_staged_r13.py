@@ -89,3 +89,9 @@ def test_packing_boundaries_matches_oracle_and_accounting(spark):
     # this corpus has ~30-token docs in a 512 window: straddlers must
     # exist (streams don't align) but be a small minority
     assert 0 < got.n_straddlers.sum() < got.n_docs.sum() // 2
+
+
+def test_price_quantiles_nation_matches_oracle(spark):
+    got = _diff(spark, "q_price_quantiles_nation", ("orders", "customer", "nation"))
+    assert (got.p50 <= got.p90).all() and (got.p90 <= got.p99).all()
+    assert len(got) == 25  # every nation has orders at every SF

@@ -22,6 +22,11 @@ Wave theme: streaming quantiles + exact selection + packing audit.
   is exactly the trade the sketch exists for; shipping both makes
   the choice explicit and their agreement (exact >= sketch lb,
   within a quarter-octave) is pinned in pytest.
+- q_price_quantiles_nation — the sketch on the BUSINESS side: order
+  value quantiles (exact cents) per customer nation, composing a
+  broadcast dim join under the sketch build — shows the operator is
+  not text-only and that the join happens BELOW the collapse to
+  bucket rows.
 - q_packing_boundaries — concat-and-chunk packing audit: lay the
   corpus out in deterministic doc_id order, split into fixed
   context windows (the GPT-style pretraining layout), and count per
@@ -257,3 +262,54 @@ def q_packing_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.count(F.when(straddle, 1))) * 1_000_000, F.count(F.lit(1))
         ).alias("straddle_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Money quantiles per nation (sketch x dimension join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_price_quantiles_nation",
+    covers=("X-QSKETCH-MONEY",),
+    oracle="""WITH src AS (
+        SELECT n.n_name AS nation, CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )"""
+    + quantiles_sql("src", ["nation"], "v"),
+)
+def q_price_quantiles_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantiles (p50/p90/p99 of exact integer cents) per
+    customer nation off the log-bucket sketch — the business-side
+    exercise of ``operators/qsketch``: what a revenue dashboard's
+    "typical vs whale order by market" tile reads, at O(nations ×
+    ~260) state instead of a per-nation sort.
+
+    Scale shape: the nation attribution joins BELOW the sketch build
+    — orders ⋈ customer shuffles on the customer key once (or rides
+    bucketed layouts at scale), nation broadcasts, and only then
+    does the grouped bucket count collapse everything; the quantile
+    readout never sees a row of fact data.  Money enters as exact
+    cents (``functions/exact.cents``) so the bucket boundaries are
+    engine-identical."""
+    from week4_musemotion_spark.functions.exact import cents
+    from week4_musemotion_spark.operators.qsketch import (
+        bucket_counts,
+        quantiles_from_counts,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    src = (
+        o.select("o_custkey", cents(F.col("o_totalprice")).alias("v"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("nation", "v")
+    )
+    return quantiles_from_counts(bucket_counts(src, ["nation"], "v"), ["nation"])
