@@ -54,7 +54,7 @@ def test_qsketch_store_replay_and_torn_files_are_exactly_once(spark, tmp_path):
     assert folded.cnt.eq(1).all() and len(folded) == 12
     # compaction must not change the fold
     sink(df.filter(F.col("v") > 2), 1)
-    before = folded_after = read_qsketch_counts(
+    before = read_qsketch_counts(
         spark, store, "g string, bucket int, cnt long"
     ).toPandas().sort_values(["g", "bucket"]).reset_index(drop=True)
     compact_counts(spark, store)

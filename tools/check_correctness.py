@@ -46,9 +46,15 @@ def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--staged"]
     # sf_dir is optional BEFORE query names: only an arg that is an
     # actual directory is taken as sf_dir, so omitting it cannot
-    # silently consume the first query name as a data path
+    # silently consume the first query name as a data path.  An arg
+    # that LOOKS like a path but isn't a directory is a loud error —
+    # treating a typo'd sf_dir as a query filter would check zero
+    # queries and report a false '0 failures'.
     if argv and os.path.isdir(argv[0]):
         sf_dir, only = argv[0], set(argv[1:])
+    elif argv and (os.sep in argv[0] or argv[0].startswith(".")):
+        print(f"error: sf_dir {argv[0]!r} is not a directory", file=sys.stderr)
+        return 2
     else:
         sf_dir, only = "/root/testdata/sf0.01", set(argv)
 

@@ -54,28 +54,50 @@ _WIDE_MARKERS = (
     "Repartition",
     "Generate",
     "Deduplicate",
+    "Distinct",
+    "Intersect",
+    "Except",
     "GlobalLimit",
+    # a repartition above an Arrow kernel cannot parallelize the
+    # kernel below it either — widen BEFORE mapInPandas, never above
+    "MapInPandas",
+    "FlatMap",
 )
 
 
 @functools.lru_cache(maxsize=4096)
-def _row_groups(path: str) -> int:
-    """Parquet footer row-group count (local paths), cached.
+def _file_width(local: str, mtime_ns: int, size: int, max_split: int) -> int:
+    """Achievable scan tasks for ONE parquet file: Spark cuts the
+    file into ``ceil(size / maxPartitionBytes)`` byte splits, but a
+    split with no row-group START in it is empty — so the real bound
+    is the SMALLER of byte splits and row groups (round-4 note for
+    the one-row-group side; a 60 MB file with 6 row groups is still
+    ONE task at the default 128 MB split).  ``mtime_ns``/``size``
+    are cache keys: a file regenerated in place (the driver rewrites
+    testdata between rounds) must not serve last generation's
+    footer."""
+    try:
+        import pyarrow.parquet as pq
 
-    Row groups — not files, not split knobs — bound a parquet scan's
-    achievable parallelism: splits beyond the row-group start are
-    empty (SCALING.md round-4 note)."""
+        rgs = pq.ParquetFile(local).metadata.num_row_groups
+    except Exception:
+        return 1  # unreadable footer (remote FS, non-parquet): assume narrow
+    splits = max(1, -(-size // max_split)) if size else 1
+    return max(1, min(splits, rgs))
+
+
+def _row_groups(path: str, max_split: int = 128 * 1024 * 1024) -> int:
+    """Per-file width via :func:`_file_width`, stat-keyed."""
     local = path
     for prefix in ("file://", "file:"):
         if local.startswith(prefix):
             local = local[len(prefix):]
             break
     try:
-        import pyarrow.parquet as pq
-
-        return pq.ParquetFile(local).metadata.num_row_groups
-    except Exception:
-        return 1  # unreadable footer (remote FS, non-parquet): assume narrow
+        st = os.stat(local)
+    except OSError:
+        return 1
+    return _file_width(local, st.st_mtime_ns, st.st_size, max_split)
 
 
 def scan_width(df: DataFrame, probe_cap: int = 64) -> int | None:
@@ -105,7 +127,13 @@ def scan_width(df: DataFrame, probe_cap: int = 64) -> int | None:
         return None  # LocalRelation/RDD-backed: partitions already track parallelism
     if len(paths) >= probe_cap:
         return len(paths)  # plenty of files — footers can only raise the width
-    return sum(_row_groups(p) for p in paths)
+    try:
+        max_split = int(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        )
+    except ValueError:
+        max_split = 128 * 1024 * 1024
+    return sum(_row_groups(p, max_split) for p in paths)
 
 
 def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:

@@ -80,8 +80,8 @@ def read_quantiles(
     """Quantile readout over the folded store: ``(*group_cols, n,
     p50, p90, p99)`` — byte-identical to running the batch quantile
     query over the union of every committed micro-batch."""
-    schema = empty_schema or (
-        ", ".join(f"{c} string" for c in group_cols) + ", bucket int, cnt long"
+    schema = empty_schema or ", ".join(
+        [f"{c} string" for c in group_cols] + ["bucket int", "cnt long"]
     )
     counts = read_qsketch_counts(spark, store_path, schema)
     return quantiles_from_counts(counts, group_cols)
