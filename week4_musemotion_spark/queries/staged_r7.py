@@ -377,7 +377,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     k = 3
-    exact = knn_brute_force(emb, queries, k=k).select("query_id", "neighbor_id")
+    # pin: the exact baseline feeds FOUR branches (a semi join and a
+    # spine per method) — unpinned, the brute-force scan re-executes
+    # per branch (the q_winnow_recall lesson; see the verify skill)
+    exact = (
+        knn_brute_force(emb, queries, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     reports = []
     for method, res in (
         ("lsh", knn_lsh(emb, queries, k=k)),
