@@ -79,19 +79,33 @@ def test_len_quantiles_exact_matches_oracle_and_bounds_sketch(spark):
         assert (m[f"{p}_s"] * 4 >= m[f"{p}_x"] * 3).all(), p
 
 
-def test_packing_boundaries_matches_oracle_and_accounting(spark):
-    got = _diff(spark, "q_packing_boundaries", ("documents",))
-    assert (got.n_straddlers <= got.n_docs).all()
-    # at most one straddler per window boundary: total straddlers
-    # cannot exceed the number of boundaries the token stream crosses
-    total_tokens = got.n_tokens.sum()
-    assert got.n_straddlers.sum() <= total_tokens // 512
-    # this corpus has ~30-token docs in a 512 window: straddlers must
-    # exist (streams don't align) but be a small minority
-    assert 0 < got.n_straddlers.sum() < got.n_docs.sum() // 2
-
-
 def test_price_quantiles_nation_matches_oracle(spark):
     got = _diff(spark, "q_price_quantiles_nation", ("orders", "customer", "nation"))
     assert (got.p50 <= got.p90).all() and (got.p90 <= got.p99).all()
     assert len(got) == 25  # every nation has orders at every SF
+
+
+def test_fd_violations_matches_oracle_and_semantics(spark):
+    got = _diff(spark, "q_fd_violations", ("documents",))
+    assert len(got) == 3
+    assert (got.n_violations <= got.n_rows).all()
+    assert got.violation_ppm.between(0, 1_000_000).all()
+    # a determinant with a single value per group would read 0; this
+    # corpus' lang/source are near-independent, so rates must be high
+    ind = got[got.fd == "lang->source"].iloc[0]
+    assert ind.violation_ppm > 500_000  # far from a functional dependency
+
+
+def test_fd_violations_detects_a_planted_exact_fd(spark):
+    # plant an exact FD (lang -> source) and assert 0 violations
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.functions.exact import dec, int_div_trunc
+
+    rows = [(i, f"l{i%3}", f"s{i%3}") for i in range(30)]  # lang determines source
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang", "source"]))
+    c = df.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    per = c.groupBy("lang").agg(F.sum("cnt").alias("tot"), F.max("cnt").alias("mx"))
+    viol = per.agg(F.sum(F.col("tot") - F.col("mx")).alias("v")).collect()[0].v
+    assert viol == 0

@@ -15,25 +15,25 @@ Wave theme: streaming quantiles + exact selection + packing audit.
   one DuckDB oracle pins both the sketch math AND the store's
   exactly-once protocol end to end.
 
-- q_len_quantiles_exact — the EXACT-selection twin of the sketch:
-  per-source p50/p90/p99 by grouped value counts + cumulative pick.
-  State is |distinct values| per group — right when the value domain
-  is bounded (lengths, ratings), wrong for unbounded domains, which
-  is exactly the trade the sketch exists for; shipping both makes
-  the choice explicit and their agreement (exact >= sketch lb,
-  within a quarter-octave) is pinned in pytest.
+- q_len_quantiles_exact — exact quantiles by VALUE-HISTOGRAM
+  selection, completing the engine's quantile-strategy triple:
+  q_group_quantiles ranks every row (right for small groups),
+  THIS path compresses to |distinct values| counts first (right for
+  bounded domains like byte lengths — state is the histogram, not
+  the rows), and q_len_quantiles sketches to ~260 log buckets
+  (right for unbounded domains).  The sketch's lower-bound contract
+  (exact >= sketch lb, within a quarter-octave) is pinned in pytest.
 - q_price_quantiles_nation — the sketch on the BUSINESS side: order
   value quantiles (exact cents) per customer nation, composing a
   broadcast dim join under the sketch build — shows the operator is
   not text-only and that the join happens BELOW the collapse to
   bucket rows.
-- q_packing_boundaries — concat-and-chunk packing audit: lay the
-  corpus out in deterministic doc_id order, split into fixed
-  context windows (the GPT-style pretraining layout), and count per
-  source how many documents straddle a window boundary (their loss
-  context gets truncated).  The global token offsets come from the
-  distributed two-pass cumsum (operators/ranks.py) — no
-  single-partition window at any scale.
+- q_fd_violations — approximate functional-dependency audit
+  (profiling, Metanome-style): for candidate FDs over the documents
+  table, the violation rate against each determinant value's
+  MAJORITY image — the schema-inference signal that says "lang
+  almost determines script bucket" vs "these columns are
+  independent".
 
 Differential evidence: tests/test_staged_r13.py (conftest.staged_diff
 at sf0.001; sf0.01/sf0.1 via ``tools/check_correctness.py --staged``).
@@ -161,12 +161,15 @@ def q_len_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(p·n) — the same readout arithmetic as the log-bucket sketch
     but over exact values, so the answer is the true order statistic.
 
-    When to use which (the pair is deliberate): this path's state is
-    |distinct values| per group — perfect for bounded domains like
-    byte lengths or ratings, unbounded for arbitrary longs, which is
-    exactly the case the O(260)-bucket sketch covers.  The sketch's
-    lower-bound contract (sketch_p <= exact_p, within a quarter
-    octave) is pinned against this query in pytest."""
+    Strategy triple (each a different state/exactness trade on the
+    same semantics): q_group_quantiles ranks EVERY ROW in its group
+    (fine when groups are small); this path first compresses to a
+    (value -> count) histogram, so state is |distinct values| —
+    lengths, ratings, ages; the q_len_quantiles sketch caps state at
+    ~260 log buckets for unbounded domains at the price of a < 25 %
+    under-read.  The sketch's lower-bound contract (sketch_p <=
+    exact_p, within a quarter octave) is pinned against this query
+    in pytest."""
     from pyspark.sql import Window
     from week4_musemotion_spark.functions.exact import int_div_trunc
 
@@ -190,78 +193,6 @@ def q_len_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("cum") >= k, F.col("v"))).cast("long").alias(name)
         )
     return w.groupBy("source").agg(*aggs)
-
-
-# ---------------------------------------------------------------------------
-# Concat-and-chunk packing audit
-# ---------------------------------------------------------------------------
-
-#: Context-window size (tokens) for the packing layout.
-_PACK_WINDOW = 512
-
-
-@query(
-    "q_packing_boundaries",
-    covers=("X-PACKING-AUDIT",),
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, source,
-               len(list_filter(string_split_regex(text, '\s+'), w -> w != '')) AS nt
-        FROM documents
-    ),
-    c AS (
-        SELECT doc_id, source, nt,
-               sum(nt) OVER (ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM t WHERE nt >= 1
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(nt) AS BIGINT) AS n_tokens,
-           CAST(count(*) FILTER ((cum - nt) // {_PACK_WINDOW} != (cum - 1) // {_PACK_WINDOW}) AS BIGINT)
-               AS n_straddlers,
-           CAST(CAST(count(*) FILTER ((cum - nt) // {_PACK_WINDOW} != (cum - 1) // {_PACK_WINDOW}) AS HUGEINT)
-                * 1000000 // count(*) AS BIGINT) AS straddle_ppm
-    FROM c GROUP BY source
-    """,
-)
-def q_packing_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk packing audit: lay every document's tokens
-    out in deterministic doc_id order, cut the stream into fixed
-    512-token (``_PACK_WINDOW``) context windows (the GPT-style pretraining
-    layout), and report per source how many documents STRADDLE a
-    window boundary — the docs whose loss context gets truncated
-    mid-document.  A source with a high straddle share is dominated
-    by documents longer than the window (or unluckily interleaved);
-    the number feeds the choice between plain chunking, doc-boundary
-    packing, and best-fit bin packing.
-
-    Scale shape: the only global structure is the running token
-    offset, computed with the two-pass range-partition cumsum
-    (``operators/ranks.with_global_cumsum`` — the P-row offset table
-    is the single-partition work, never the corpus), then one
-    per-source aggregate.  Straddle test is pure integer arithmetic
-    on (start, end) offsets."""
-    from week4_musemotion_spark.functions.exact import dec, int_div_trunc
-    from week4_musemotion_spark.functions.text import tokens
-    from week4_musemotion_spark.operators.ranks import with_global_cumsum
-
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("nt")
-    ).filter(F.col("nt") >= 1)
-    c = with_global_cumsum(t, ["doc_id"], "nt", out_col="cum")
-    straddle = int_div_trunc(F.col("cum") - F.col("nt"), F.lit(_PACK_WINDOW)) != int_div_trunc(
-        F.col("cum") - 1, F.lit(_PACK_WINDOW)
-    )
-    return c.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("nt").cast("long").alias("n_tokens"),
-        F.count(F.when(straddle, 1)).cast("long").alias("n_straddlers"),
-        int_div_trunc(
-            dec(F.count(F.when(straddle, 1))) * 1_000_000, F.count(F.lit(1))
-        ).alias("straddle_ppm"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -313,3 +244,86 @@ def q_price_quantiles_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", "v")
     )
     return quantiles_from_counts(bucket_counts(src, ["nation"], "v"), ["nation"])
+
+
+# ---------------------------------------------------------------------------
+# Approximate functional-dependency audit
+# ---------------------------------------------------------------------------
+
+#: Candidate FDs audited over the documents table: two column pairs
+#: plus one derived determinant (the length log-bucket), so the audit
+#: exercises both raw and computed attributes.
+_FD_CANDIDATES = (("lang", "source"), ("source", "lang"), ("source", "len_bucket"))
+
+
+def _fd_sql(det: str, dep: str) -> str:
+    """Violation accounting for one candidate FD det -> dep over the
+    ``fdsrc`` CTE: per determinant value, everything outside the
+    MAJORITY image value is a violation.  ``tot - max(cnt)`` is
+    well-defined even under majority ties — the max COUNT is unique
+    as a number whichever image value holds it."""
+    return f"""
+        SELECT '{det}->{dep}' AS fd,
+               CAST(sum(tot) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_det_values,
+               CAST(sum(tot - mx) AS BIGINT) AS n_violations,
+               CAST(CAST(sum(tot - mx) AS HUGEINT) * 1000000 // sum(tot) AS BIGINT)
+                   AS violation_ppm
+        FROM (
+            SELECT {det} AS d, sum(cnt) AS tot, max(cnt) AS mx
+            FROM (SELECT {det}, {dep}, count(*) AS cnt FROM fdsrc GROUP BY 1, 2)
+            GROUP BY 1
+        )"""
+
+
+from week4_musemotion_spark.operators.qsketch import log_bucket, log_bucket_sql  # noqa: E402
+
+
+@query(
+    "q_fd_violations",
+    covers=("X-FD-AUDIT",),
+    oracle="WITH fdsrc AS (SELECT lang, source, "
+    + log_bucket_sql("length(text)")
+    + " AS len_bucket FROM documents)"
+    + " UNION ALL ".join(_fd_sql(det, dep) for det, dep in _FD_CANDIDATES),
+)
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit (the profiling op
+    behind schema inference, Metanome/TANE-style but set up as a
+    VIOLATION RATE, not a boolean): for each candidate FD X -> Y,
+    the share of rows whose Y is not their X-value's majority image.
+    violation_ppm = 0 means the FD holds exactly (Y is derivable
+    from X — a normalization/compression opportunity and a
+    data-contract candidate); small means "almost holds" (the
+    violations are the anomaly worklist); ~uniform-random means the
+    columns are independent.  One candidate uses a DERIVED
+    determinant (the length log-bucket) to show the audit composes
+    with computed attributes.
+
+    Scale shape: per FD one (X, Y) grouped count (map-side
+    combined), one |X|-row re-aggregate — never wider than the
+    distinct-pair count; the three audits share one scan via the
+    common projected frame."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", log_bucket(F.length("text")).alias("len_bucket")
+    )
+    d = d.localCheckpoint(eager=False)  # three audits share the scan
+    out = None
+    for det, dep in _FD_CANDIDATES:
+        c = d.groupBy(det, dep).agg(F.count(F.lit(1)).alias("cnt"))
+        per_det = c.groupBy(det).agg(
+            F.sum("cnt").alias("tot"), F.max("cnt").alias("mx")
+        )
+        from week4_musemotion_spark.functions.exact import dec, int_div_trunc
+
+        fd = per_det.agg(
+            F.lit(f"{det}->{dep}").alias("fd"),
+            F.sum("tot").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_det_values"),
+            F.sum(F.col("tot") - F.col("mx")).cast("long").alias("n_violations"),
+            int_div_trunc(
+                dec(F.sum(F.col("tot") - F.col("mx"))) * 1_000_000, F.sum("tot")
+            ).alias("violation_ppm"),
+        )
+        out = fd if out is None else out.unionByName(fd)
+    return out
