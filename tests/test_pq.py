@@ -1,0 +1,107 @@
+"""Product quantization (operators/pq.py): numpy-vs-expression encode
+parity, fitted-beats-seed distortion, ADC recall against exact KNN,
+and contract guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+_M, _K = 4, 8
+
+
+def _emb(spark):
+    from week4_musemotion_spark.sources.tables import load_table
+
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def _distortion(emb, model) -> float:
+    """Mean squared reconstruction error over the corpus, numpy
+    recompute driver-side (test corpus is small)."""
+    from week4_musemotion_spark.operators.similarity import _collect_matrix
+
+    ids, X = _collect_matrix(emb.select("vec_id", "embedding"), "vec_id", "embedding")
+    m, k, dsub = model.m, model.k, model.dsub
+    Xs = X.reshape(len(ids), m, dsub)
+    err = 0.0
+    for j in range(m):
+        d = ((Xs[:, j, :][:, None, :] - model.codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        err += d.min(axis=1).sum()
+    return err / len(ids)
+
+
+def test_numpy_encode_equals_expression_encode_on_seed_codebooks(spark):
+    # the production numpy kernel and the oracle-able Catalyst
+    # expression path must assign identical codes on real data — this
+    # is what licenses the value-oracled q_pq_code_hist to stand in
+    # for the numpy path's argmin law
+    from week4_musemotion_spark.operators.pq import (
+        pq_encode,
+        pq_encode_expr,
+        seed_codebooks,
+    )
+
+    emb = _emb(spark)
+    model = seed_codebooks(emb, m=_M, k=_K)
+    wide = {
+        r.vec_id: list(r.code) for r in pq_encode(emb, model).collect()
+    }
+    long = {}
+    for r in pq_encode_expr(emb, model).collect():
+        long.setdefault(r.vec_id, [0] * _M)[r.j] = r.code
+    assert wide == long
+
+
+def test_fitted_codebooks_beat_seed_distortion(spark):
+    from week4_musemotion_spark.operators.pq import pq_fit, seed_codebooks
+
+    emb = _emb(spark)
+    seed = _distortion(emb, seed_codebooks(emb, m=_M, k=_K))
+    fitted = _distortion(emb, pq_fit(emb, m=_M, k=_K, iters=2))
+    assert fitted < seed, (fitted, seed)
+
+
+def test_adc_recall_against_exact_l2(spark):
+    # ADC approximates L2 — the exact baseline must be L2 too (the
+    # engine's knn_brute_force is COSINE, which ranks differently on
+    # unnormalized vectors, so it is recomputed here in numpy)
+    from week4_musemotion_spark.operators.pq import adc_topk, pq_encode, pq_fit
+    from week4_musemotion_spark.operators.similarity import _collect_matrix
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    model = pq_fit(emb, m=_M, k=_K, iters=2)
+    got = adc_topk(pq_encode(emb, model), model, queries, k=3)
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    ids, X = _collect_matrix(emb.select("vec_id", "embedding"), "vec_id", "embedding")
+    qids, Q = _collect_matrix(
+        queries.select("vec_id", "embedding"), "vec_id", "embedding"
+    )
+    e = set()
+    for qi, q in zip(qids, Q):
+        d = ((X - q) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))[:3]  # dist, then id — adc's tie law
+        e |= {(int(qi), int(ids[i])) for i in order}
+    assert len(g) == len(e) == 15
+    # 32-bit codes are coarse; the corpus has planted cluster
+    # structure, so ADC must still recover a solid share of the
+    # exact top-3 (empirical floor with margin)
+    recall = len(g & e) / len(e)
+    assert recall >= 0.4, recall
+
+
+def test_pq_contract_guards(spark):
+    from week4_musemotion_spark.operators.pq import pq_fit, seed_codebooks
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        seed_codebooks(emb, m=7, k=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(emb, m=7, k=4)
+    tiny = emb.limit(3)
+    with pytest.raises(ValueError, match="< k"):
+        seed_codebooks(tiny, m=_M, k=_K)

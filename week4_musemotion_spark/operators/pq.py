@@ -1,0 +1,258 @@
+"""Product quantization (PQ) — the standard memory-compression layer
+of scale ANN (Jégou, Douze & Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011; FAISS's ``IndexPQ``/``IVFPQ``).
+
+Split each d-dim vector into ``m`` contiguous subvectors, learn a
+``k``-centroid codebook per subspace, store each vector as ``m``
+small codes (m·log2(k) bits — 32 bits per vector at m=4, k=8 instead
+of 64 float64s), and answer queries by ASYMMETRIC distance
+computation (ADC): per query, an (m × k) table of exact
+query-subvector-to-centroid distances, then each database vector's
+distance is ``m`` table lookups summed — no decompression.
+
+Spark shapes (nothing quadratic, nothing driver-bound):
+
+- :func:`pq_fit` — ``m`` independent :func:`~.similarity.kmeans_fit`
+  runs over sliced subvector frames (each a linear scan; only the
+  (m × k × d/m) codebook tensor reaches the driver).
+- :func:`pq_encode` — one Arrow-batched ``mapInPandas`` pass,
+  codebooks broadcast; argmin ties break to the LOWEST centroid id
+  (numpy argmin's first-occurrence rule — the same rule the
+  expression/SQL twin uses, so the two paths are comparable).
+- :func:`adc_topk` — queries collected + broadcast (the query set is
+  small by contract, same as ``knn_brute_force``), corpus codes
+  scanned once, per-partition top-k then global top-k.
+
+Evidence split (the repo's exact-twin pattern): the Lloyd-fitted
+path is rows-only (k-means is not SQL-expressible); its
+oracle-checked twin is the SEED-codebook encode
+(:func:`seed_codebooks` — the k lowest-id vectors' subvectors, no
+iteration), which both engines can replay exactly: distances are
+sequential-fold float sums (the ``_dot`` discipline) and the argmin
+is an ORDER BY (dist, centroid) rank, so ``q_pq_code_hist`` value-
+hashes cross-engine.  pytest pins the numpy path AGAINST that
+expression path on the same codebooks, closing the loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PQModel:
+    """``codebooks``: (m, k, d/m) float64 — subspace j's centroid c is
+    ``codebooks[j, c]``."""
+
+    codebooks: np.ndarray
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+
+def _check_dims(dim: int, m: int) -> int:
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    return dim // m
+
+
+def seed_codebooks(
+    emb: DataFrame, m: int, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> PQModel:
+    """Deterministic NON-iterative codebooks: subspace j's codebook is
+    the k lowest-``id_col`` vectors' j-th subvectors.  Zero training
+    cost, fully SQL-replayable — the oracle-able baseline the fitted
+    model is measured against (a fitted codebook must beat this or
+    the training is broken; tests/test_pq.py pins that)."""
+    from week4_musemotion_spark.operators.similarity import _collect_matrix
+
+    _, X = _collect_matrix(emb.select(id_col, vec_col).orderBy(id_col).limit(k), id_col, vec_col)
+    if X.shape[0] < k:
+        raise ValueError(f"corpus has {X.shape[0]} rows < k={k} codebook seeds")
+    dsub = _check_dims(X.shape[1], m)
+    return PQModel(X.reshape(k, m, dsub).transpose(1, 0, 2).copy())
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float | None = None,
+) -> PQModel:
+    """Lloyd-fitted codebooks: ``m`` independent k-means runs, each
+    over the corpus projected to one subspace (``F.slice`` — no data
+    copy until the Arrow batch).  Each run inherits kmeans_fit's
+    deterministic seeding and optional sample-fitting
+    (``fit_fraction`` — the FAISS train-on-sample move)."""
+    from week4_musemotion_spark.operators.similarity import kmeans_fit
+
+    dim = len(emb.select(vec_col).first()[0])
+    dsub = _check_dims(dim, m)
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        sub = emb.select(id_col, F.slice(vec_col, j * dsub + 1, dsub).alias(vec_col))
+        books[j] = kmeans_fit(
+            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col, fit_fraction=fit_fraction
+        )
+    return PQModel(books)
+
+
+def pq_encode(
+    emb: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, code)`` rows, ``code`` an m-array of centroid ids —
+    one Arrow-batched pass, codebooks broadcast.  Ties in the
+    per-subspace argmin break to the lowest centroid id."""
+    import pandas as pd
+
+    from week4_musemotion_spark.operators.similarity import _to_matrix
+    from week4_musemotion_spark.sources.tables import spread
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(model.codebooks)
+    m, k, dsub = model.m, model.k, model.dsub
+
+    def _enc(batches):
+        cb = bc.value  # (m, k, dsub)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _to_matrix(pdf[vec_col])
+            Xs = X.reshape(len(pdf), m, dsub)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                # |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row, dropped
+                d = (cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * Xs[:, j, :] @ cb[j].T
+                codes[:, j] = np.argmin(d, axis=1)  # first min = lowest id
+            yield pd.DataFrame({id_col: pdf[id_col], "code": list(codes)})
+
+    return spread(emb.select(id_col, vec_col)).mapInPandas(
+        _enc, f"{id_col} long, code array<int>"
+    )
+
+
+def adc_topk(
+    codes: DataFrame,
+    model: PQModel,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query-subvector-to-centroid
+    tables (m × k_codebook per query, float64), database distances by
+    table lookup over the broadcast tables, per-partition then global
+    top-k.  Returns ``(query_id, neighbor_id, rank)`` with rank 1 the
+    nearest; ties break to the lowest neighbor id.  ``queries`` is
+    collected and broadcast — small by contract, exactly like
+    ``knn_brute_force``."""
+    import pandas as pd
+
+    from week4_musemotion_spark.operators.similarity import _collect_matrix
+
+    qids, Q = _collect_matrix(queries.select(id_col, vec_col), id_col, vec_col)
+    m, kc, dsub = model.m, model.k, model.dsub
+    if Q.shape[1] != m * dsub:
+        raise ValueError(f"query dim {Q.shape[1]} != model dim {m * dsub}")
+    Qs = Q.reshape(len(qids), m, dsub)
+    # (n_q, m, k): exact distance from each query subvector to every centroid
+    tables = np.stack(
+        [
+            ((model.codebooks[j][None, :, :] - Qs[:, j, :][:, None, :]) ** 2).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((qids, tables))
+
+    def _score(batches):
+        ids_q, tab = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["code"].to_numpy())  # (n, m)
+            n = len(pdf)
+            # dist[q, i] = sum_j tab[q, j, C[i, j]]
+            dist = np.zeros((len(ids_q), n))
+            for j in range(tab.shape[1]):
+                dist += tab[:, j, :][:, C[:, j]]
+            nb = pdf[id_col].to_numpy()
+            # per-partition prune to k per query (global top-k downstream)
+            kk = min(k, n)
+            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(ids_q, kk),
+                "neighbor_id": nb[part].ravel(),
+                "dist": np.take_along_axis(dist, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    scored = codes.mapInPandas(_score, "query_id long, neighbor_id long, dist double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_encode_expr(
+    emb: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Expression-only encode: ``(id, j, code)`` long-format rows,
+    the per-subspace distances lowered entirely to Catalyst
+    expressions — a SEQUENTIAL left-to-right fold per distance (the
+    ``_dot`` discipline), so the doubles are bit-identical to a SQL
+    oracle's ``list_sum`` replay and the argmin is engine-stable
+    (ties to the lowest centroid id via first-match
+    ``array_position``).  Use for oracle-checked audits; the numpy
+    path (:func:`pq_encode`) is the production kernel, and
+    tests/test_pq.py pins the two equal on real data."""
+    m, k, dsub = model.m, model.k, model.dsub
+
+    def dist(j: int, c: int):
+        cent = F.array(*[F.lit(float(v)) for v in model.codebooks[j, c]])
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        return F.aggregate(
+            F.zip_with(sub, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    rows = []
+    for j in range(m):
+        dl = F.array(*[dist(j, c) for c in range(k)])
+        rows.append(
+            F.struct(
+                F.lit(j).alias("j"),
+                (F.array_position(dl, F.array_min(dl)) - 1).cast("int").alias("code"),
+            )
+        )
+    return emb.select(
+        id_col, F.explode(F.array(*rows)).alias("jc")
+    ).select(id_col, F.col("jc.j").alias("j"), F.col("jc.code").alias("code"))

@@ -28,6 +28,13 @@ Wave theme: streaming quantiles + exact selection + packing audit.
   broadcast dim join under the sketch build — shows the operator is
   not text-only and that the join happens BELOW the collapse to
   bucket rows.
+- q_pq_code_hist / q_pq_adc_knn — product quantization (Jégou et
+  al., TPAMI 2011): the code-usage histogram under deterministic
+  SEED codebooks is fully value-oracled (sequential-fold distances,
+  rank-1 argmin — both engines replay it bit-exactly), while the
+  Lloyd-FITTED encode + asymmetric-distance top-k is the rows-only
+  production path, pinned by pytest against the expression twin and
+  the exact KNN (recall + distortion-beats-seed contracts).
 - q_fd_violations — approximate functional-dependency audit
   (profiling, Metanome-style): for candidate FDs over the documents
   table, the violation rate against each determinant value's
@@ -327,3 +334,96 @@ def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = fd if out is None else out.unionByName(fd)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+#: PQ geometry for the 64-dim test embeddings: 4 subspaces x 16 dims,
+#: 8 centroids each (32-bit codes).
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 8, 16
+
+
+def _pq_seed_hist_sql() -> str:
+    """DuckDB replay of the seed-codebook encode histogram: the
+    centroid table is the k lowest-id vectors, distances are the
+    sequential-fold float sums (list_sum over an ordered range — the
+    same IEEE op sequence as the Spark expression's aggregate fold),
+    and the argmin is the (dist, c) rank-1 row."""
+    sq = (
+        f"(CAST(e.embedding[g.j * {_PQ_DSUB} + i] AS DOUBLE)"
+        f" - CAST(cent.embedding[g.j * {_PQ_DSUB} + i] AS DOUBLE))"
+    )
+    return f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    g AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    d AS (
+        SELECT e.vec_id, g.j, cent.c,
+               list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i -> {sq} * {sq})) AS dist
+        FROM embeddings e CROSS JOIN g CROSS JOIN cent
+    ),
+    a AS (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        FROM d
+    )
+    SELECT CAST(j AS INT) AS j, CAST(c AS INT) AS code,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM a WHERE rn = 1 GROUP BY 1, 2
+    """
+
+
+@query("q_pq_code_hist", covers=("X-PQ-CODES",), oracle=_pq_seed_hist_sql())
+def q_pq_code_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code-usage histogram under deterministic
+    SEED codebooks (the k lowest-id vectors' subvectors): per
+    (subspace, centroid), how many corpus vectors encode to it — the
+    codebook-health table (a centroid with ~zero usage is wasted
+    bits; one holding half the corpus means the subspace needs more
+    centroids), here for the zero-training baseline every FITTED
+    codebook must beat.  Fully value-oracled: the encode is lowered
+    to Catalyst expressions with sequential-fold distances
+    (``operators/pq.pq_encode_expr``), so the doubles — and therefore
+    the argmin — replay bit-exactly in the DuckDB twin.
+
+    Scale shape: one corpus scan, m×k distance expressions per row
+    inside codegen, a (m × k)-row aggregate; the Lloyd-fitted
+    production encode (numpy kernel, same argmin law) is
+    q_pq_adc_knn's path and is pinned equal to this expression form
+    on real data in tests/test_pq.py."""
+    from week4_musemotion_spark.operators.pq import pq_encode_expr, seed_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = seed_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    return (
+        pq_encode_expr(emb, model)
+        .groupBy("j", "code")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+
+
+@query("q_pq_adc_knn", covers=("X-PQ-ADC",), oracle=None)
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-3 neighbors for the standard query
+    set (vec_id < 5) under Lloyd-FITTED codebooks — the production
+    memory-compressed ANN: 32-bit codes instead of 64 doubles per
+    vector, distances by m table lookups.  Rows-only (k-means is not
+    SQL-expressible); quality contracts live in tests/test_pq.py:
+    fitted distortion must beat the seed baseline, and ADC recall@3
+    against exact brute force is pinned.
+
+    Scale shape: fit is m independent linear k-means runs (sample-
+    fittable); encode one Arrow pass; search broadcasts (n_q × m × k)
+    float tables and scans codes once — at 100 TB the codes table is
+    ~250× smaller than the vectors it stands for."""
+    from week4_musemotion_spark.operators.pq import adc_topk, pq_encode, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    codes = pq_encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return adc_topk(codes, model, queries, k=3)
