@@ -584,6 +584,37 @@ def main() -> int:
             .agg(F.sum(F.abs(_dec(F.col("ca")) * F.col("nb") - _dec(F.col("cb")) * F.col("na"))).alias("sabs"))
         )
 
+        # round-7 late shape: PQ encode+ADC (codes are 32-bit per
+        # vector; the search scans codes once with broadcast distance
+        # tables — must be corpus-linear).  pq_fit/collects run
+        # EAGERLY at build, so the shape is guarded like pca_fit.
+        if only is None or "pq_encode_adc" in only:
+            from week4_musemotion_spark.operators.pq import (
+                adc_topk,
+                pq_encode,
+                seed_codebooks,
+            )
+
+            emb0p = load_table(spark, sf_dir, "embeddings")
+            rot_copies = [emb0p]
+            for i in range(1, n):
+                rot_copies.append(
+                    emb0p.select(
+                        (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                        F.concat(
+                            F.slice("embedding", i % 63 + 2, 64 - (i % 63 + 1)),
+                            F.slice("embedding", 1, i % 63 + 1),
+                        ).alias("embedding"),
+                        "label",
+                    )
+                )
+            emb_p = reduce(DataFrame.unionByName, rot_copies)
+            t0 = time.perf_counter()
+            mdl = seed_codebooks(emb0p, m=4, k=8)
+            adc = adc_topk(pq_encode(emb_p, mdl), mdl, emb0p.filter(F.col("vec_id") < 5), k=3)
+            adc.write.format("noop").mode("overwrite").save()
+            results.setdefault("pq_encode_adc", {})[n] = round(time.perf_counter() - t0, 2)
+
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
