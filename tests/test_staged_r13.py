@@ -109,3 +109,16 @@ def test_fd_violations_detects_a_planted_exact_fd(spark):
     per = c.groupBy("lang").agg(F.sum("cnt").alias("tot"), F.max("cnt").alias("mx"))
     viol = per.agg(F.sum(F.col("tot") - F.col("mx")).alias("v")).collect()[0].v
     assert viol == 0
+
+
+def test_pq_distortion_matches_oracle_and_fitted_beats_it(spark):
+    got = _diff(spark, "q_pq_distortion", ("embeddings",))
+    assert len(got) == 4 and (got.err_e6_total > 0).all()
+    # the Lloyd-fitted model must beat the seed baseline per corpus
+    from tests.test_pq import _distortion, _emb
+
+    from week4_musemotion_spark.operators.pq import pq_fit
+
+    emb = _emb(spark)
+    fitted_total_e6 = _distortion(emb, pq_fit(emb, m=4, k=8, iters=2)) * got.n_vecs.iloc[0] * 1e6
+    assert fitted_total_e6 < got.err_e6_total.sum()

@@ -256,3 +256,39 @@ def pq_encode_expr(
     return emb.select(
         id_col, F.explode(F.array(*rows)).alias("jc")
     ).select(id_col, F.col("jc.j").alias("j"), F.col("jc.code").alias("code"))
+
+
+def pq_distortion_expr(
+    emb: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, j, err_e6)`` — each vector's per-subspace squared
+    reconstruction error under its argmin centroid, QUANTIZED to e6
+    integers per row (floor(err·1e6 + 0.5)) so any downstream sum is
+    partition-order-independent and value-oracle-able.  Same
+    sequential-fold/argmin laws as :func:`pq_encode_expr`."""
+    m, k, dsub = model.m, model.k, model.dsub
+
+    def dist(j: int, c: int):
+        cent = F.array(*[F.lit(float(v)) for v in model.codebooks[j, c]])
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        return F.aggregate(
+            F.zip_with(sub, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    rows = []
+    for j in range(m):
+        best = F.array_min(F.array(*[dist(j, c) for c in range(k)]))
+        rows.append(
+            F.struct(
+                F.lit(j).alias("j"),
+                F.floor(best * 1_000_000 + F.lit(0.5)).cast("long").alias("err_e6"),
+            )
+        )
+    return emb.select(
+        id_col, F.explode(F.array(*rows)).alias("je")
+    ).select(id_col, F.col("je.j").alias("j"), F.col("je.err_e6").alias("err_e6"))

@@ -427,3 +427,57 @@ def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, model)
     queries = emb.filter(F.col("vec_id") < 5)
     return adc_topk(codes, model, queries, k=3)
+
+
+def _pq_seed_distortion_sql() -> str:
+    """Per-subspace distortion totals under the seed codebooks: the
+    min distance per (vector, subspace) is quantized to e6 PER ROW,
+    so the per-subspace sum is an order-independent BIGINT."""
+    sq = (
+        f"(CAST(e.embedding[g.j * {_PQ_DSUB} + i] AS DOUBLE)"
+        f" - CAST(cent.embedding[g.j * {_PQ_DSUB} + i] AS DOUBLE))"
+    )
+    return f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    g AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    d AS (
+        SELECT e.vec_id, g.j,
+               min(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i -> {sq} * {sq}))) AS best
+        FROM embeddings e CROSS JOIN g CROSS JOIN cent
+        GROUP BY 1, 2
+    )
+    SELECT CAST(j AS INT) AS j,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(best * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS err_e6_total
+    FROM d GROUP BY 1
+    """
+
+
+@query("q_pq_distortion", covers=("X-PQ-DISTORTION",), oracle=_pq_seed_distortion_sql())
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction-error totals under the seed
+    codebooks — the codebook-quality table (a subspace with an
+    outsized error total needs more centroids or a rotation), here
+    for the zero-training baseline so the number is value-oracled:
+    each vector's min squared distance is quantized to an e6 integer
+    PER ROW before summation, making the aggregate partition-order-
+    independent on both engines.  The Lloyd-fitted model's distortion
+    must land BELOW these totals (tests/test_pq.py pins it).
+
+    Scale shape: identical to q_pq_code_hist — one scan, m×k fold
+    expressions in codegen, an m-row aggregate."""
+    from week4_musemotion_spark.operators.pq import pq_distortion_expr, seed_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = seed_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    return (
+        pq_distortion_expr(emb, model)
+        .groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("err_e6").cast("long").alias("err_e6_total"),
+        )
+    )
