@@ -122,3 +122,15 @@ def test_pq_distortion_matches_oracle_and_fitted_beats_it(spark):
     emb = _emb(spark)
     fitted_total_e6 = _distortion(emb, pq_fit(emb, m=4, k=8, iters=2)) * got.n_vecs.iloc[0] * 1e6
     assert fitted_total_e6 < got.err_e6_total.sum()
+
+
+def test_pq_collisions_matches_oracle_and_accounting(spark):
+    got = _diff(spark, "q_pq_collisions", ("embeddings",))
+    # block accounting: sizes x groups = vectors; pairs = C(size, 2)
+    assert (got.group_size * got.n_groups == got.n_vecs).all()
+    assert (
+        got.n_pairs == got.n_groups * got.group_size * (got.group_size - 1) // 2
+    ).all()
+    # the corpus has planted cluster structure: blocking must actually
+    # block (some group bigger than a singleton)
+    assert got.group_size.max() > 1

@@ -481,3 +481,75 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("err_e6").cast("long").alias("err_e6_total"),
         )
     )
+
+
+@query(
+    "q_pq_collisions",
+    covers=("X-PQ-BLOCKING",),
+    oracle=f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    g AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    d AS (
+        SELECT e.vec_id, g.j, cent.c,
+               list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+                   i -> (CAST(e.embedding[g.j * {_PQ_DSUB} + i] AS DOUBLE)
+                         - CAST(cent.embedding[g.j * {_PQ_DSUB} + i] AS DOUBLE))
+                      * (CAST(e.embedding[g.j * {_PQ_DSUB} + i] AS DOUBLE)
+                         - CAST(cent.embedding[g.j * {_PQ_DSUB} + i] AS DOUBLE)))) AS dist
+        FROM embeddings e CROSS JOIN g CROSS JOIN cent
+    ),
+    a AS (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        FROM d
+    ),
+    sig AS (
+        SELECT vec_id, string_agg(CAST(c AS VARCHAR), ':' ORDER BY j) AS code_key
+        FROM a WHERE rn = 1 GROUP BY vec_id
+    ),
+    grp AS (SELECT code_key, count(*) AS gsize FROM sig GROUP BY 1)
+    SELECT CAST(gsize AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(gsize) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(gsize AS HUGEINT) * (gsize - 1) / 2) AS BIGINT) AS n_pairs
+    FROM grp GROUP BY gsize
+    """,
+)
+def q_pq_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-code collision blocking — the coarse semantic-dedup /
+    candidate-generation move: vectors sharing ALL m codes land in
+    one block, and only within-block pairs ever reach exact
+    verification (the same blocking role MinHash bands play for
+    text).  This table is the BLOCK SIZE distribution: n_pairs per
+    size is the exact verification bill, and a giant block says the
+    codebook is too coarse for blocking (add centroids or
+    subspaces).  Fully value-oracled under the seed codebooks — the
+    code key replays bit-exactly via the expression encode.
+
+    Scale shape: encode (one scan, codegen) → hash aggregate on the
+    m-code key → a |distinct sizes|-row distribution; never a pair
+    materialization."""
+    from week4_musemotion_spark.operators.pq import pq_encode_expr, seed_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = seed_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    sig = (
+        pq_encode_expr(emb, model)
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                ":", F.transform(F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"].cast("string"))
+            ).alias("code_key")
+        )
+    )
+    grp = sig.groupBy("code_key").agg(F.count(F.lit(1)).alias("gsize"))
+    from week4_musemotion_spark.functions.exact import dec
+
+    return grp.groupBy(F.col("gsize").cast("long").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("gsize").cast("long").alias("n_vecs"),
+        F.sum(dec(F.col("gsize")) * (F.col("gsize") - 1) / 2).cast("long").alias("n_pairs"),
+    )
