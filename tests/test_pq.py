@@ -105,3 +105,32 @@ def test_pq_contract_guards(spark):
     tiny = emb.limit(3)
     with pytest.raises(ValueError, match="< k"):
         seed_codebooks(tiny, m=_M, k=_K)
+
+
+def test_pq_fit_empty_corpus_raises_clear_error(spark):
+    from week4_musemotion_spark.operators.pq import pq_fit
+
+    empty = _emb(spark).filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq_fit(empty, m=_M, k=_K)
+
+
+def test_adc_topk_ties_break_to_lowest_neighbor_id(spark):
+    """PQ guarantees exact ADC-distance ties (all vectors sharing the
+    same m codes score identically), so the per-batch prune must keep
+    the LOWEST-id members of a tie group that straddles the cutoff —
+    the documented global tie law.  20 identical vectors fed in
+    DESCENDING id order (the adversarial layout for an unstable
+    argpartition prune) must still rank ids 0,1,2."""
+    from week4_musemotion_spark.operators.pq import adc_topk, pq_encode, seed_codebooks
+
+    base = _emb(spark)
+    one = base.orderBy("vec_id").limit(1).select("embedding")
+    vec = one.first()[0]
+    rows = [(int(i), vec) for i in range(19, -1, -1)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(1)
+    model = seed_codebooks(base, m=_M, k=_K)
+    queries = spark.createDataFrame([(100, vec)], "vec_id long, embedding array<float>")
+    got = adc_topk(pq_encode(corpus, model), model, queries, k=3).collect()
+    by_rank = {r.rank: r.neighbor_id for r in got}
+    assert by_rank == {1: 0, 2: 1, 3: 2}, got

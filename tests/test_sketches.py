@@ -325,6 +325,26 @@ def test_cms_width_mismatch_fails_loudly(spark):
         cms_sketch(d, [], "v", width=100)
 
 
+def test_cms_lookup_tolerates_v1_sketch_without_depth_column(spark):
+    """Sketches persisted before the round-7 'd' column (v1 layout)
+    must still be readable: depth treated as unknown, width still
+    enforced (the documented compat rule in cms_sketch)."""
+    import pytest as _pytest
+
+    from week4_musemotion_spark.operators.sketches import cms_lookup, cms_sketch
+
+    d = spark.range(200).select(F.concat(F.lit("v"), F.col("id") % 5).alias("v"))
+    sk_v1 = cms_sketch(d, [], "v", width=64, depth=4).drop("d")
+    terms = d.select("v").distinct()
+    exact = {r.v: r.cnt for r in d.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+    est = {r.v: r.cms_est for r in cms_lookup(sk_v1, terms, "v", width=64, depth=4).collect()}
+    for v, c in exact.items():
+        assert est[v] >= c, (v, est[v], c)
+    # width mismatch still fails loudly even without 'd'
+    with _pytest.raises(Exception, match="not built with width=128"):
+        cms_lookup(sk_v1, terms, "v", width=128).collect()
+
+
 def test_cms_ignores_nulls_and_absent_terms_read_zero(spark):
     from week4_musemotion_spark.operators.sketches import cms_lookup, cms_sketch
 

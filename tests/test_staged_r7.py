@@ -42,16 +42,27 @@ def test_stopword_density_matches_oracle(spark):
 
 
 def test_embedding_whiten_shape(spark):
+    # Driver contract: output must be SCALAR-typed even for rows-only
+    # queries (the driver's canonicalizer pandas-sorts every column;
+    # array<double> output was round 7's one red driver row).
     from week4_musemotion_spark.queries import staged_r7  # noqa: F401
     from week4_musemotion_spark.queries.registry import REGISTRY
 
     df = REGISTRY["q_embedding_whiten"].builder(spark, SF_SMOKE)
     assert REGISTRY["q_embedding_whiten"].oracle is None
+    for f in df.schema.fields:
+        assert f.dataType.typeName() in ("long", "integer"), f
     pdf = df.toPandas()
     n = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").shape[0]
-    assert len(pdf) == n
-    assert list(pdf.columns) == ["vec_id", "label", "proj"]
-    assert all(len(v) == 8 for v in pdf.proj)
+    assert len(pdf) == n * 8, "k=8 scalar rows per vector"
+    assert list(pdf.columns) == ["vec_id", "comp_idx", "proj_e6"]
+    assert sorted(pdf.comp_idx.unique()) == list(range(8))
+    # the driver's rows-only canon must be able to sort+hash this
+    pdf.sort_values(by=list(pdf.columns))
+    # whitened projection: each component has unit variance, so the
+    # e6-quantized coordinates should have stdev ~1e6 per component
+    sd = pdf.groupby("comp_idx").proj_e6.std()
+    assert ((sd > 0.8e6) & (sd < 1.25e6)).all(), sd
 
 
 def test_dup_inflation_matches_oracle(spark):

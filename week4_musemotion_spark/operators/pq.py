@@ -102,7 +102,10 @@ def pq_fit(
     (``fit_fraction`` — the FAISS train-on-sample move)."""
     from week4_musemotion_spark.operators.similarity import kmeans_fit
 
-    dim = len(emb.select(vec_col).first()[0])
+    row = emb.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError("pq_fit: empty corpus (no vectors to probe the dimension from)")
+    dim = len(row[0])
     dsub = _check_dims(dim, m)
     books = np.zeros((m, k, dsub))
     for j in range(m):
@@ -197,9 +200,16 @@ def adc_topk(
             for j in range(tab.shape[1]):
                 dist += tab[:, j, :][:, C[:, j]]
             nb = pdf[id_col].to_numpy()
-            # per-partition prune to k per query (global top-k downstream)
+            # per-partition prune to k per query (global top-k downstream).
+            # PQ guarantees exact distance ties (vectors sharing all m codes
+            # have identical ADC distance), so the prune must respect the
+            # global (dist, neighbor_id) tie law: order columns by id once,
+            # then a STABLE selection keeps the lowest-id member of any tie
+            # group that straddles the cutoff.
+            o = np.argsort(nb, kind="stable")
+            nb, dist = nb[o], dist[:, o]
             kk = min(k, n)
-            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            part = np.argsort(dist, axis=1, kind="stable")[:, :kk]
             rows = {
                 "query_id": np.repeat(ids_q, kk),
                 "neighbor_id": nb[part].ravel(),

@@ -529,7 +529,13 @@ def cms_sketch(
     and depth so :func:`cms_lookup` can reject a mismatched sketch
     in EITHER dimension (looking up with a larger depth than built
     would make the extra j rows miss every cell and min to 0 — a
-    silent break of the never-below-true-count guarantee).  State is at
+    silent break of the never-below-true-count guarantee).
+
+    Schema note: the ``d`` column was added in round 7 (v2 layout).
+    Sketches persisted by earlier builds lack it; :func:`cms_lookup`
+    tolerates that (treats depth as unknown — the width check still
+    applies), while :func:`cms_merge`/:func:`cms_fold` require v2 —
+    re-materialize old sketch parquet before merging.  State is at
     most ``depth × width`` rows per group regardless of stream size;
     two sketches merge by summing cells (:func:`cms_merge`); NULL
     values contribute nothing.  Estimates are the classic min over
@@ -587,6 +593,10 @@ def cms_lookup(
     from week4_musemotion_spark.functions.hashing import stable_hash64
 
     gcols = group_cols or []
+    if "d" not in sketch.columns:
+        # v1 layout (pre round 7) persisted without the depth column:
+        # tolerate it — depth unknown, width check still enforced.
+        sketch = sketch.withColumn("d", F.lit(None).cast("int"))
     t = F.col(term_col).cast("string")
     pos = F.array(
         *[stable_hash64(t, seed=j).bitwiseAND(width - 1) for j in range(depth)]
@@ -598,9 +608,14 @@ def cms_lookup(
     # Catalyst keeps it): any sketch row with a different build width
     # fails the job instead of silently estimating against the wrong
     # geometry.  Absent cells (join miss) carry NULL w and must pass
-    # — they legitimately read 0.
+    # — they legitimately read 0.  NULL d on a HIT is a v1 sketch
+    # (depth unknown): tolerated, width still checked.
     w_ok = F.assert_true(
-        F.col("w").isNull() | ((F.col("w") == width) & (F.col("d") == depth)),
+        F.col("w").isNull()
+        | (
+            (F.col("w") == width)
+            & (F.col("d").isNull() | (F.col("d") == depth))
+        ),
         F.lit(
             f"cms_lookup: sketch was not built with width={width}, depth={depth}"
         ),

@@ -292,12 +292,27 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     the d x d eigensolve is not SQL-expressible; the moment
     accumulation feeding it IS oracle-checked (q_embedding_gram) and
     the projection semantics are pinned against a full numpy
-    recompute in tests/test_linalg.py."""
+    recompute in tests/test_linalg.py.
+
+    Output contract: the projection is emitted exploded to scalar
+    columns ``(vec_id, comp_idx, proj_e6)`` — driver-facing results
+    must be scalar-typed even under the rows-only check (the driver's
+    canonicalizer pandas-sorts every column and cannot hash Python
+    lists; this query's array<double> output was round 7's one red
+    driver row)."""
     from week4_musemotion_spark.operators.linalg import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
     model = pca_fit(emb, "embedding", k=8)
-    return pca_project(emb, model, "embedding", out_col="proj", whiten=True)
+    proj = pca_project(emb, model, "embedding", out_col="proj", whiten=True)
+    return proj.select(
+        "vec_id",
+        F.posexplode("proj").alias("comp_idx", "p"),
+    ).select(
+        "vec_id",
+        F.col("comp_idx").cast("int").alias("comp_idx"),
+        F.round(F.col("p") * F.lit(1000000.0)).cast("long").alias("proj_e6"),
+    )
 
 
 @query(
