@@ -31,6 +31,11 @@ from week4_musemotion_spark.queries import gatelog  # noqa: E402,F401
 # differential-tested in round 6; see QUERIES.md and staged_r7.py).
 from week4_musemotion_spark.queries import staged_r7  # noqa: E402,F401
 
+# Round-8 activation: the staged r8 wave (span coverage, bloom FP
+# audit, source-overlap HLL, CMS point error, stream-distinct report,
+# semantic threshold sweep, HLL fold grid, RP distortion).
+from week4_musemotion_spark.queries import staged_r8  # noqa: E402,F401
+
 
 def import_staged() -> None:
     """Import every ``staged_*.py`` wave (idempotent), registering its

@@ -1,9 +1,6 @@
-"""STAGED FOR ROUND 8 — built and differentially tested now, NOT
-imported by ``queries/__init__``: round 7 activates ``staged_r7``
-(9 queries, at the ≲10/round evidence-rotation budget), so this wave
-queues behind it.  To activate: add ``from
-week4_musemotion_spark.queries import staged_r8`` to
-``queries/__init__.py``.
+"""ACTIVATED IN ROUND 8 (built + differentially tested in round 7,
+staged behind the ≲10-registrations/round evidence-rotation budget;
+imported by ``queries/__init__`` since round 8).
 
 - q_dup_span_coverage — per source, the fraction of 8-gram positions
   whose gram also appears in another document: the cross-document
