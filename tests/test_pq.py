@@ -111,8 +111,20 @@ def test_pq_fit_empty_corpus_raises_clear_error(spark):
     from week4_musemotion_spark.operators.pq import pq_fit
 
     empty = _emb(spark).filter(F.lit(False))
-    with pytest.raises(ValueError, match="empty corpus"):
+    with pytest.raises(ValueError, match="no non-null vector"):
         pq_fit(empty, m=_M, k=_K)
+    # a NULL-vector row must not trip the probe when real vectors exist
+    import pyspark.sql.functions as sf
+
+    base = _emb(spark).limit(40)
+    with_null = base.select(
+        "vec_id",
+        sf.when(sf.col("vec_id") == base.first()[0], sf.lit(None)).otherwise(
+            sf.col("embedding")
+        ).alias("embedding"),
+    )
+    model = pq_fit(with_null.filter(sf.col("embedding").isNotNull()), m=_M, k=_K)
+    assert model.m == _M
 
 
 def test_adc_topk_ties_break_to_lowest_neighbor_id(spark):

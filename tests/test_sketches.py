@@ -325,10 +325,12 @@ def test_cms_width_mismatch_fails_loudly(spark):
         cms_sketch(d, [], "v", width=100)
 
 
-def test_cms_lookup_tolerates_v1_sketch_without_depth_column(spark):
+def test_cms_lookup_recovers_v1_sketch_depth(spark):
     """Sketches persisted before the round-7 'd' column (v1 layout)
-    must still be readable: depth treated as unknown, width still
-    enforced (the documented compat rule in cms_sketch)."""
+    must still be readable: the build depth is recovered exactly from
+    the cells (max(j)+1), then enforced like v2 — a depth-overshoot
+    lookup on a v1 sketch must FAIL, not silently min() to 0 (the
+    never-below-true-count guarantee)."""
     import pytest as _pytest
 
     from week4_musemotion_spark.operators.sketches import cms_lookup, cms_sketch
@@ -343,6 +345,11 @@ def test_cms_lookup_tolerates_v1_sketch_without_depth_column(spark):
     # width mismatch still fails loudly even without 'd'
     with _pytest.raises(Exception, match="not built with width=128"):
         cms_lookup(sk_v1, terms, "v", width=128).collect()
+    # the hazard the recovery exists for: built at depth=2, looked up
+    # at depth=4 — j=2,3 rows would miss every cell and underestimate
+    sk_v1_d2 = cms_sketch(d, [], "v", width=64, depth=2).drop("d")
+    with _pytest.raises(Exception, match="depth=4"):
+        cms_lookup(sk_v1_d2, terms, "v", width=64, depth=4).collect()
 
 
 def test_cms_ignores_nulls_and_absent_terms_read_zero(spark):

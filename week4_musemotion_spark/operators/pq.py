@@ -102,9 +102,11 @@ def pq_fit(
     (``fit_fraction`` — the FAISS train-on-sample move)."""
     from week4_musemotion_spark.operators.similarity import kmeans_fit
 
-    row = emb.select(vec_col).first()
-    if row is None or row[0] is None:
-        raise ValueError("pq_fit: empty corpus (no vectors to probe the dimension from)")
+    row = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        raise ValueError(
+            "pq_fit: no non-null vector found to probe the dimension from"
+        )
     dim = len(row[0])
     dsub = _check_dims(dim, m)
     books = np.zeros((m, k, dsub))
@@ -203,13 +205,26 @@ def adc_topk(
             # per-partition prune to k per query (global top-k downstream).
             # PQ guarantees exact distance ties (vectors sharing all m codes
             # have identical ADC distance), so the prune must respect the
-            # global (dist, neighbor_id) tie law: order columns by id once,
-            # then a STABLE selection keeps the lowest-id member of any tie
-            # group that straddles the cutoff.
-            o = np.argsort(nb, kind="stable")
-            nb, dist = nb[o], dist[:, o]
+            # global (dist, neighbor_id) tie law: keep everything strictly
+            # under the kk-th distance, then fill from the LOWEST-id members
+            # of the cutoff tie group.  O(n) per query row (np.partition +
+            # flatnonzero; only the tie group itself is sorted) — a full
+            # argsort of the batch, or an id-reorder copy of the whole
+            # (n_q x n) matrix, would turn the scan superlinear for no
+            # additional correctness.
             kk = min(k, n)
-            part = np.argsort(dist, axis=1, kind="stable")[:, :kk]
+            part = np.empty((len(ids_q), kk), dtype=np.int64)
+            if kk == n:
+                part[:] = np.arange(n)
+            else:
+                for qi in range(len(ids_q)):
+                    row = dist[qi]
+                    v = np.partition(row, kk - 1)[kk - 1]
+                    lt = np.flatnonzero(row < v)
+                    eq = np.flatnonzero(row == v)
+                    eq = eq[np.argsort(nb[eq], kind="stable")]
+                    part[qi, : len(lt)] = lt
+                    part[qi, len(lt) :] = eq[: kk - len(lt)]
             rows = {
                 "query_id": np.repeat(ids_q, kk),
                 "neighbor_id": nb[part].ravel(),

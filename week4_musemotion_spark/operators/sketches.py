@@ -533,9 +533,11 @@ def cms_sketch(
 
     Schema note: the ``d`` column was added in round 7 (v2 layout).
     Sketches persisted by earlier builds lack it; :func:`cms_lookup`
-    tolerates that (treats depth as unknown — the width check still
-    applies), while :func:`cms_merge`/:func:`cms_fold` require v2 —
-    re-materialize old sketch parquet before merging.  State is at
+    recovers the build depth exactly from the cells (``max(j)+1`` —
+    every value writes a row for every hash row, so j=depth-1 always
+    exists in a non-empty sketch) and then enforces it like v2, while
+    :func:`cms_merge`/:func:`cms_fold` require v2 — re-materialize
+    old sketch parquet before merging.  State is at
     most ``depth × width`` rows per group regardless of stream size;
     two sketches merge by summing cells (:func:`cms_merge`); NULL
     values contribute nothing.  Estimates are the classic min over
@@ -595,8 +597,22 @@ def cms_lookup(
     gcols = group_cols or []
     if "d" not in sketch.columns:
         # v1 layout (pre round 7) persisted without the depth column:
-        # tolerate it — depth unknown, width check still enforced.
-        sketch = sketch.withColumn("d", F.lit(None).cast("int"))
+        # RECOVER the build depth from the cells themselves — every
+        # non-null value contributes one row per hash row j, so any
+        # non-empty sketch contains j = depth-1 and max(j)+1 IS the
+        # build depth exactly (an empty sketch joins nothing and every
+        # estimate legitimately reads 0).  A recovered depth that
+        # mismatches the lookup then FAILS the assert below — without
+        # this, a lookup at depth > built would have its extra j rows
+        # miss every cell and min() true counts silently down to 0.
+        # The window is a single-partition pass over the SKETCH frame
+        # only, which is compact by construction (<= depth * width
+        # cells per group) and broadcast below anyway.
+        from pyspark.sql.window import Window
+
+        sketch = sketch.withColumn(
+            "d", (F.max("j").over(Window.partitionBy()) + F.lit(1)).cast("int")
+        )
     t = F.col(term_col).cast("string")
     pos = F.array(
         *[stable_hash64(t, seed=j).bitwiseAND(width - 1) for j in range(depth)]
@@ -608,14 +624,10 @@ def cms_lookup(
     # Catalyst keeps it): any sketch row with a different build width
     # fails the job instead of silently estimating against the wrong
     # geometry.  Absent cells (join miss) carry NULL w and must pass
-    # — they legitimately read 0.  NULL d on a HIT is a v1 sketch
-    # (depth unknown): tolerated, width still checked.
+    # — they legitimately read 0.  (v1 sketches reach here with d
+    # recovered above, so the depth check applies uniformly.)
     w_ok = F.assert_true(
-        F.col("w").isNull()
-        | (
-            (F.col("w") == width)
-            & (F.col("d").isNull() | (F.col("d") == depth))
-        ),
+        F.col("w").isNull() | ((F.col("w") == width) & (F.col("d") == depth)),
         F.lit(
             f"cms_lookup: sketch was not built with width={width}, depth={depth}"
         ),

@@ -38,24 +38,25 @@ _N_SHARDS = 8
 _SEED_BASE = 9000
 
 
-def _hrw_pick(n: int) -> F.Column:
-    """argmax_s stable_hash64(doc_id, seed=_SEED_BASE+s) over s <
-    ``n`` as a pure expression: array_max over (hash, s) structs is
-    lexicographic, so ties (astronomically unlikely, but the integer
-    discipline never relies on that) break to the highest s — the
-    oracle replays the same law with ORDER BY h DESC, s DESC."""
+def _hrw_structs() -> F.Column:
+    """The (hash, s) struct array for all _N_SHARDS seeds — computed
+    ONCE per row and materialized as a column, so the S=8 and S=7
+    picks read the SAME md5 evaluations (two independent pick
+    expressions would hash 2S-1 times per row and lean on Catalyst
+    subexpression elimination to dedupe).  array_max over the structs
+    is lexicographic, so ties (astronomically unlikely, but the
+    integer discipline never relies on that) break to the highest s —
+    the oracle replays the same law with ORDER BY h DESC, s DESC."""
     did = F.col("doc_id").cast("string")
-    return F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    stable_hash64(did, seed=_SEED_BASE + s).alias("h"),
-                    F.lit(s).cast("int").alias("s"),
-                )
-                for s in range(n)
-            ]
-        )
-    )["s"]
+    return F.array(
+        *[
+            F.struct(
+                stable_hash64(did, seed=_SEED_BASE + s).alias("h"),
+                F.lit(s).cast("int").alias("s"),
+            )
+            for s in range(_N_SHARDS)
+        ]
+    )
 
 
 def _hrw_oracle_sql() -> str:
@@ -129,11 +130,11 @@ def q_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     placement has to become when one table is 100 TB."""
     last = _N_SHARDS - 1
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
+    d = docs.select("doc_id", "n_chars", _hrw_structs().alias("hs")).select(
         "doc_id",
         "n_chars",
-        _hrw_pick(_N_SHARDS).alias("shard8"),
-        _hrw_pick(last).alias("shard7"),
+        F.array_max(F.col("hs"))["s"].alias("shard8"),
+        F.array_max(F.slice(F.col("hs"), 1, last))["s"].alias("shard7"),
     )
     guard = F.assert_true(
         (F.col("shard8") == last) | (F.col("shard7") == F.col("shard8")),
