@@ -113,17 +113,17 @@ def test_pq_fit_empty_corpus_raises_clear_error(spark):
     empty = _emb(spark).filter(F.lit(False))
     with pytest.raises(ValueError, match="no non-null vector"):
         pq_fit(empty, m=_M, k=_K)
-    # a NULL-vector row must not trip the probe when real vectors exist
-    import pyspark.sql.functions as sf
-
+    # NULL vectors in the corpus must not break the fit — they carry
+    # no information and are excluded from probe AND kmeans
     base = _emb(spark).limit(40)
+    first_id = base.select("vec_id").orderBy("vec_id").first()[0]
     with_null = base.select(
         "vec_id",
-        sf.when(sf.col("vec_id") == base.first()[0], sf.lit(None)).otherwise(
-            sf.col("embedding")
-        ).alias("embedding"),
+        F.when(F.col("vec_id") == first_id, F.lit(None))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
     )
-    model = pq_fit(with_null.filter(sf.col("embedding").isNotNull()), m=_M, k=_K)
+    model = pq_fit(with_null, m=_M, k=_K)
     assert model.m == _M
 
 

@@ -350,6 +350,19 @@ def test_cms_lookup_recovers_v1_sketch_depth(spark):
     sk_v1_d2 = cms_sketch(d, [], "v", width=64, depth=2).drop("d")
     with _pytest.raises(Exception, match="depth=4"):
         cms_lookup(sk_v1_d2, terms, "v", width=64, depth=4).collect()
+    # recovery is PER GROUP: a union of v1 sketches built at depths 4
+    # and 2 must fail a grouped depth-4 lookup (the shallow group's
+    # overshoot would underestimate), not pass on the global max
+    g = d.withColumn("grp", F.lit("a"))
+    g2 = d.withColumn("grp", F.lit("b"))
+    mixed = (
+        cms_sketch(g, ["grp"], "v", width=64, depth=4)
+        .drop("d")
+        .unionByName(cms_sketch(g2, ["grp"], "v", width=64, depth=2).drop("d"))
+    )
+    gterms = terms.crossJoin(spark.createDataFrame([("a",), ("b",)], "grp string"))
+    with _pytest.raises(Exception, match="depth=4"):
+        cms_lookup(mixed, gterms, "v", width=64, depth=4, group_cols=["grp"]).collect()
 
 
 def test_cms_ignores_nulls_and_absent_terms_read_zero(spark):

@@ -102,7 +102,11 @@ def pq_fit(
     (``fit_fraction`` — the FAISS train-on-sample move)."""
     from week4_musemotion_spark.operators.similarity import kmeans_fit
 
-    row = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    # NULL vectors carry no information for codebook fitting and would
+    # crash the kmeans matrix build — exclude them from the whole fit,
+    # not just the dimension probe.
+    emb = emb.filter(F.col(vec_col).isNotNull())
+    row = emb.select(vec_col).first()
     if row is None:
         raise ValueError(
             "pq_fit: no non-null vector found to probe the dimension from"
@@ -222,9 +226,20 @@ def adc_topk(
                     v = np.partition(row, kk - 1)[kk - 1]
                     lt = np.flatnonzero(row < v)
                     eq = np.flatnonzero(row == v)
+                    n_eq = min(len(eq), kk - len(lt))
+                    if len(lt) + n_eq < kk:
+                        # NaN cutoff (a NaN query vector makes its whole
+                        # distance row NaN; NaN compares false to
+                        # everything, so lt/eq can't fill kk).  Keep the
+                        # selection VALID and deterministic: lowest
+                        # neighbor ids — the global window still orders
+                        # NaN distances last, so results for real
+                        # queries are unaffected.
+                        part[qi] = np.argsort(nb, kind="stable")[:kk]
+                        continue
                     eq = eq[np.argsort(nb[eq], kind="stable")]
                     part[qi, : len(lt)] = lt
-                    part[qi, len(lt) :] = eq[: kk - len(lt)]
+                    part[qi, len(lt) :] = eq[:n_eq]
             rows = {
                 "query_id": np.repeat(ids_q, kk),
                 "neighbor_id": nb[part].ravel(),

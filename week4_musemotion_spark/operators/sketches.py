@@ -605,13 +605,20 @@ def cms_lookup(
         # mismatches the lookup then FAILS the assert below — without
         # this, a lookup at depth > built would have its extra j rows
         # miss every cell and min() true counts silently down to 0.
-        # The window is a single-partition pass over the SKETCH frame
-        # only, which is compact by construction (<= depth * width
-        # cells per group) and broadcast below anyway.
+        # Recovery is PER GROUP (two unioned v1 sketches may have been
+        # built at different depths — a global max would stamp the
+        # deeper one's depth on both and let the shallow group's
+        # overshoot rows slip the assert).  The window is a pass over
+        # the SKETCH frame only, which is compact by construction
+        # (<= depth * width cells per group) and broadcast below
+        # anyway.
         from pyspark.sql.window import Window
 
         sketch = sketch.withColumn(
-            "d", (F.max("j").over(Window.partitionBy()) + F.lit(1)).cast("int")
+            "d",
+            (F.max("j").over(Window.partitionBy(*(group_cols or []))) + F.lit(1)).cast(
+                "int"
+            ),
         )
     t = F.col(term_col).cast("string")
     pos = F.array(
