@@ -43,3 +43,38 @@ def test_shard_rendezvous_assignment_is_stable_across_runs(spark):
     a = b(spark, SF_SMOKE).toPandas()
     c = b(spark, SF_SMOKE).toPandas()
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_unigram_surprisal_matches_oracle_and_bounds(spark):
+    got = _diff(spark, "q_unigram_surprisal", ("documents",))
+    assert len(got) == 20, "one row per source"
+    # bits/token ppm: positive (every token's count < N so at least
+    # 0 bits; the mean can't be 0 unless one token dominates) and
+    # bounded by 64 bits/token
+    assert (got.mean_bits_ppm >= 0).all()
+    assert (got.mean_bits_ppm <= 64_000_000).all()
+    assert (got.min_bits_ppm <= got.mean_bits_ppm).all()
+    assert (got.mean_bits_ppm <= got.max_bits_ppm).all()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    assert got.n_docs.sum() <= len(docs)  # zero-token docs excluded
+
+
+def test_surprisal_bit_identity():
+    # floor(log2(N/cnt)) == bit_length(N // cnt) - 1 for every
+    # 1 <= cnt <= N — the identity both engines' bin()-length scoring
+    # relies on (proof: both equal k iff 2^k <= N/cnt < 2^(k+1), and
+    # since 2^k is an integer, N/cnt >= 2^k iff N//cnt >= 2^k)
+    from fractions import Fraction
+
+    for n_total in [1, 7, 8, 1023, 1024, 1025, 999_983]:
+        for cnt in [1, 2, 3, 7, 64, n_total]:
+            if cnt > n_total:
+                continue
+            q = n_total // cnt
+            got = q.bit_length() - 1
+            # exact floor(log2(N/cnt)) without float: largest k with 2^k <= N/cnt
+            x = Fraction(n_total, cnt)
+            k = 0
+            while 2 ** (k + 1) <= x:
+                k += 1
+            assert got == k, (n_total, cnt)

@@ -2,7 +2,7 @@
 ``queries/__init__`` yet (activation budget: verify-skill rotation
 note).
 
-Wave seed: deterministic corpus sharding.
+Wave: deterministic corpus sharding + model-based quality scoring.
 
 - q_shard_rendezvous — rendezvous (highest-random-weight) sharding
   of the document corpus (Thaler & Ravishankar 1998): every doc goes
@@ -13,6 +13,12 @@ Wave seed: deterministic corpus sharding.
   an assert, re-derived row-for-row by the oracle).  Distinct from
   ``q_shard_skew_audit``, which audits the balance of an EXISTING
   (source, lang) partition layout; this query decides placement.
+- q_unigram_surprisal — the CCNet-style perplexity-proxy quality
+  filter in exact integers: floor(log2(N/count)) bits per token via
+  the bin()-bit-length identity, per-doc bits-per-token ppm, per
+  source mean + min/max tails.  Distinct from the scalar-ratio
+  quality score (``_quality_e4_sql`` family): this one scores
+  against a MODEL fitted on the corpus itself.
 
 Differential evidence: tests/test_staged_r15.py (conftest.staged_diff
 at sf0.001; sf0.01/sf0.1 via ``tools/check_correctness.py --staged``).
@@ -185,3 +191,108 @@ def q_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("shard")
+
+
+_SURPRISAL_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS term
+        FROM documents
+    ),
+    cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnt),
+    model AS (
+        SELECT term, CAST(length(bin(n_total // cnt)) - 1 AS BIGINT) AS sb
+        FROM cnt CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.source,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(m.sb) AS BIGINT) AS bits
+        FROM tok t JOIN model m USING (term)
+        GROUP BY t.doc_id, t.source
+    ),
+    scored AS (
+        SELECT source, n_tok,
+               CAST(CAST(bits AS HUGEINT) * 1000000 // n_tok AS BIGINT) AS ppm
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(ppm) // count(*) AS BIGINT) AS mean_bits_ppm,
+           CAST(min(ppm) AS BIGINT) AS min_bits_ppm,
+           CAST(max(ppm) AS BIGINT) AS max_bits_ppm
+    FROM scored GROUP BY source
+"""
+
+
+@query("q_unigram_surprisal", covers=("X-SURPRISAL",), oracle=_SURPRISAL_ORACLE)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-surprisal quality score — the CCNet-style
+    perplexity-proxy filter (Wenzek et al. 2020) made EXACT: each
+    token scores floor(log2(N / count(token))) bits against the
+    corpus' own unigram model, computed as ``length(bin(N div cnt)) -
+    1`` — floor(log2(x)) for x >= 1 equals bit_length(floor(x)) - 1,
+    so no libm log ever runs on either engine (the qsketch bin()-bit
+    discipline).  Per doc: bits-per-token ppm; per source: the mean
+    and the min/max tails (low = boilerplate/repetitive, high =
+    gibberish/rare-vocabulary — the two populations a perplexity
+    filter trims).  Documents with zero tokens carry no rows on
+    either engine and are excluded identically.
+
+    100 TB story: the model is VOCABULARY-bounded (term, bits), built
+    with one token-keyed aggregation; scoring is a hash equi-join on
+    term (no broadcast assumption — web-scale vocab outgrows one
+    executor) followed by doc- then source-keyed aggregations.  Two
+    corpus scans total (model build + scoring) — the no-materialization
+    floor; a production pipeline would persist the token table once
+    and pay one.
+
+    Reference analogue: extends the reference's fixed quality
+    thresholds (musemotion ETL keeps rows by scalar predicates) to a
+    model-based score."""
+    from week4_musemotion_spark.functions.exact import dec, int_div_trunc
+    from week4_musemotion_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    # the unigram model is VOCABULARY-bounded — pin it so the total
+    # (an agg over it) and the per-term bits table share ONE
+    # token-count pass instead of re-running the corpus explode
+    cnt = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.agg(F.sum("cnt").cast("long").alias("n_total"))
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (F.length(F.bin(F.expr("n_total div cnt"))) - F.lit(1))
+        .cast("long")
+        .alias("sb"),
+    )
+    per_doc = (
+        tok.join(model, "term")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("sb").cast("long").alias("bits"),
+        )
+    )
+    scored = per_doc.select(
+        "source",
+        "n_tok",
+        int_div_trunc(dec(F.col("bits")) * F.lit(1_000_000), F.col("n_tok"))
+        .cast("long")
+        .alias("ppm"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr("sum(ppm) div count(*)").cast("long").alias("mean_bits_ppm"),
+        F.min("ppm").cast("long").alias("min_bits_ppm"),
+        F.max("ppm").cast("long").alias("max_bits_ppm"),
+    )
