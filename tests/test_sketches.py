@@ -440,3 +440,29 @@ def test_hll_fold_rejects_fold_up(spark):
         hll_fold(regs, 8).collect()
     with _pytest.raises(ValueError):
         hll_fold(regs, 6)
+
+
+def test_hll_registers_grid_equals_per_p_builds(spark):
+    """hll_registers_grid(ps).filter(p == q) must be bit-identical to
+    hll_registers(p=q) for every q — the one-hash-pass contract the
+    fold-grid audit's direct builds rely on."""
+    import pytest as _pytest
+
+    from week4_musemotion_spark.operators.sketches import (
+        hll_registers,
+        hll_registers_grid,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_custkey").cast("string").alias("v"),
+    )
+    ps = (11, 9, 7)
+    grid = hll_registers_grid(d, ["g"], "v", ps)
+    key = lambda df: sorted(map(tuple, df.select("g", "bucket", "reg", "p").collect()))  # noqa: E731
+    for q in ps:
+        assert key(grid.filter(F.col("p") == q)) == key(hll_registers(d, ["g"], "v", p=q)), q
+    with _pytest.raises(ValueError, match="duplicate"):
+        hll_registers_grid(d, ["g"], "v", (8, 8))
+    with _pytest.raises(ValueError, match="p must be"):
+        hll_registers_grid(d, ["g"], "v", (8, 6))

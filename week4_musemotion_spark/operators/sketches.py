@@ -245,6 +245,53 @@ def hll_registers(
     )
 
 
+def hll_registers_grid(
+    df: DataFrame, group_cols: list[str], value_col: str, ps: tuple[int, ...]
+) -> DataFrame:
+    """Register tables for a precision GRID in ONE pass: the md5 hash
+    — the scan's actual CPU cost — is computed once per value, and
+    every precision's (bucket, rho) derives from the same 60 hash
+    bits, so ``grid.filter(p == q)`` is bit-identical to
+    ``hll_registers(df, ..., p=q)`` (pinned by tests).  Use when an
+    audit needs INDEPENDENT direct builds at several precisions
+    (q_hll_fold_grid): len(ps) separate hll_registers calls would
+    re-hash the corpus len(ps) times for byte-identical h values.
+    Output layout matches :func:`hll_registers` plus the grid: one
+    row per non-empty ``(*group_cols, p, bucket)`` register, state
+    sum(2^p for p in ps) rows per group at most."""
+    for p in ps:
+        if not 7 <= p <= 16:
+            raise ValueError(f"p must be in [7, 16], got {p}")
+    if len(set(ps)) != len(ps):
+        raise ValueError(f"duplicate precision in grid: {ps}")
+    from week4_musemotion_spark.functions.hashing import stable_hash64
+
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, stable_hash64(F.col(value_col).cast("string")).alias("h")
+    )
+    structs = []
+    for p in ps:
+        width = _HASH_BITS - p
+        w = F.shiftright(F.col("h"), p)
+        rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+            F.lit(width + 1) - F.length(F.bin(w))
+        )
+        structs.append(
+            F.struct(
+                F.lit(p).cast("int").alias("p"),
+                F.col("h").bitwiseAND((1 << p) - 1).alias("bucket"),
+                rho.cast("int").alias("rho"),
+            )
+        )
+    return (
+        hashed.select(*group_cols, F.explode(F.array(*structs)).alias("pbr"))
+        .select(*group_cols, "pbr.p", "pbr.bucket", "pbr.rho")
+        .groupBy(*group_cols, "p", "bucket")
+        .agg(F.max("rho").cast("int").alias("reg"))
+        .select(*group_cols, "bucket", "reg", "p")
+    )
+
+
 def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
     """Merge two register tables (same ``p``): union, max per bucket.
     The mergeable-summaries property — sketch(A ∪ B) =

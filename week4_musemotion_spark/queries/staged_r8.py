@@ -813,19 +813,26 @@ def q_hll_fold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.operators.sketches import (
         hll_estimate,
         hll_fold,
-        hll_registers,
+        hll_registers_grid,
     )
     from week4_musemotion_spark.sources.tables import spread
 
     # spread: parallelize explode+md5 above a single-row-group scan
     d = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
     s = d.select("source", F.explode(shingles(tokens("text"), 3)).alias("s"))
-    # the p=11 table feeds every fold and every mismatch join — pin it
-    hi = hll_registers(s, ["source"], "s", p=_FOLD_P_HI).localCheckpoint(eager=False)
+    # ONE corpus hash pass for the p=11 source table AND every direct
+    # build (hll_registers_grid: the md5 is the cost, the per-p
+    # bucket/rho are int ops on the same 60 bits); the pinned grid is
+    # sum(2^p) register rows per source — everything downstream acts
+    # on that
+    regs = hll_registers_grid(
+        s, ["source"], "s", (_FOLD_P_HI, *_FOLD_GRID)
+    ).localCheckpoint(eager=False)
+    hi = regs.filter(F.col("p") == _FOLD_P_HI)
     outs = []
     for q in _FOLD_GRID:
         fold = hll_fold(hi, q, ["source"]).localCheckpoint(eager=False)
-        direct = hll_registers(s, ["source"], "s", p=q).localCheckpoint(eager=False)
+        direct = regs.filter(F.col("p") == q)
         ef = hll_estimate(fold, ["source"], p=q).select(
             "source", F.col("hll_e2").alias("hll_e2_fold")
         )
