@@ -358,7 +358,11 @@ def simhash_pairs(
     """
     n_bands = max_hamming + 1
     band_bits = -(-bits // n_bands)
-    sig = simhash_signatures(df, text_col, id_col, bits, ngram=ngram)
+    # the signature build (corpus scan + shingle vote aggregate) feeds
+    # BOTH sides of the band self-join — pin the tiny (id, simhash)
+    # table so it is computed once, the same discipline as
+    # minhash_lsh_pairs' persisted shingle table
+    sig = simhash_signatures(df, text_col, id_col, bits, ngram=ngram).persist()
     mask = (1 << band_bits) - 1
     bands = sig.select(
         F.col(id_col).alias("_id"),
