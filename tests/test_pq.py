@@ -146,3 +146,26 @@ def test_adc_topk_ties_break_to_lowest_neighbor_id(spark):
     got = adc_topk(pq_encode(corpus, model), model, queries, k=3).collect()
     by_rank = {r.rank: r.neighbor_id for r in got}
     assert by_rank == {1: 0, 2: 1, 3: 2}, got
+
+
+def test_adc_topk_partial_nan_keeps_finite_neighbors(spark):
+    """A NaN codebook centroid poisons SOME neighbors' distances; the
+    per-batch prune must still keep every finite-distance candidate —
+    an all-or-nothing NaN fallback would replace the true nearest
+    neighbors with lowest-id NaN junk."""
+    from week4_musemotion_spark.operators.pq import PQModel, adc_topk
+
+    # m=2, k=2, dsub=1; centroid (1, j=0) is NaN
+    books = np.array([[[0.0], [np.nan]], [[0.0], [1.0]]])
+    model = PQModel(books)
+    # ids 0..2 coded to the NaN centroid; ids 8, 9 finite (dist 0)
+    rows = [(i, [1, 0]) for i in range(3)] + [(8, [0, 0]), (9, [0, 0])]
+    codes = spark.createDataFrame(rows, "vec_id long, code array<int>").coalesce(1)
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r.rank: r.neighbor_id for r in adc_topk(codes, model, queries, k=4).collect()}
+    # the two finite-distance neighbors MUST rank first; NaN rows fill
+    # the tail by lowest id (Spark windows order NaN last)
+    assert got[1] == 8 and got[2] == 9, got
+    assert got[3] == 0 and got[4] == 1, got

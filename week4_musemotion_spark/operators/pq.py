@@ -224,22 +224,29 @@ def adc_topk(
                 for qi in range(len(ids_q)):
                     row = dist[qi]
                     v = np.partition(row, kk - 1)[kk - 1]
+                    if np.isnan(v):
+                        # Fewer than kk finite distances in this batch
+                        # (NaN query vector, or a NaN codebook centroid
+                        # poisoning some neighbors): NaN compares false
+                        # to everything, so the lt/eq selection below
+                        # would go empty and drop the real candidates.
+                        # Keep EVERY finite candidate (there are < kk),
+                        # then fill with the lowest-id NaN rows —
+                        # deterministic, and the global window orders
+                        # NaN distances last, so finite neighbors win.
+                        fin = np.flatnonzero(~np.isnan(row))
+                        nanidx = np.flatnonzero(np.isnan(row))
+                        nanidx = nanidx[np.argsort(nb[nanidx], kind="stable")]
+                        part[qi, : len(fin)] = fin
+                        part[qi, len(fin) :] = nanidx[: kk - len(fin)]
+                        continue
+                    # v finite => at least kk non-NaN distances <= v,
+                    # so lt/eq always fill kk here
                     lt = np.flatnonzero(row < v)
                     eq = np.flatnonzero(row == v)
-                    n_eq = min(len(eq), kk - len(lt))
-                    if len(lt) + n_eq < kk:
-                        # NaN cutoff (a NaN query vector makes its whole
-                        # distance row NaN; NaN compares false to
-                        # everything, so lt/eq can't fill kk).  Keep the
-                        # selection VALID and deterministic: lowest
-                        # neighbor ids — the global window still orders
-                        # NaN distances last, so results for real
-                        # queries are unaffected.
-                        part[qi] = np.argsort(nb, kind="stable")[:kk]
-                        continue
                     eq = eq[np.argsort(nb[eq], kind="stable")]
                     part[qi, : len(lt)] = lt
-                    part[qi, len(lt) :] = eq[:n_eq]
+                    part[qi, len(lt) :] = eq[: kk - len(lt)]
             rows = {
                 "query_id": np.repeat(ids_q, kk),
                 "neighbor_id": nb[part].ravel(),
@@ -250,7 +257,12 @@ def adc_topk(
     scored = codes.mapInPandas(_score, "query_id long, neighbor_id long, dist double")
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    # asc_nulls_last: NaN distances cross the Arrow boundary as NULLs,
+    # and Spark's default NULLS FIRST would rank NaN-poisoned rows
+    # ABOVE every finite neighbor
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc_nulls_last(), "neighbor_id"
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

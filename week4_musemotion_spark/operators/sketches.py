@@ -663,9 +663,7 @@ def cms_lookup(
 
         sketch = sketch.withColumn(
             "d",
-            (F.max("j").over(Window.partitionBy(*(group_cols or []))) + F.lit(1)).cast(
-                "int"
-            ),
+            (F.max("j").over(Window.partitionBy(*gcols)) + F.lit(1)).cast("int"),
         )
     t = F.col(term_col).cast("string")
     pos = F.array(

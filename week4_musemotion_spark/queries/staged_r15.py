@@ -292,7 +292,11 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
-        F.expr("sum(ppm) div count(*)").cast("long").alias("mean_bits_ppm"),
+        # dec() widening: the oracle's sum(ppm) promotes to HUGEINT,
+        # while a raw long sum would wrap silently past 2^63
+        int_div_trunc(dec(F.sum("ppm")), F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_bits_ppm"),
         F.min("ppm").cast("long").alias("min_bits_ppm"),
         F.max("ppm").cast("long").alias("max_bits_ppm"),
     )
