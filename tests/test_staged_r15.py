@@ -33,6 +33,24 @@ def test_shard_rendezvous_matches_oracle_and_conserves(spark):
     assert got.n_docs.max() < len(docs) / 2
 
 
+def test_hrw_single_hash_pass(spark):
+    # The one-hash-pass claim (_hrw_structs docstring): CollapseProject
+    # must NOT inline the struct array into its two array_max
+    # consumers — the optimized plan carries exactly S md5 calls.  If
+    # a Spark upgrade changes the inlining policy this fails loudly
+    # instead of silently doubling the per-row hash cost.
+    # Pin the pre-checkpoint picks fragment (the full query's cell
+    # table is a lazy localCheckpoint, which renders as a LogicalRDD
+    # and hides the upstream hashes from the static plan).
+    from week4_musemotion_spark.queries import staged_r15
+    from week4_musemotion_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = staged_r15._hrw_picks(docs)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") == staged_r15._N_SHARDS, opt
+
+
 def test_shard_rendezvous_assignment_is_stable_across_runs(spark):
     # Determinism: the whole point of coordination-free placement —
     # two independent evaluations agree row-for-row.

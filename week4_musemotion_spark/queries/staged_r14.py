@@ -113,9 +113,18 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rel, "doc_id", "left")
         .agg(F.sum(F.coalesce(F.col("rel"), F.lit(0)) * F.col("w")).alias("dcg"))
     )
-    ideal = rel.select(
-        "rel",
-        F.row_number().over(Window.orderBy(F.desc("rel"), "doc_id")).alias("rnk"),
+    # Only ranks 1..K carry nonzero nDCG weight (the wtab join drops
+    # the rest), so take the top K FIRST — orderBy().limit() compiles
+    # to a distributed TakeOrderedAndProject, leaving the one
+    # single-partition row_number frame constant-size (K rows) at any
+    # corpus scale instead of df(terms)-dependent.
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(_NDCG_K)
+        .select(
+            "rel",
+            F.row_number().over(Window.orderBy(F.desc("rel"), "doc_id")).alias("rnk"),
+        )
     )
     idcg = ideal.join(F.broadcast(wtab), "rnk").agg(
         F.sum(F.col("rel") * F.col("w")).alias("idcg")

@@ -45,11 +45,15 @@ _SEED_BASE = 9000
 
 
 def _hrw_structs() -> F.Column:
-    """The (hash, s) struct array for all _N_SHARDS seeds — computed
-    ONCE per row and materialized as a column, so the S=8 and S=7
-    picks read the SAME md5 evaluations (two independent pick
-    expressions would hash 2S-1 times per row and lean on Catalyst
-    subexpression elimination to dedupe).  array_max over the structs
+    """The (hash, s) struct array for all _N_SHARDS seeds.  Aliased
+    once in a lower select so the S=8 and S=7 picks read the SAME md5
+    evaluations: a two-stage select is not a materialization barrier
+    in general, but CollapseProject declines to inline a NON-CHEAP
+    expression referenced more than once, so the optimized plan keeps
+    the array in its own Project (exactly S md5 calls — pinned by
+    tests/test_staged_r15.py::test_hrw_single_hash_pass against the
+    optimized plan, so a Catalyst policy change surfaces as a test
+    failure, not a silent 2x hash cost).  array_max over the structs
     is lexicographic, so ties (astronomically unlikely, but the
     integer discipline never relies on that) break to the highest s —
     the oracle replays the same law with ORDER BY h DESC, s DESC."""
@@ -62,6 +66,19 @@ def _hrw_structs() -> F.Column:
             )
             for s in range(_N_SHARDS)
         ]
+    )
+
+
+def _hrw_picks(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, shard8, shard7) — the S=8 pick and the pick
+    with shard S-1 removed, both read off ONE struct-array column
+    (see :func:`_hrw_structs` for the single-hash-pass guarantee)."""
+    last = _N_SHARDS - 1
+    return docs.select("doc_id", "n_chars", _hrw_structs().alias("hs")).select(
+        "doc_id",
+        "n_chars",
+        F.array_max(F.col("hs"))["s"].alias("shard8"),
+        F.array_max(F.slice(F.col("hs"), 1, last))["s"].alias("shard7"),
     )
 
 
@@ -136,12 +153,7 @@ def q_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     placement has to become when one table is 100 TB."""
     last = _N_SHARDS - 1
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", "n_chars", _hrw_structs().alias("hs")).select(
-        "doc_id",
-        "n_chars",
-        F.array_max(F.col("hs"))["s"].alias("shard8"),
-        F.array_max(F.slice(F.col("hs"), 1, last))["s"].alias("shard7"),
-    )
+    d = _hrw_picks(docs)
     guard = F.assert_true(
         (F.col("shard8") == last) | (F.col("shard7") == F.col("shard8")),
         F.lit("HRW minimal-movement violated"),
@@ -292,9 +304,11 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
-        # dec() widening: the oracle's sum(ppm) promotes to HUGEINT,
-        # while a raw long sum would wrap silently past 2^63
-        int_div_trunc(dec(F.sum("ppm")), F.count(F.lit(1)))
+        # dec() widening must happen INSIDE the aggregation — sum the
+        # widened column, matching DuckDB's HUGEINT promotion.  A raw
+        # long sum wraps silently past 2^63 BEFORE any outer cast
+        # could see it (ppm reaches 64e6, so ~1.4e11 docs/source).
+        int_div_trunc(F.sum(dec(F.col("ppm"))), F.count(F.lit(1)))
         .cast("long")
         .alias("mean_bits_ppm"),
         F.min("ppm").cast("long").alias("min_bits_ppm"),
