@@ -36,6 +36,12 @@ from week4_musemotion_spark.queries import staged_r7  # noqa: E402,F401
 # semantic threshold sweep, HLL fold grid, RP distortion).
 from week4_musemotion_spark.queries import staged_r8  # noqa: E402,F401
 
+# Round-9 activation: the staged r9 wave — the provenance /
+# contamination layer (winnowing density+pairs, substring runs,
+# detector kappa x2, shingle-SimHash pairs, provenance bitmasks,
+# CUSUM drift, cluster purity, quality bias).
+from week4_musemotion_spark.queries import staged_r9  # noqa: E402,F401
+
 
 def import_staged() -> None:
     """Import every ``staged_*.py`` wave (idempotent), registering its
