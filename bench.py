@@ -19,6 +19,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+    # Size the local-mode JVM for the battery: local[32] runs every
+    # executor thread inside the driver, whose 1g default heap is far
+    # below what 32 concurrent sort/join tasks plus the battery's
+    # accumulated pinned tables need.  At 237 registered queries the
+    # session's persisted/localCheckpointed frames outgrew 1g's
+    # ~360 MB storage pool and LRU eviction forced cross-query
+    # recomputes (+66% on the whole battery — SCALING.md round-9);
+    # a production deployment sizes executor memory for the working
+    # set, so the bench does too.  Env-overridable, set before the
+    # JVM launches (get_spark reads it at builder time).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEMORY", "16g")
+
     from week4_musemotion_spark.queries import REGISTRY
     from week4_musemotion_spark.session import get_spark
 
