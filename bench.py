@@ -23,12 +23,14 @@ def main() -> None:
     # executor thread inside the driver, whose 1g default heap is far
     # below what 32 concurrent sort/join tasks plus the battery's
     # accumulated pinned tables need.  At 237 registered queries the
-    # session's persisted/localCheckpointed frames outgrew 1g's
-    # ~360 MB storage pool and LRU eviction forced cross-query
-    # recomputes (+66% on the whole battery — SCALING.md round-9);
-    # a production deployment sizes executor memory for the working
-    # set, so the bench does too.  Env-overridable, set before the
-    # JVM launches (get_spark reads it at builder time).
+    # 1g heap degrades the parquet writers ("Total allocation exceeds
+    # 95% of heap" + row-group down-scaling); the controlled
+    # same-window comparison measured 1g at ~8% slower than 16g
+    # (370.9s vs 341.7s — SCALING.md round-9; larger readings that
+    # night were host oscillation, not the heap).  A production
+    # deployment sizes executor memory for the working set, so the
+    # bench does too.  Env-overridable, set before the JVM launches
+    # (get_spark reads it at builder time).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEMORY", "16g")
 
     from week4_musemotion_spark.queries import REGISTRY

@@ -42,6 +42,13 @@ from week4_musemotion_spark.queries import staged_r8  # noqa: E402,F401
 # CUSUM drift, cluster purity, quality bias).
 from week4_musemotion_spark.queries import staged_r9  # noqa: E402,F401
 
+# Round-10 activation: the staged r10 wave — the corpus-accounting /
+# governance layer (effective tokens, k-anonymity quasi-identifier
+# audit, exact-integer BM25 top-k, seasonal-naive residual drift,
+# streaming count store before/after compaction, language confusion
+# matrix, winnowing recall vs exact Jaccard).
+from week4_musemotion_spark.queries import staged_r10  # noqa: E402,F401
+
 
 def import_staged() -> None:
     """Import every ``staged_*.py`` wave (idempotent), registering its
