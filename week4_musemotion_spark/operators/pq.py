@@ -95,30 +95,100 @@ def pq_fit(
     vec_col: str = "embedding",
     fit_fraction: float | None = None,
 ) -> PQModel:
-    """Lloyd-fitted codebooks: ``m`` independent k-means runs, each
-    over the corpus projected to one subspace (``F.slice`` — no data
-    copy until the Arrow batch).  Each run inherits kmeans_fit's
-    deterministic seeding and optional sample-fitting
-    (``fit_fraction`` — the FAISS train-on-sample move)."""
-    from week4_musemotion_spark.operators.similarity import kmeans_fit
+    """Lloyd-fitted codebooks: ``m`` independent k-means problems
+    solved in FUSED passes — per Lloyd iteration ONE Arrow-batched
+    scan assigns every subspace and emits per-batch PARTIAL SUM
+    tensors (map-side reduction: ≤ partitions × m × k × d/m tiny
+    rows reach the shuffle, never corpus rows), then one small
+    aggregate finishes the means.  Semantics per subspace are
+    identical to :func:`~.similarity.kmeans_fit` (same lowest-k-id
+    seeding, same expand-identity argmin with first-min tie rule,
+    empty clusters keep their centroid); only the pass structure
+    differs: m separate kmeans runs cost m·(iters+1) corpus jobs,
+    the fused fit costs iters+1 regardless of m.  ``fit_fraction``
+    fits on a seeded Bernoulli sample (the FAISS train-on-sample
+    move), falling back to the full corpus when the sample cannot
+    seed ``k`` clusters."""
+    import pandas as pd
 
+    from week4_musemotion_spark.operators.similarity import (
+        _collect_matrix,
+        _to_matrix,
+    )
+    from week4_musemotion_spark.sources.tables import spread
+
+    if fit_fraction is not None and not 0.0 < fit_fraction <= 1.0:
+        raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction!r}")
     # NULL vectors carry no information for codebook fitting and would
-    # crash the kmeans matrix build — exclude them from the whole fit,
-    # not just the dimension probe.
+    # crash the kmeans matrix build — exclude them from the whole fit.
     emb = emb.filter(F.col(vec_col).isNotNull())
-    row = emb.select(vec_col).first()
-    if row is None:
+    if fit_fraction is not None and fit_fraction < 1.0:
+        fit_df = emb.select(id_col, vec_col).sample(fraction=fit_fraction, seed=seed)
+    else:
+        fit_df = emb
+    # Seeds: the k lowest-id vectors, collected ONCE for all m
+    # subspaces (the per-subspace seeds are these rows' j-th
+    # subvectors — identical to m separate seed collects); the seed
+    # matrix doubles as the dimension probe, so no extra first() job.
+    _, X = _collect_matrix(
+        fit_df.select(id_col, vec_col).orderBy(id_col).limit(k), id_col, vec_col
+    )
+    if fit_df is not emb and X.shape[0] < k:
+        # sample too thin to seed k clusters — fall back to the full
+        # corpus (the seeds collect already told us, no extra job)
+        fit_df = emb
+        _, X = _collect_matrix(
+            fit_df.select(id_col, vec_col).orderBy(id_col).limit(k), id_col, vec_col
+        )
+    if X.shape[0] == 0:
         raise ValueError(
             "pq_fit: no non-null vector found to probe the dimension from"
         )
-    dim = len(row[0])
+    dim = X.shape[1]
     dsub = _check_dims(dim, m)
-    books = np.zeros((m, k, dsub))
-    for j in range(m):
-        sub = emb.select(id_col, F.slice(vec_col, j * dsub + 1, dsub).alias(vec_col))
-        books[j] = kmeans_fit(
-            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col, fit_fraction=fit_fraction
+    if X.shape[0] < k:
+        raise ValueError(f"corpus has {X.shape[0]} rows < k={k} codebook seeds")
+    books = X.reshape(k, m, dsub).transpose(1, 0, 2).copy()
+    spark = emb.sparkSession
+    scan = spread(fit_df.select(id_col, vec_col))
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(books)
+
+        def _partials(batches):
+            cb = bc.value  # (m, k, dsub)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Xs = _to_matrix(pdf[vec_col]).reshape(len(pdf), m, dsub)
+                js, cs, ps, ss, ns = [], [], [], [], []
+                for j in range(m):
+                    cj = cb[j]
+                    # |x|² − 2x·c + |c|²; |x|² constant per row, dropped
+                    d = (cj**2).sum(axis=1)[None, :] - 2.0 * (Xs[:, j, :] @ cj.T)
+                    a = np.argmin(d, axis=1)  # first min = lowest id
+                    for c in np.unique(a):
+                        rows = Xs[a == c, j, :]
+                        js.extend([j] * dsub)
+                        cs.extend([int(c)] * dsub)
+                        ps.extend(range(dsub))
+                        ss.extend(rows.sum(axis=0).tolist())
+                        ns.extend([len(rows)] * dsub)
+                yield pd.DataFrame(
+                    {"j": js, "cluster": cs, "pos": ps, "s": ss, "n": ns}
+                )
+
+        means = (
+            scan.mapInPandas(
+                _partials, "j int, cluster int, pos int, s double, n long"
+            )
+            .groupBy("j", "cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
         )
+        new_books = books.copy()  # empty clusters keep their centroid
+        for r in means:
+            new_books[r["j"], r["cluster"], r["pos"]] = r["s"] / r["n"]
+        books = new_books
     return PQModel(books)
 
 
