@@ -1,6 +1,7 @@
 """Diff two bench snapshots per query.
 
 Usage: python tools/compare_bench.py OLD.json NEW.json [threshold]
+       python tools/compare_bench.py OLD1.json,OLD2.json NEW1.json,NEW2.json
 
 Accepts any of: the local ``BENCH_FULL.json`` shape (``queries`` at
 the top level), the driver's ``BENCH_r{N}.json`` wrapper (``parsed``
@@ -8,6 +9,12 @@ holding the summary line), or — when the driver's stdout window cut
 the JSON line mid-map and ``parsed`` is null (BENCH_r01) — regex
 recovery of every ``"q_*": seconds`` pair from the raw ``tail``
 fragment, so cross-round diffs keep full history.
+
+Either side may be a COMMA-SEPARATED list of snapshots: per-query
+times are then min-combined across the list.  This is the round-10
+interleaved-A/B statistic (SCALING.md): on a host whose throughput
+oscillates, the per-query minimum across same-window reps is the
+only attributable number — single snapshots carry the oscillation.
 
 Prints queries slower by more than ``threshold`` (default 1.5×, min
 0.3s absolute — tiny queries are scheduler noise), new/removed
@@ -42,11 +49,21 @@ def load_queries(path: str) -> dict[str, float]:
     return {name: float(sec) for name, sec in pairs}
 
 
+def load_side(spec: str) -> dict[str, float]:
+    """One comparison side: a snapshot path, or a comma-separated
+    list of same-tree rep snapshots min-combined per query (only
+    queries present in EVERY rep survive — a query absent from one
+    rep has no defensible minimum)."""
+    maps = [load_queries(p) for p in spec.split(",")]
+    common = set(maps[0]).intersection(*maps[1:])
+    return {q: min(m[q] for m in maps) for q in common}
+
+
 def main() -> int:
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old = load_queries(old_path)
-    new = load_queries(new_path)
+    old = load_side(old_path)
+    new = load_side(new_path)
 
     regressions = []
     for name, t_new in sorted(new.items(), key=lambda kv: -kv[1]):
