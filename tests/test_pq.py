@@ -169,3 +169,26 @@ def test_adc_topk_partial_nan_keeps_finite_neighbors(spark):
     # the tail by lowest id (Spark windows order NaN last)
     assert got[1] == 8 and got[2] == 9, got
     assert got[3] == 0 and got[4] == 1, got
+
+
+def test_fused_fit_matches_per_subspace_kmeans(spark):
+    """The fused pq_fit (one Arrow pass per Lloyd iteration, partial
+    sums) must reproduce the per-subspace kmeans_fit decomposition it
+    replaced — same seeding, same argmin, same empty-cluster rule —
+    up to float-sum reassociation (the partial-sum order differs from
+    Spark's avg order; the means are otherwise the same multisets)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.operators.pq import pq_fit
+    from week4_musemotion_spark.operators.similarity import kmeans_fit
+
+    emb = _emb(spark).limit(120)
+    fused = pq_fit(emb, m=_M, k=_K, iters=2)
+    dsub = fused.dsub
+    for j in range(_M):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", j * dsub + 1, dsub).alias("embedding")
+        )
+        ref = kmeans_fit(sub, k=_K, iters=2)
+        assert np.allclose(fused.codebooks[j], ref, rtol=1e-9, atol=1e-12), j
