@@ -615,6 +615,129 @@ def main() -> int:
             adc.write.format("noop").mode("overwrite").save()
             results.setdefault("pq_encode_adc", {})[n] = round(time.perf_counter() - t0, 2)
 
+        # round-10 staged shapes (r16/r17 backlog): per-copy token
+        # namespaces (the round-3 jaccard trick) keep copies mutually
+        # dissimilar, so shingle df — and with it the rare-shingle
+        # blocking volume and the near-dup pair count — grows linearly
+        # with the corpus instead of quadratically per planted clone.
+        from week4_musemotion_spark.functions.text import shingles as _shingles
+        from week4_musemotion_spark.operators.mixing import (
+            deterministic_shuffle as _detsh,
+        )
+        from week4_musemotion_spark.queries.extensions import (
+            JACCARD_THRESHOLD as _JT2,
+        )
+
+        ns_copies = []
+        for i in range(n):
+            ns_copies.append(
+                doc0.select(
+                    (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
+                    "source",
+                    F.expr(
+                        f"concat_ws(' ', transform(split(text, ' '), t -> concat(t, '_{i}')))"
+                    ).alias("text"),
+                )
+            )
+        ns_docs = reduce(DataFrame.unionByName, ns_copies)
+        ns_docs.count()
+        # TF-weighted multiset Jaccard (staged_r16 q_weighted_jaccard_pairs
+        # chain): tf table pinned, rare-shingle blocking df in [2, 8],
+        # sum-min verification on shared support only
+        _wtf = (
+            ns_docs.select(
+                "doc_id", F.explode(_shingles(_tokens(F.col("text")), 5)).alias("s")
+            )
+            .groupBy("doc_id", "s")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .localCheckpoint(eager=False)
+        )
+        _wtot = _wtf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("tot"))
+        _wrare = (
+            _wtf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df").between(2, 8)).select("s")
+        )
+        _wpost = _wtf.join(_wrare, "s").select("s", "doc_id")
+        _wcand = (
+            _wpost.alias("a").join(_wpost.alias("b"), "s")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        wjac = (
+            _wcand.join(_wtf.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+            .join(
+                _wtf.alias("b"),
+                (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.s") == F.col("a.s")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least(F.col("a.tf"), F.col("b.tf"))).alias("inter_w"))
+            .join(_wtot.withColumnsRenamed({"doc_id": "doc_a", "tot": "ta"}), "doc_a")
+            .join(_wtot.withColumnsRenamed({"doc_id": "doc_b", "tot": "tb"}), "doc_b")
+            .select("doc_a", "doc_b", "inter_w", (F.col("ta") + F.col("tb") - F.col("inter_w")).alias("union_w"))
+        )
+        # DSIR two-model gain (staged_r16 q_dsir_select chain): both
+        # unigram models from ONE token-keyed aggregation, exact
+        # bit-length log2, per-doc ppm gain — key-shift amplification
+        # (docs below) keeps sources, so the target model scales with
+        # its stratum and per-doc work is one model hash-join
+        _dtok = docs.select(
+            "doc_id", "source", F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        _dcnt = _dtok.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("cc"),
+            F.count(F.when(F.col("source") == "src0", 1)).cast("long").alias("ct"),
+        )
+        _dtotals = _dcnt.agg(
+            F.sum("cc").cast("long").alias("nc"), F.sum("ct").cast("long").alias("nt")
+        )
+        _dmodel = (
+            _dcnt.filter(F.col("ct") > 0)
+            .join(F.broadcast(_dtotals))
+            .select(
+                "term",
+                (F.length(F.bin(F.expr("nc div cc"))) - F.lit(1)).cast("long").alias("bc"),
+                (F.length(F.bin(F.expr("nt div ct"))) - F.lit(1)).cast("long").alias("bt"),
+            )
+        )
+        dsir = (
+            _dtok.join(_dmodel, "term")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_scored"),
+                F.sum("bc").cast("long").alias("sbc"),
+                F.sum("bt").cast("long").alias("sbt"),
+            )
+            .select(
+                "doc_id",
+                (_idt(_dec(F.col("sbc")) * 1_000_000, F.col("n_scored"))
+                 - _idt(_dec(F.col("sbt")) * 1_000_000, F.col("n_scored"))).alias("gain_ppm"),
+            )
+            .orderBy(F.desc("gain_ppm"), "doc_id")
+            .limit(100)
+        )
+        # in-batch collision audit (staged_r17 q_inbatch_collisions
+        # chain): two-pass global index -> batch, near-dup pairs from
+        # banded shingle joins, double equi-join, two 1-row aggregates
+        _iasg = (
+            _detsh(ns_docs.select("doc_id"), "doc_id")
+            .select("doc_id", _idt(F.col("pos"), F.lit(32)).alias("batch"))
+            .localCheckpoint(eager=False)
+        )
+        _ipairs = _jp(ns_docs, _JT2).select("doc_a", "doc_b")
+        inbatch = (
+            _ipairs.join(
+                _iasg.select(F.col("doc_id").alias("doc_a"), F.col("batch").alias("ba")), "doc_a"
+            )
+            .join(
+                _iasg.select(F.col("doc_id").alias("doc_b"), F.col("batch").alias("bb")), "doc_b"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.when(F.col("ba") == F.col("bb"), 1).otherwise(0)).alias("n_coll"),
+            )
+        )
+
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -642,6 +765,9 @@ def main() -> int:
             ("bm25_fixed_point", bm25),
             ("qsketch_quantiles", qsk),
             ("tv_distance_pairs", tvd),
+            ("weighted_jaccard_dfcap", wjac),
+            ("dsir_two_model_gain", dsir),
+            ("inbatch_collision_audit", inbatch),
         ]:
             if only is not None and shape not in only:
                 continue
