@@ -1,0 +1,111 @@
+"""Schema evolution (sources/evolution.py): drifted appends, union
+reads across generations, widening lattice, conflict errors.
+
+Reference contrast: the reference's load paths are full-replace /
+drop-and-recreate (pipeline.py:150-175, load_local_to_db.py:120-140)
+— evolve_append is the append-only generalization a long-lived
+corpus needs."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from week4_musemotion_spark.sources.evolution import (
+    dataset_schema,
+    evolve_append,
+    read_evolved,
+    reconcile_to,
+)
+
+
+@pytest.fixture
+def path(tmp_path):
+    p = str(tmp_path / "evo")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def test_first_write_then_added_column(spark, path):
+    r0 = evolve_append(
+        spark.createDataFrame([(1, "a")], "id long, name string"), path
+    )
+    assert r0 == {"added": [], "filled": [], "widened": [], "generation": 0}
+    # generation 1 adds a column; older rows read it as NULL
+    r1 = evolve_append(
+        spark.createDataFrame([(2, "b", "en")], "id long, name string, lang string"),
+        path,
+    )
+    assert r1["added"] == ["lang"] and r1["generation"] == 1
+    got = {r.id: (r.name, r.lang) for r in read_evolved(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", "en")}
+
+
+def test_dropped_column_null_fills_new_rows(spark, path):
+    evolve_append(spark.createDataFrame([(1, "a")], "id long, name string"), path)
+    r = evolve_append(spark.createDataFrame([(2,)], "id long"), path)
+    assert r["filled"] == ["name"]
+    got = {r.id: r.name for r in read_evolved(spark, path).collect()}
+    assert got == {1: "a", 2: None}
+
+
+def test_widening_int_to_long_across_generations(spark, path):
+    evolve_append(spark.createDataFrame([(1, 10)], "id long, v int"), path)
+    r = evolve_append(
+        spark.createDataFrame([(2, 2**40)], "id long, v long"), path
+    )
+    assert r["widened"] == [("v", "int", "bigint")]
+    df = read_evolved(spark, path)
+    # the union schema carries the wider type; the int-generation file
+    # up-casts at scan time (no rewrite happened)
+    assert df.schema["v"].dataType.simpleString() == "bigint"
+    got = {r.id: r.v for r in df.collect()}
+    assert got == {1: 10, 2: 2**40}
+    # and the narrow-generation file is still physically int32
+    assert dataset_schema(spark, path)["v"].dataType.simpleString() == "bigint"
+
+
+def test_float_to_double_and_stability_of_repeat_appends(spark, path):
+    evolve_append(spark.createDataFrame([(1, 1.5)], "id long, x float"), path)
+    r = evolve_append(spark.createDataFrame([(2, 2.5)], "id long, x double"), path)
+    assert r["widened"] == [("x", "float", "double")]
+    # a third append at the original narrow type needs no evolution —
+    # the batch up-casts into the established double
+    r2 = evolve_append(spark.createDataFrame([(3, 3.5)], "id long, x float"), path)
+    assert r2["widened"] == []
+    got = {r.id: r.x for r in read_evolved(spark, path).collect()}
+    assert got == {1: 1.5, 2: 2.5, 3: 3.5}
+
+
+def test_incompatible_drift_raises_curated_error(spark, path):
+    evolve_append(spark.createDataFrame([(1, 10)], "id long, v int"), path)
+    with pytest.raises(ValueError, match="schema evolution conflict on column 'v'"):
+        evolve_append(spark.createDataFrame([(2, "x")], "id long, v string"), path)
+    # precision-losing int -> double is refused, not coerced
+    with pytest.raises(ValueError, match="no lossless widening"):
+        evolve_append(spark.createDataFrame([(3, 1.0)], "id long, v double"), path)
+
+
+def test_sidecar_lost_footer_sweep_recovers_union(spark, path):
+    evolve_append(spark.createDataFrame([(1, 10)], "id long, v int"), path)
+    evolve_append(
+        spark.createDataFrame([(2, 2**40, "en")], "id long, v long, lang string"),
+        path,
+    )
+    os.remove(os.path.join(path, "_evolution_schema.json"))
+    df = read_evolved(spark, path)  # footer-sweep fallback
+    assert df.schema["v"].dataType.simpleString() == "bigint"
+    got = {r.id: (r.v, r.lang) for r in df.collect()}
+    assert got == {1: (10, None), 2: (2**40, "en")}
+
+
+def test_reconcile_rejects_unknown_columns(spark):
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(1, "x")], "id long, rogue string")
+    target = T.StructType([T.StructField("id", T.LongType(), True)])
+    with pytest.raises(ValueError, match="unexpected columns.*rogue"):
+        reconcile_to(df, target)

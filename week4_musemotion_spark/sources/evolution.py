@@ -1,0 +1,218 @@
+"""Schema evolution for long-lived parquet corpora.
+
+The reference cannot evolve a schema: every load path is either a
+full replace (``pipeline.py:150-175`` truncate-then-insert) or an
+explicit drop-and-recreate DDL (``load_local_to_db.py:120-140``) —
+workable at 1,499 rows, impossible at 100 TB, where a corpus lives
+for years and its schema drifts batch by batch (a new metadata
+column appears, an old one stops being emitted, an int column
+outgrows 32 bits).  This module is the engine's evolution contract:
+
+- :func:`evolve_append` — append a drifted batch to an existing
+  parquet dataset.  Reconciliation is METADATA work (no data scan):
+  columns the dataset has but the batch lacks are written as typed
+  NULLs; columns the batch adds join the union schema (older files
+  simply lack them); type drift is resolved by WIDENING along a
+  lossless lattice (int → long, float → double; int → double is
+  refused — silent precision loss above 2^53 — as is any unrelated
+  pair), and the batch is written at the wider type so newer files
+  carry it.
+- :func:`read_evolved` — the corpus across every schema generation:
+  Spark's parquet reader is given the lattice-merged UNION schema
+  explicitly, under which it up-casts narrow files (int32 columns
+  read as long — verified against Spark 4.1) and NULL-fills columns
+  a generation lacked.  Plain ``mergeSchema`` cannot do this — it
+  REFUSES int-vs-long file merges (``CANNOT_MERGE_SCHEMAS``), which
+  is exactly why widening needs an engine-level contract.
+
+The current union schema is persisted as a ``_evolution_schema.json``
+sidecar on every append (underscore-prefixed, so Spark's file index
+ignores it as data) — reads resolve the schema from one tiny file
+instead of a footer sweep.  When the sidecar is absent (pre-existing
+dataset), the union is recovered by a per-file footer pass (pyarrow;
+at cluster scale run the same pass distributed over the file list,
+or adopt a real metastore — the sidecar IS the metastore-lite).
+
+Policy notes (deliberate choices, not limitations):
+
+- Widening happens on APPEND (new files get the wider type);
+  existing files are never rewritten — the declared-schema read
+  up-casts them for free.
+- Dropping a column is an append-side non-event (the batch stops
+  carrying it); readers keep seeing it (NULL for new rows).
+  Actually REMOVING it from the union is a rewrite (compaction's
+  job), never an append-time mutation.
+- Incompatible drift (string vs int, array vs scalar, narrowing)
+  raises a curated error naming the column and both types — a
+  3 a.m. pipeline should fail loudly, not coerce.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SIDECAR = "_evolution_schema.json"
+
+#: Lossless widenings (narrow simpleString -> wider simpleString).
+#: Anything not listed (and not an exact match) is a conflict.
+_WIDENINGS: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def _widen(a: T.DataType, b: T.DataType, col: str) -> T.DataType:
+    """The narrower-to-wider resolution of two drifted types, or a
+    curated error when no lossless widening exists."""
+    if a == b:
+        return a
+    an, bn = a.simpleString(), b.simpleString()
+    if bn in _WIDENINGS.get(an, ()):
+        return b
+    if an in _WIDENINGS.get(bn, ()):
+        return a
+    raise ValueError(
+        f"schema evolution conflict on column {col!r}: dataset has "
+        f"{an}, batch has {bn} — no lossless widening; rewrite the "
+        f"dataset (compaction) or rename the batch column"
+    )
+
+
+def _merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Union of two generations' fields, types widened per column;
+    field order = a's fields then b's new fields (stable across
+    repeated merges)."""
+    a_by_name = {f.name: f for f in a.fields}
+    out: list[T.StructField] = []
+    for f in a.fields:
+        if any(g.name == f.name for g in b.fields):
+            g = next(g for g in b.fields if g.name == f.name)
+            out.append(T.StructField(f.name, _widen(f.dataType, g.dataType, f.name), True))
+        else:
+            out.append(T.StructField(f.name, f.dataType, True))
+    for g in b.fields:
+        if g.name not in a_by_name:
+            out.append(T.StructField(g.name, g.dataType, True))
+    return T.StructType(out)
+
+
+def reconcile_to(df: DataFrame, target: T.StructType) -> DataFrame:
+    """``df`` projected onto ``target``'s column set and order:
+    missing columns become typed NULLs, present columns cast to the
+    target type (validated against the lossless lattice), extra
+    columns are an error (merge the union schema first)."""
+    have = {f.name: f for f in df.schema.fields}
+    extra = set(have) - {f.name for f in target.fields}
+    if extra:
+        raise ValueError(f"reconcile_to: unexpected columns {sorted(extra)}")
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            _widen(have[f.name].dataType, f.dataType, f.name)  # raises on conflict
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _footer_union(path: str) -> T.StructType | None:
+    """Per-file footer sweep (pyarrow), lattice-merged — the sidecar
+    fallback for datasets that predate this module."""
+    import glob as _glob
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    merged: T.StructType | None = None
+    for f in files:
+        s = from_arrow_schema(pq.ParquetFile(f).schema_arrow)
+        merged = s if merged is None else _merge_schemas(merged, s)
+    return merged
+
+
+def dataset_schema(spark: SparkSession, path: str) -> T.StructType | None:
+    """The dataset's current UNION schema (sidecar if present, else a
+    footer sweep), or None when the dataset doesn't exist yet."""
+    side = os.path.join(path, _SIDECAR)
+    if os.path.exists(side):
+        with open(side) as fh:
+            return T.StructType.fromJson(json.load(fh)["schema"])
+    if not os.path.isdir(path):
+        return None
+    return _footer_union(path)
+
+
+def _write_sidecar(path: str, schema: T.StructType, generation: int) -> None:
+    # temp + atomic rename: a concurrent reader sees the old sidecar
+    # or the new one, never a torn write (same discipline as the
+    # export manifest's staging+rename)
+    side = os.path.join(path, _SIDECAR)
+    tmp = side + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"generation": generation, "schema": schema.jsonValue()}, fh)
+    os.replace(tmp, side)
+
+
+def evolve_append(df: DataFrame, path: str) -> dict:
+    """Append a possibly-drifted batch to the parquet dataset at
+    ``path`` and return an evolution report::
+
+        {"added": [new cols], "filled": [cols NULL-filled in batch],
+         "widened": [(col, from, to)], "generation": n}
+
+    First write (no dataset yet) is a plain create (generation 0).
+    The batch lands under the UNION schema — batch-missing columns
+    as typed NULLs, drifted types widened — so every file remains
+    individually consistent and :func:`read_evolved` reconstructs
+    the union without a rewrite."""
+    spark = df.sparkSession
+    current = dataset_schema(spark, path)
+    if current is None:
+        df.write.mode("append").parquet(path)
+        _write_sidecar(path, df.schema, 0)
+        return {"added": [], "filled": [], "widened": [], "generation": 0}
+    batch = {f.name: f.dataType for f in df.schema.fields}
+    report: dict = {"added": [], "filled": [], "widened": []}
+    for f in current.fields:
+        if f.name in batch:
+            wide = _widen(f.dataType, batch[f.name], f.name)
+            if wide != f.dataType:
+                report["widened"].append(
+                    (f.name, f.dataType.simpleString(), wide.simpleString())
+                )
+        else:
+            report["filled"].append(f.name)
+    known = {f.name for f in current.fields}
+    report["added"] = [f.name for f in df.schema.fields if f.name not in known]
+    union = _merge_schemas(current, df.schema)
+    reconcile_to(df, union).write.mode("append").parquet(path)
+    side = os.path.join(path, _SIDECAR)
+    gen = 0
+    if os.path.exists(side):
+        with open(side) as fh:
+            gen = json.load(fh)["generation"] + 1
+    _write_sidecar(path, union, gen)
+    report["generation"] = gen
+    return report
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """The corpus across every schema generation: the lattice-merged
+    union schema is DECLARED to the reader, under which Spark
+    up-casts narrow files (int32 → long, float → double) and
+    NULL-fills columns a generation lacked.  One sidecar read (or
+    footer sweep) + one scan; no file rewrite ever."""
+    schema = dataset_schema(spark, path)
+    if schema is None:
+        raise FileNotFoundError(f"no parquet dataset at {path}")
+    return spark.read.schema(schema).parquet(path)
