@@ -1,0 +1,76 @@
+"""Dead-letter ingestion (sources/quarantine.py): clean/quarantine
+splits for JSONL and CSV, safe-cast vs quarantine boundary, replay
+context, quarantine sink."""
+
+from __future__ import annotations
+
+import os
+
+from week4_musemotion_spark.sources.quarantine import (
+    quarantine_to,
+    read_csv_quarantined,
+    read_jsonl_quarantined,
+)
+
+_SCHEMA = "doc_id bigint, text string, score bigint"
+
+
+def _write(p, lines):
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def test_jsonl_split_clean_vs_quarantine(spark, tmp_path):
+    p = str(tmp_path / "in.jsonl")
+    _write(
+        p,
+        [
+            '{"doc_id": 1, "text": "ok", "score": 5}',
+            '{"doc_id": 2, "text": "also ok"}',          # missing field -> NULL, clean
+            '{"doc_id": 3, "text": "typed", "score": "NaNish"}',  # bad FIELD -> safe-cast NULL, clean
+            '{"doc_id": 4, "text": "trunca',              # broken JSON -> quarantine
+            "",                                           # blank -> dropped entirely
+            "not json at all",                            # -> quarantine
+        ],
+    )
+    clean, bad = read_jsonl_quarantined(spark, p, _SCHEMA)
+    got = {r.doc_id: (r.text, r.score) for r in clean.collect()}
+    assert got == {1: ("ok", 5), 2: ("also ok", None), 3: ("typed", None)}
+    bl = bad.collect()
+    assert sorted(r.raw_line for r in bl) == ["not json at all", '{"doc_id": 4, "text": "trunca']
+    # replay context: every quarantined row names its source file
+    assert all(r.src_file.endswith("in.jsonl") for r in bl)
+
+
+def test_csv_split_clean_vs_quarantine(spark, tmp_path):
+    p = str(tmp_path / "in.csv")
+    _write(
+        p,
+        [
+            "1,hello,5",
+            "2,partial,",            # empty numeric field -> NULL, clean
+            "3,too,many,fields,9",   # extra separators -> quarantine
+            "4,badnum,xx",           # bad FIELD -> safe-cast NULL, clean
+        ],
+    )
+    clean, bad = read_csv_quarantined(spark, p, _SCHEMA)
+    got = {r.doc_id: (r.text, r.score) for r in clean.collect()}
+    assert got == {1: ("hello", 5), 2: ("partial", None), 4: ("badnum", None)}
+    assert [r.raw_line for r in bad.collect()] == ["3,too,many,fields,9"]
+
+
+def test_quarantine_sink_appends_and_counts(spark, tmp_path):
+    p = str(tmp_path / "in.jsonl")
+    _write(p, ['{"doc_id": 1, "text": "ok", "score": 2}', "broken {"])
+    _, bad = read_jsonl_quarantined(spark, p, _SCHEMA)
+    qdir = str(tmp_path / "dead_letter")
+    assert quarantine_to(bad, qdir) == 1
+    back = spark.read.parquet(qdir)
+    rows = back.collect()
+    assert len(rows) == 1 and rows[0].raw_line == "broken {"
+    assert rows[0].quarantined_at is not None
+    # empty quarantines write nothing (no empty parquet directories)
+    clean_only, none_bad = read_jsonl_quarantined(spark, p, _SCHEMA)
+    empty = none_bad.filter("raw_line = 'never-matches'")
+    assert quarantine_to(empty, str(tmp_path / "q2")) == 0
+    assert not os.path.exists(str(tmp_path / "q2"))

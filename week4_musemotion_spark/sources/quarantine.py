@@ -1,0 +1,167 @@
+"""Malformed-record quarantine (dead-letter) ingestion.
+
+A 100 TB ingest ALWAYS contains broken lines — truncated writes,
+encoding damage, a producer bug's half-JSON.  The two default
+postures are both wrong at scale: FAILFAST kills a day-long job on
+line 40 billion, and DROPMALFORMED silently deletes data (the
+reference inherits pandas' posture: ``pd.to_numeric(errors=
+"coerce")`` nulls bad FIELDS but a bad LINE kills the load,
+``pipeline.py:108-110``).  The production contract is a dead-letter
+split: clean rows flow on, broken lines land in a quarantine with
+enough context to replay them after the producer is fixed.
+
+Design (one scan, no caching tricks): the file is read as TEXT and
+parsed with ``from_json`` in the projection, so the malformed-ness
+test is just ``parsed IS NULL`` — sidestepping Spark's restriction
+on queries that reference only the internal corrupt-record column of
+a JSON reader (which forces a ``cache()`` of the whole corpus to
+split clean from bad; unacceptable at scale).
+
+Malformed means the LINE doesn't parse (broken JSON, empty).  A line
+that parses but carries a wrong-typed FIELD is clean-with-NULL-field
+— that is the engine's safe-cast discipline (SURVEY §2 F3), same as
+the reference's ``errors="coerce"``; quarantine is for lines that
+cannot enter the schema at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_jsonl_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+) -> tuple[DataFrame, DataFrame]:
+    """``(clean, quarantined)`` from a JSON-lines path.
+
+    ``clean`` carries the schema's columns (wrong-typed fields are
+    NULL — safe-cast semantics); ``quarantined`` carries the raw
+    line verbatim plus its source file, which is everything a replay
+    needs.  Blank lines are noise, not data — they are dropped from
+    both sides.  One text scan; the parse runs in the projection
+    (whole-stage codegen), never a second pass."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    for f in schema.fields:
+        if not isinstance(f.dataType, T.AtomicType):
+            raise ValueError(
+                f"read_jsonl_quarantined: column {f.name!r} has non-atomic "
+                f"type {f.dataType.simpleString()} — the safe-cast split is "
+                "defined for flat tabular schemas; parse nested payloads "
+                "downstream with from_json on the string column"
+            )
+    # parse every field as STRING first: from_json under a typed
+    # schema treats a wrong-typed FIELD as a bad RECORD (whole row
+    # nulled — measured), which would quarantine coercible lines.
+    # The string parse always succeeds for well-formed JSON; the
+    # typed cast then nulls exactly the bad fields (try_cast — the
+    # engine's F3 safe-cast, ANSI-proof).  Malformed LINES land in
+    # the corrupt-record slot (a bare null-struct test cannot see
+    # them: broken JSON and '{}' both parse to a struct of nulls —
+    # measured).
+    parse_schema = T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
+        + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+    raw = spark.read.text(path).select(
+        F.col("value").alias("_raw"),
+        F.input_file_name().alias("_src_file"),
+    )
+    raw = raw.filter(F.trim(F.col("_raw")) != "")
+    parsed = raw.select(
+        "_raw", "_src_file", F.from_json(F.col("_raw"), parse_schema, opts).alias("_p")
+    )
+    bad = F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
+    clean = parsed.filter(~bad).select(
+        *[
+            F.col(f"_p.{f.name}").try_cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    quarantined = parsed.filter(bad).select(
+        F.col("_raw").alias("raw_line"), F.col("_src_file").alias("src_file")
+    )
+    return clean, quarantined
+
+
+def read_csv_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    sep: str = ",",
+    header: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The CSV twin of :func:`read_jsonl_quarantined` — the
+    reference's headerless-CSV shape (SURVEY §2 S1/P2) with a
+    dead-letter lane.  ``from_csv`` under PERMISSIVE surfaces
+    structurally broken lines through an explicit corrupt-record
+    slot; wrong-typed FIELDS null out (safe-cast), wrong-SHAPED
+    lines (extra/missing separators that PERMISSIVE cannot place)
+    quarantine."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    # all-string parse for the same reason as the JSONL twin: under a
+    # typed schema, PERMISSIVE records a TYPE failure in the corrupt
+    # slot too (measured — '4,badnum,xx' with a bigint column
+    # quarantines), which would ship coercible rows to the dead
+    # letter.  String fields cannot type-fail, so the corrupt slot is
+    # left meaning exactly "the line's SHAPE doesn't fit"; the typed
+    # try_cast below nulls bad fields (F3 safe-cast).
+    parse_schema = T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
+        + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+    raw = spark.read.text(path).select(
+        F.col("value").alias("_raw"),
+        F.input_file_name().alias("_src_file"),
+    )
+    raw = raw.filter(F.trim(F.col("_raw")) != "")
+    if header:
+        # drop each file's first line (headerless is the reference's
+        # norm; header=True exists for completeness of the twin)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_src_file").orderBy(F.monotonically_increasing_id())
+        raw = raw.withColumn("_ln", F.row_number().over(w)).filter(
+            F.col("_ln") > 1
+        ).drop("_ln")
+    opts = {
+        "sep": sep,
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": "_corrupt",
+    }
+    # from_csv takes a DDL string, not a StructType
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in parse_schema.fields)
+    parsed = raw.select(
+        "_raw",
+        "_src_file",
+        F.from_csv(F.col("_raw"), ddl, opts).alias("_p"),
+    )
+    bad = F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
+    clean = parsed.filter(~bad).select(
+        *[
+            F.col(f"_p.{f.name}").try_cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    quarantined = parsed.filter(bad).select(
+        F.col("_raw").alias("raw_line"), F.col("_src_file").alias("src_file")
+    )
+    return clean, quarantined
+
+
+def quarantine_to(quarantined: DataFrame, path: str) -> int:
+    """Append the dead-letter rows (plus an ingest timestamp) to a
+    parquet quarantine and return how many landed — the number an
+    ingest report alerts on."""
+    n = quarantined.count()
+    if n:
+        quarantined.withColumn("quarantined_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(path)
+    return n
