@@ -130,7 +130,14 @@ def _footer_union(path: str) -> T.StructType | None:
     from pyspark.sql.pandas.types import from_arrow_schema
     import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    # recursive: a dataset that was ever written with partitionBy
+    # nests its files under key=value dirs (note: the partition
+    # columns themselves live in directory names, not footers — a
+    # partitioned corpus should carry its sidecar, which records the
+    # full schema)
+    files = sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
     if not files:
         return None
     merged: T.StructType | None = None
