@@ -49,6 +49,16 @@ from week4_musemotion_spark.queries import staged_r9  # noqa: E402,F401
 # matrix, winnowing recall vs exact Jaccard).
 from week4_musemotion_spark.queries import staged_r10  # noqa: E402,F401
 
+# Round-11 activation: the staged r11 + r12 waves together — exact-
+# integer RBO rank overlap, intra-doc self-repetition runs, Benford
+# first-digit audit (r11); qsketch length/embedding-norm quantiles,
+# pairwise source TV distance, Simpson repetition index, streaming
+# watermark-delay audit, session-gap histogram, MinHash band tuner
+# (r12).  Both waves were pre-built with 3-SF differential evidence
+# in rounds 4-5 and re-validated every round since.
+from week4_musemotion_spark.queries import staged_r11  # noqa: E402,F401
+from week4_musemotion_spark.queries import staged_r12  # noqa: E402,F401
+
 
 def import_staged() -> None:
     """Import every ``staged_*.py`` wave (idempotent), registering its
