@@ -74,3 +74,32 @@ def test_quarantine_sink_appends_and_counts(spark, tmp_path):
     empty = none_bad.filter("raw_line = 'never-matches'")
     assert quarantine_to(empty, str(tmp_path / "q2")) == 0
     assert not os.path.exists(str(tmp_path / "q2"))
+
+
+def test_csv_header_dropped_per_file_by_block_offset(spark, tmp_path):
+    # two files, each with a header line; headers must vanish from
+    # BOTH lanes while every data row (clean or broken) survives
+    p1 = str(tmp_path / "a.csv")
+    p2 = str(tmp_path / "b.csv")
+    _write(p1, ["doc_id,text,score", "1,hello,5", "2,too,many,fields,9"])
+    _write(p2, ["doc_id,text,score", "3,world,7"])
+    clean, bad = read_csv_quarantined(
+        spark, str(tmp_path), _SCHEMA, header=True
+    )
+    got = {r.doc_id: (r.text, r.score) for r in clean.collect()}
+    # the header line itself parses shape-wise ("doc_id" try_casts to
+    # NULL) — header=True must remove it, not null-cast it
+    assert got == {1: ("hello", 5), 3: ("world", 7)}
+    assert [r.raw_line for r in bad.collect()] == ["2,too,many,fields,9"]
+
+
+def test_quarantine_sink_zero_rows_keeps_existing_dir(spark, tmp_path):
+    p = str(tmp_path / "in.jsonl")
+    _write(p, ['{"doc_id": 1, "text": "ok", "score": 2}', "broken {"])
+    _, bad = read_jsonl_quarantined(spark, p, _SCHEMA)
+    qdir = str(tmp_path / "dead_letter")
+    assert quarantine_to(bad, qdir) == 1
+    # a later zero-row ingest must not delete the existing quarantine
+    assert quarantine_to(bad.filter("raw_line = 'no-match'"), qdir) == 0
+    assert os.path.isdir(qdir)
+    assert spark.read.parquet(qdir).count() == 1

@@ -109,3 +109,64 @@ def test_reconcile_rejects_unknown_columns(spark):
     target = T.StructType([T.StructField("id", T.LongType(), True)])
     with pytest.raises(ValueError, match="unexpected columns.*rogue"):
         reconcile_to(df, target)
+
+
+def test_reconcile_refuses_lossy_narrowing(spark):
+    from pyspark.sql import types as T
+
+    # df bigint vs target int: _widen resolves to the DF's side, i.e.
+    # the cast would truncate — reconcile_to must refuse, not coerce
+    df = spark.createDataFrame([(2**40,)], "v long")
+    target = T.StructType([T.StructField("v", T.IntegerType(), True)])
+    with pytest.raises(ValueError, match="narrower"):
+        reconcile_to(df, target)
+
+
+def test_remote_uri_refused_not_misread_as_absent(spark):
+    # an s3:// path must never take the silent first-write branch
+    with pytest.raises(NotImplementedError, match="local-filesystem only"):
+        dataset_schema(spark, "s3://bucket/corpus")
+    with pytest.raises(NotImplementedError, match="local-filesystem only"):
+        evolve_append(spark.createDataFrame([(1,)], "id long"), "hdfs://nn/corpus")
+
+
+def test_sidecar_publishes_before_data_torn_append_safe(spark, path):
+    """Crash between sidecar publish and data write: readers see a
+    SUPERSET schema (harmless NULL-filled column), never files newer
+    than the sidecar."""
+    from week4_musemotion_spark.sources.evolution import _publish_union
+
+    evolve_append(spark.createDataFrame([(1, "a")], "id long, name string"), path)
+    # a torn append == the sidecar landed, the data never did
+    drifted = spark.createDataFrame(
+        [(2, "b", "en")], "id long, name string, lang string"
+    )
+    _publish_union(spark, path, drifted.schema)
+    df = read_evolved(spark, path)
+    assert [f.name for f in df.schema.fields] == ["id", "name", "lang"]
+    assert {r.id: (r.name, r.lang) for r in df.collect()} == {1: ("a", None)}
+    # the retry lands under a fresh generation and reads whole
+    r = evolve_append(drifted, path)
+    assert r["generation"] == 2 and r["added"] == []  # sidecar already knew lang
+    got = {r.id: (r.name, r.lang) for r in read_evolved(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", "en")}
+
+
+def test_sidecar_lock_contention_times_out_with_curated_error(spark, path):
+    from week4_musemotion_spark.sources.evolution import _publish_union
+
+    evolve_append(spark.createDataFrame([(1,)], "id long"), path)
+    lock = os.path.join(path, "_evolution_schema.json.lock")
+    with open(lock, "w") as fh:
+        fh.write("999999")
+    try:
+        with pytest.raises(TimeoutError, match="crashed writer"):
+            _publish_union(
+                spark, path, spark.createDataFrame([(2,)], "id long").schema,
+                timeout=0.2,
+            )
+    finally:
+        os.remove(lock)
+    # once the stale lock is cleared the append proceeds
+    r = evolve_append(spark.createDataFrame([(2,)], "id long"), path)
+    assert r["generation"] == 1

@@ -45,18 +45,47 @@ Policy notes (deliberate choices, not limitations):
 - Incompatible drift (string vs int, array vs scalar, narrowing)
   raises a curated error naming the column and both types — a
   3 a.m. pipeline should fail loudly, not coerce.
+- The sidecar publishes BEFORE the data on every append (a superset
+  sidecar is harmless; files newer than the sidecar are not), and
+  its read-modify-write is serialized by an ``O_CREAT|O_EXCL`` lock
+  file so concurrent appends cannot drop each other's added/widened
+  columns.  Only the tiny sidecar update serializes — the data
+  writes themselves still run concurrently.
+- The sidecar/lock protocol is os.path-based, so remote URIs
+  (s3://, hdfs://, abfss://) are REFUSED loudly rather than
+  mis-read as "dataset absent" — the cluster deployment routes the
+  same protocol through the Hadoop FileSystem API or a metastore.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _SIDECAR = "_evolution_schema.json"
+_LOCK = _SIDECAR + ".lock"
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _require_local(path: str) -> None:
+    """This module's sidecar/lock discipline is os.path-based; a
+    remote URI (s3://, abfss://, hdfs://) would silently read as
+    "dataset absent" and take the first-write branch — appending an
+    UNRECONCILED batch into an existing dataset.  Fail loudly
+    instead; the cluster deployment routes the same sidecar protocol
+    through the Hadoop FileSystem API (or a real metastore)."""
+    if _SCHEME.match(path):
+        raise NotImplementedError(
+            f"schema evolution sidecar protocol is local-filesystem only; "
+            f"got {path!r} — route remote datasets through the Hadoop "
+            f"FileSystem API or a metastore"
+        )
 
 #: Lossless widenings (narrow simpleString -> wider simpleString).
 #: Anything not listed (and not an exact match) is a conflict.
@@ -115,7 +144,19 @@ def reconcile_to(df: DataFrame, target: T.StructType) -> DataFrame:
     cols = []
     for f in target.fields:
         if f.name in have:
-            _widen(have[f.name].dataType, f.dataType, f.name)  # raises on conflict
+            wide = _widen(have[f.name].dataType, f.dataType, f.name)  # raises on conflict
+            if wide != f.dataType:
+                # the df's type is the WIDER of the pair: casting down
+                # to the target would silently truncate (bigint -> int
+                # wraps).  Only lossless up-casts pass; widen the
+                # target first (merge the union schema).
+                raise ValueError(
+                    f"reconcile_to: column {f.name!r} is "
+                    f"{have[f.name].dataType.simpleString()} but the target "
+                    f"declares narrower {f.dataType.simpleString()} — "
+                    "refusing the lossy down-cast; merge the union schema "
+                    "into the target first"
+                )
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
@@ -147,13 +188,22 @@ def _footer_union(path: str) -> T.StructType | None:
     return merged
 
 
+def _read_sidecar(path: str) -> tuple[T.StructType, int] | None:
+    side = os.path.join(path, _SIDECAR)
+    if not os.path.exists(side):
+        return None
+    with open(side) as fh:
+        doc = json.load(fh)
+    return T.StructType.fromJson(doc["schema"]), doc["generation"]
+
+
 def dataset_schema(spark: SparkSession, path: str) -> T.StructType | None:
     """The dataset's current UNION schema (sidecar if present, else a
     footer sweep), or None when the dataset doesn't exist yet."""
-    side = os.path.join(path, _SIDECAR)
-    if os.path.exists(side):
-        with open(side) as fh:
-            return T.StructType.fromJson(json.load(fh)["schema"])
+    _require_local(path)
+    side = _read_sidecar(path)
+    if side is not None:
+        return side[0]
     if not os.path.isdir(path):
         return None
     return _footer_union(path)
@@ -170,6 +220,65 @@ def _write_sidecar(path: str, schema: T.StructType, generation: int) -> None:
     os.replace(tmp, side)
 
 
+def _publish_union(spark: SparkSession, path: str, batch: T.StructType,
+                   timeout: float = 60.0) -> tuple[T.StructType | None, T.StructType, int]:
+    """Merge ``batch`` into the dataset's current union and publish
+    the sidecar — BEFORE any data lands, under an exclusive lock.
+
+    Two invariants this ordering buys:
+
+    - **Crash safety**: a sidecar describing a SUPERSET of the files
+      on disk is harmless (declared-schema reads NULL-fill columns
+      that have no files yet), while files newer than the sidecar are
+      not — readers would miss added columns, and a widened file
+      under a stale narrow declared type is a read error.  So the
+      schema publishes first; a crash before the data write leaves a
+      valid (if slightly eager) dataset.
+    - **Lost-update safety**: the merge is read-modify-write; without
+      mutual exclusion two concurrent appends each merge against the
+      stale union and the last writer silently drops the other's
+      added/widened column.  The `O_CREAT|O_EXCL` lock file
+      serializes the sidecar update only — the (large) data writes
+      still run concurrently, since parquet appends land distinct
+      files.
+
+    Returns ``(current_or_None, union, generation)``.  A lock older
+    than ``timeout`` raises with the lock path so an operator can
+    remove a crashed holder's leftover.
+    """
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, _LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"evolve_append: could not acquire {lock} within "
+                    f"{timeout:.0f}s — another append holds it, or a "
+                    "crashed writer left it behind (safe to remove after "
+                    "confirming no live writer)"
+                )
+            time.sleep(0.05)
+    try:
+        side = _read_sidecar(path)
+        if side is not None:
+            current, prev_gen = side
+            gen = prev_gen + 1
+        else:
+            current = _footer_union(path)  # pre-existing sidecar-less dataset
+            gen = 0
+        union = batch if current is None else _merge_schemas(current, batch)
+        _write_sidecar(path, union, gen)
+        return current, union, gen
+    finally:
+        os.remove(lock)
+
+
 def evolve_append(df: DataFrame, path: str) -> dict:
     """Append a possibly-drifted batch to the parquet dataset at
     ``path`` and return an evolution report::
@@ -181,15 +290,18 @@ def evolve_append(df: DataFrame, path: str) -> dict:
     The batch lands under the UNION schema — batch-missing columns
     as typed NULLs, drifted types widened — so every file remains
     individually consistent and :func:`read_evolved` reconstructs
-    the union without a rewrite."""
+    the union without a rewrite.  The union-schema sidecar publishes
+    BEFORE the data (crash-safe: a superset sidecar is harmless, a
+    stale one is not) and its update is serialized by a lock file
+    (see :func:`_publish_union`)."""
     spark = df.sparkSession
-    current = dataset_schema(spark, path)
+    _require_local(path)
+    current, union, gen = _publish_union(spark, path, df.schema)
+    report: dict = {"added": [], "filled": [], "widened": [], "generation": gen}
     if current is None:
         df.write.mode("append").parquet(path)
-        _write_sidecar(path, df.schema, 0)
-        return {"added": [], "filled": [], "widened": [], "generation": 0}
+        return report
     batch = {f.name: f.dataType for f in df.schema.fields}
-    report: dict = {"added": [], "filled": [], "widened": []}
     for f in current.fields:
         if f.name in batch:
             wide = _widen(f.dataType, batch[f.name], f.name)
@@ -201,15 +313,7 @@ def evolve_append(df: DataFrame, path: str) -> dict:
             report["filled"].append(f.name)
     known = {f.name for f in current.fields}
     report["added"] = [f.name for f in df.schema.fields if f.name not in known]
-    union = _merge_schemas(current, df.schema)
     reconcile_to(df, union).write.mode("append").parquet(path)
-    side = os.path.join(path, _SIDECAR)
-    gen = 0
-    if os.path.exists(side):
-        with open(side) as fh:
-            gen = json.load(fh)["generation"] + 1
-    _write_sidecar(path, union, gen)
-    report["generation"] = gen
     return report
 
 

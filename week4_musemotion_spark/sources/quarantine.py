@@ -119,17 +119,29 @@ def read_csv_quarantined(
     raw = spark.read.text(path).select(
         F.col("value").alias("_raw"),
         F.input_file_name().alias("_src_file"),
+        F.col("_metadata.file_block_start").alias("_blk"),
     )
     raw = raw.filter(F.trim(F.col("_raw")) != "")
     if header:
         # drop each file's first line (headerless is the reference's
-        # norm; header=True exists for completeness of the twin)
+        # norm; header=True exists for completeness of the twin).
+        # The header is row 1 of the block at FILE OFFSET 0 — keying
+        # the window by (file, block) keeps the row_number ordering
+        # within a single scan task, where monotonically_increasing_id
+        # follows physical read order by construction.  A file-wide
+        # window ordered by that id would instead lean on partition
+        # indices following split-offset order across tasks, which is
+        # an implementation detail, not a contract — a reordering
+        # would drop a data row and keep the header.
         from pyspark.sql import Window
 
-        w = Window.partitionBy("_src_file").orderBy(F.monotonically_increasing_id())
+        w = Window.partitionBy("_src_file", "_blk").orderBy(
+            F.monotonically_increasing_id()
+        )
         raw = raw.withColumn("_ln", F.row_number().over(w)).filter(
-            F.col("_ln") > 1
+            ~((F.col("_blk") == 0) & (F.col("_ln") == 1))
         ).drop("_ln")
+    raw = raw.drop("_blk")
     opts = {
         "sep": sep,
         "mode": "PERMISSIVE",
@@ -158,10 +170,31 @@ def read_csv_quarantined(
 def quarantine_to(quarantined: DataFrame, path: str) -> int:
     """Append the dead-letter rows (plus an ingest timestamp) to a
     parquet quarantine and return how many landed — the number an
-    ingest report alerts on."""
-    n = quarantined.count()
-    if n:
-        quarantined.withColumn("quarantined_at", F.current_timestamp()).write.mode(
-            "append"
-        ).parquet(path)
+    ingest report alerts on.
+
+    ONE pass: the count rides the write as an ``Observation`` metric
+    (the engine's zero-extra-scan pattern), never a separate
+    ``count()`` — the quarantine OUTPUT is tiny but its lineage is
+    the full text scan + parse, so a pre-count would pay a whole
+    extra corpus pass at 100 TB (and could disagree with the write
+    if input files changed between the two).  When the single pass
+    lands zero rows into a directory this call created, the empty
+    directory is removed so ops tooling globbing quarantine dirs
+    never alerts on schema-only debris (assumes one ingest report
+    per quarantine path at a time, which the lineage already
+    implies)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Observation
+
+    preexisting = os.path.isdir(path)
+    obs = Observation()
+    out = quarantined.observe(obs, F.count(F.lit(1)).alias("n"))
+    out.withColumn("quarantined_at", F.current_timestamp()).write.mode(
+        "append"
+    ).parquet(path)
+    n = int(obs.get["n"])
+    if n == 0 and not preexisting:
+        shutil.rmtree(path, ignore_errors=True)
     return n
