@@ -40,7 +40,7 @@ from week4_musemotion_spark.functions.exact import (
     ratio_e4_sql,
 )
 from week4_musemotion_spark.queries.registry import query
-from week4_musemotion_spark.sources.tables import load_table
+from week4_musemotion_spark.sources.tables import load_table, spread
 
 # chains staged_r15 -> ... -> r9 registration
 import week4_musemotion_spark.queries.staged_r15  # noqa: F401
@@ -134,7 +134,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection rule."""
     from week4_musemotion_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
     )
@@ -248,7 +248,10 @@ def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity."""
     from week4_musemotion_spark.functions.text import shingles, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the shingle construction is the query's dominant cost
+    # and a single-row-group scan runs it in ONE task (measured 7.8s
+    # -> 1.7s at sf0.1 for the explode pass alone)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tf = (
         docs.select(
             "doc_id", F.explode(shingles(tokens(F.col("text")), _WJ_N)).alias("s")
