@@ -134,7 +134,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection rule."""
     from week4_musemotion_spark.functions.text import tokens
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
     )
