@@ -103,3 +103,34 @@ def test_quarantine_sink_zero_rows_keeps_existing_dir(spark, tmp_path):
     assert quarantine_to(bad.filter("raw_line = 'no-match'"), qdir) == 0
     assert os.path.isdir(qdir)
     assert spark.read.parquet(qdir).count() == 1
+
+
+def test_replay_after_producer_fix_round_trips(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.sources.quarantine import replay_quarantined
+
+    p = str(tmp_path / "in.jsonl")
+    # two truncated lines (missing the closing brace) + one clean
+    _write(
+        p,
+        [
+            '{"doc_id": 1, "text": "ok", "score": 2}',
+            '{"doc_id": 2, "text": "cut", "score": 3',
+            '{"doc_id": 3, "text": "cut2", "score": 4',
+        ],
+    )
+    clean, bad = read_jsonl_quarantined(spark, p, _SCHEMA)
+    qdir = str(tmp_path / "dead_letter")
+    assert quarantine_to(bad, qdir) == 2
+    # replay WITHOUT a fix: still broken, nothing flows
+    flowed, still = replay_quarantined(spark, qdir, _SCHEMA)
+    assert flowed.count() == 0 and still.count() == 2
+    # replay WITH the producer fix (close the object)
+    fix = lambda c: F.concat(c, F.lit("}"))  # noqa: E731
+    flowed, still = replay_quarantined(spark, qdir, _SCHEMA, fix=fix)
+    got = {r.doc_id: (r.text, r.score) for r in flowed.collect()}
+    assert got == {2: ("cut", 3), 3: ("cut2", 4)}
+    assert still.count() == 0
+    # still_bad keeps replay shape so the loop can run again
+    assert [f.name for f in still.schema.fields] == ["raw_line", "src_file"]

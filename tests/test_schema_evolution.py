@@ -170,3 +170,35 @@ def test_sidecar_lock_contention_times_out_with_curated_error(spark, path):
     # once the stale lock is cleared the append proceeds
     r = evolve_append(spark.createDataFrame([(2,)], "id long"), path)
     assert r["generation"] == 1
+
+
+def test_concurrent_appends_keep_both_added_columns(spark, path):
+    """The lost-update race the lock exists for: two appends adding
+    DIFFERENT columns run concurrently; without mutual exclusion the
+    last sidecar write would drop the other's column from the
+    declared union."""
+    import threading
+
+    evolve_append(spark.createDataFrame([(0,)], "id long"), path)
+    errs = []
+
+    def appender(col, val):
+        try:
+            df = spark.createDataFrame([(val, f"x{val}")], f"id long, {col} string")
+            evolve_append(df, path)
+        except Exception as e:  # pragma: no cover - failure reporter
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=appender, args=(c, i + 1))
+        for i, c in enumerate(["left_col", "right_col"])
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = read_evolved(spark, path)
+    assert {"id", "left_col", "right_col"} <= {f.name for f in got.schema.fields}
+    rows = {r.id: (r.left_col, r.right_col) for r in got.collect()}
+    assert rows == {0: (None, None), 1: ("x1", None), 2: (None, "x2")}

@@ -198,3 +198,50 @@ def quarantine_to(quarantined: DataFrame, path: str) -> int:
     if n == 0 and not preexisting:
         shutil.rmtree(path, ignore_errors=True)
     return n
+
+
+def replay_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    fix=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-ingest a dead-letter parquet after the producer is fixed:
+    ``(clean, still_bad)`` from re-parsing each quarantined
+    ``raw_line`` (optionally repaired first by ``fix``, a Column →
+    Column expression builder — e.g. a regexp_replace closing a
+    known truncation).  Lines that now parse flow on under the same
+    all-string-parse + try_cast discipline as the live lane; lines
+    that still fail stay in replay shape (raw_line, src_file) so the
+    loop can run again after the next fix.
+
+    This is the second half of the dead-letter contract: the
+    quarantine stores the raw line + source file precisely so a
+    replay needs NO access to the original (possibly already aged
+    out) ingest files.  At 100 TB the quarantine is tiny relative to
+    the corpus, so replays are cheap to iterate."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    q = spark.read.parquet(path)
+    line = F.col("raw_line")
+    if fix is not None:
+        line = fix(line)
+    parse_schema = T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
+        + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+    parsed = q.select(
+        "raw_line",
+        "src_file",
+        F.from_json(line, parse_schema, opts).alias("_p"),
+    )
+    bad = F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
+    clean = parsed.filter(~bad).select(
+        *[
+            F.col(f"_p.{f.name}").try_cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    still_bad = parsed.filter(bad).select("raw_line", "src_file")
+    return clean, still_bad
