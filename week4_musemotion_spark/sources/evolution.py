@@ -47,10 +47,15 @@ Policy notes (deliberate choices, not limitations):
   3 a.m. pipeline should fail loudly, not coerce.
 - The sidecar publishes BEFORE the data on every append (a superset
   sidecar is harmless; files newer than the sidecar are not), and
-  its read-modify-write is serialized by an ``O_CREAT|O_EXCL`` lock
-  file so concurrent appends cannot drop each other's added/widened
-  columns.  Only the tiny sidecar update serializes — the data
-  writes themselves still run concurrently.
+  the WHOLE append — sidecar merge and data write — is serialized by
+  an ``O_CREAT|O_EXCL`` lock file: the merge is read-modify-write
+  (unserialized, concurrent appends drop each other's added
+  columns), and Spark's FileOutputCommitter stages every job to one
+  path under the same ``_temporary/0`` dir, so concurrent data
+  writes corrupt each other regardless (measured).  Single-writer
+  per dataset is the honest contract for a metastore-less local
+  protocol; table formats with concurrency-designed committers
+  (Iceberg/Delta) are the cluster answer.
 - The sidecar/lock protocol is os.path-based, so remote URIs
   (s3://, hdfs://, abfss://) are REFUSED loudly rather than
   mis-read as "dataset absent" — the cluster deployment routes the
@@ -220,33 +225,32 @@ def _write_sidecar(path: str, schema: T.StructType, generation: int) -> None:
     os.replace(tmp, side)
 
 
-def _publish_union(spark: SparkSession, path: str, batch: T.StructType,
-                   timeout: float = 60.0) -> tuple[T.StructType | None, T.StructType, int]:
-    """Merge ``batch`` into the dataset's current union and publish
-    the sidecar — BEFORE any data lands, under an exclusive lock.
+#: Default time an appender will wait for a competing append to
+#: finish.  The lock covers the DATA write too (see _acquire_lock),
+#: so the budget is sized for a real batch write, not a metadata
+#: blip.
+_LOCK_TIMEOUT = 600.0
 
-    Two invariants this ordering buys:
 
-    - **Crash safety**: a sidecar describing a SUPERSET of the files
-      on disk is harmless (declared-schema reads NULL-fill columns
-      that have no files yet), while files newer than the sidecar are
-      not — readers would miss added columns, and a widened file
-      under a stale narrow declared type is a read error.  So the
-      schema publishes first; a crash before the data write leaves a
-      valid (if slightly eager) dataset.
-    - **Lost-update safety**: the merge is read-modify-write; without
-      mutual exclusion two concurrent appends each merge against the
+def _acquire_lock(path: str, timeout: float) -> str:
+    """Take the dataset's exclusive append lock (`O_CREAT|O_EXCL`
+    file), waiting up to ``timeout``.  The lock covers the WHOLE
+    append — sidecar merge AND data write — for two reasons:
+
+    - **Lost-update safety**: the sidecar merge is read-modify-write;
+      unserialized, two concurrent appends each merge against the
       stale union and the last writer silently drops the other's
-      added/widened column.  The `O_CREAT|O_EXCL` lock file
-      serializes the sidecar update only — the (large) data writes
-      still run concurrently, since parquet appends land distinct
-      files.
+      added/widened column.
+    - **Committer safety**: Spark's FileOutputCommitter stages every
+      job writing to a path under the SAME ``<path>/_temporary/0``
+      dir, so two concurrent appends to one dataset clobber each
+      other's task-attempt dirs (measured: a threaded append race
+      fails inside the committer's chmod, not in our code).  Parquet
+      appends landing "distinct files" is not enough — the STAGING
+      area is shared.
 
-    Returns ``(current_or_None, union, generation)``.  A lock older
-    than ``timeout`` raises with the lock path so an operator can
-    remove a crashed holder's leftover.
-    """
-    os.makedirs(path, exist_ok=True)
+    A lock older than ``timeout`` raises with the lock path so an
+    operator can remove a crashed holder's leftover."""
     lock = os.path.join(path, _LOCK)
     deadline = time.monotonic() + timeout
     while True:
@@ -254,7 +258,7 @@ def _publish_union(spark: SparkSession, path: str, batch: T.StructType,
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
-            break
+            return lock
         except FileExistsError:
             if time.monotonic() >= deadline:
                 raise TimeoutError(
@@ -264,22 +268,48 @@ def _publish_union(spark: SparkSession, path: str, batch: T.StructType,
                     "confirming no live writer)"
                 )
             time.sleep(0.05)
+
+
+def _resolve_and_publish(
+    spark: SparkSession, path: str, batch: T.StructType
+) -> tuple[T.StructType | None, T.StructType, int]:
+    """Resolve the current union, merge ``batch`` in, and publish the
+    sidecar — BEFORE any data lands.  Caller must hold the lock.
+
+    The ordering is the crash-safety invariant: a sidecar describing
+    a SUPERSET of the files on disk is harmless (declared-schema
+    reads NULL-fill columns that have no files yet), while files
+    newer than the sidecar are not — readers would miss added
+    columns, and a widened file under a stale narrow declared type is
+    a read error.  A crash between sidecar and data leaves a valid
+    (if slightly eager) dataset."""
+    side = _read_sidecar(path)
+    if side is not None:
+        current, prev_gen = side
+        gen = prev_gen + 1
+    else:
+        current = _footer_union(path)  # pre-existing sidecar-less dataset
+        gen = 0
+    union = batch if current is None else _merge_schemas(current, batch)
+    _write_sidecar(path, union, gen)
+    return current, union, gen
+
+
+def _publish_union(spark: SparkSession, path: str, batch: T.StructType,
+                   timeout: float = _LOCK_TIMEOUT) -> tuple[T.StructType | None, T.StructType, int]:
+    """Sidecar-only publish (no data): acquire the lock, merge +
+    publish, release.  Exists for crash-simulation tests; real
+    appends go through :func:`evolve_append`, which holds the lock
+    across the data write too."""
+    os.makedirs(path, exist_ok=True)
+    lock = _acquire_lock(path, timeout)
     try:
-        side = _read_sidecar(path)
-        if side is not None:
-            current, prev_gen = side
-            gen = prev_gen + 1
-        else:
-            current = _footer_union(path)  # pre-existing sidecar-less dataset
-            gen = 0
-        union = batch if current is None else _merge_schemas(current, batch)
-        _write_sidecar(path, union, gen)
-        return current, union, gen
+        return _resolve_and_publish(spark, path, batch)
     finally:
         os.remove(lock)
 
 
-def evolve_append(df: DataFrame, path: str) -> dict:
+def evolve_append(df: DataFrame, path: str, timeout: float = _LOCK_TIMEOUT) -> dict:
     """Append a possibly-drifted batch to the parquet dataset at
     ``path`` and return an evolution report::
 
@@ -290,31 +320,45 @@ def evolve_append(df: DataFrame, path: str) -> dict:
     The batch lands under the UNION schema — batch-missing columns
     as typed NULLs, drifted types widened — so every file remains
     individually consistent and :func:`read_evolved` reconstructs
-    the union without a rewrite.  The union-schema sidecar publishes
-    BEFORE the data (crash-safe: a superset sidecar is harmless, a
-    stale one is not) and its update is serialized by a lock file
-    (see :func:`_publish_union`)."""
+    the union without a rewrite.
+
+    Single-writer per dataset, ENFORCED: the lock file is held across
+    the sidecar merge AND the data write, because concurrent Spark
+    jobs writing one path share the committer's ``_temporary/0``
+    staging dir and corrupt each other (see :func:`_acquire_lock`).
+    Within the lock the sidecar still publishes BEFORE the data —
+    the crash-safety ordering (see :func:`_resolve_and_publish`).
+    Concurrent appends therefore serialize (second waits up to
+    ``timeout``), which is the honest contract for a metastore-less
+    local protocol; a cluster deployment gets write concurrency from
+    a real table format (Iceberg/Delta) whose committers are
+    designed for it."""
     spark = df.sparkSession
     _require_local(path)
-    current, union, gen = _publish_union(spark, path, df.schema)
-    report: dict = {"added": [], "filled": [], "widened": [], "generation": gen}
-    if current is None:
-        df.write.mode("append").parquet(path)
+    os.makedirs(path, exist_ok=True)
+    lock = _acquire_lock(path, timeout)
+    try:
+        current, union, gen = _resolve_and_publish(spark, path, df.schema)
+        report: dict = {"added": [], "filled": [], "widened": [], "generation": gen}
+        if current is None:
+            df.write.mode("append").parquet(path)
+            return report
+        batch = {f.name: f.dataType for f in df.schema.fields}
+        for f in current.fields:
+            if f.name in batch:
+                wide = _widen(f.dataType, batch[f.name], f.name)
+                if wide != f.dataType:
+                    report["widened"].append(
+                        (f.name, f.dataType.simpleString(), wide.simpleString())
+                    )
+            else:
+                report["filled"].append(f.name)
+        known = {f.name for f in current.fields}
+        report["added"] = [f.name for f in df.schema.fields if f.name not in known]
+        reconcile_to(df, union).write.mode("append").parquet(path)
         return report
-    batch = {f.name: f.dataType for f in df.schema.fields}
-    for f in current.fields:
-        if f.name in batch:
-            wide = _widen(f.dataType, batch[f.name], f.name)
-            if wide != f.dataType:
-                report["widened"].append(
-                    (f.name, f.dataType.simpleString(), wide.simpleString())
-                )
-        else:
-            report["filled"].append(f.name)
-    known = {f.name for f in current.fields}
-    report["added"] = [f.name for f in df.schema.fields if f.name not in known]
-    reconcile_to(df, union).write.mode("append").parquet(path)
-    return report
+    finally:
+        os.remove(lock)
 
 
 def read_evolved(spark: SparkSession, path: str) -> DataFrame:
