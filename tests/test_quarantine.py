@@ -134,3 +134,25 @@ def test_replay_after_producer_fix_round_trips(spark, tmp_path):
     assert still.count() == 0
     # still_bad keeps replay shape so the loop can run again
     assert [f.name for f in still.schema.fields] == ["raw_line", "src_file"]
+
+
+def test_csv_replay_after_fix(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.sources.quarantine import replay_quarantined
+
+    p = str(tmp_path / "in.csv")
+    # one shape-broken line (extra field from an unescaped comma)
+    _write(p, ["1,hello,5", "2,oops,extra,7"])
+    _, bad = read_csv_quarantined(spark, p, _SCHEMA)
+    qdir = str(tmp_path / "dl")
+    assert quarantine_to(bad, qdir) == 1
+    # producer fix: collapse the stray comma
+    fix = lambda c: F.regexp_replace(c, "oops,extra", "oops extra")  # noqa: E731
+    flowed, still = replay_quarantined(spark, qdir, _SCHEMA, fix=fix, fmt="csv")
+    got = {r.doc_id: (r.text, r.score) for r in flowed.collect()}
+    assert got == {2: ("oops extra", 7)} and still.count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fmt must be"):
+        replay_quarantined(spark, qdir, _SCHEMA, fmt="xml")

@@ -205,6 +205,8 @@ def replay_quarantined(
     path: str,
     schema: T.StructType | str,
     fix=None,
+    fmt: str = "json",
+    sep: str = ",",
 ) -> tuple[DataFrame, DataFrame]:
     """Re-ingest a dead-letter parquet after the producer is fixed:
     ``(clean, still_bad)`` from re-parsing each quarantined
@@ -213,7 +215,9 @@ def replay_quarantined(
     known truncation).  Lines that now parse flow on under the same
     all-string-parse + try_cast discipline as the live lane; lines
     that still fail stay in replay shape (raw_line, src_file) so the
-    loop can run again after the next fix.
+    loop can run again after the next fix.  ``fmt`` selects the
+    lane's grammar ("json" or "csv", matching which reader
+    quarantined the lines).
 
     This is the second half of the dead-letter contract: the
     quarantine stores the raw line + source file precisely so a
@@ -222,6 +226,8 @@ def replay_quarantined(
     the corpus, so replays are cheap to iterate."""
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"replay_quarantined: fmt must be json or csv, got {fmt!r}")
     q = spark.read.parquet(path)
     line = F.col("raw_line")
     if fix is not None:
@@ -230,11 +236,23 @@ def replay_quarantined(
         [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
         + [T.StructField("_corrupt", T.StringType(), True)]
     )
-    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+    if fmt == "json":
+        opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+        parsed_col = F.from_json(line, parse_schema, opts)
+    else:
+        opts = {
+            "sep": sep,
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_corrupt",
+        }
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in parse_schema.fields
+        )
+        parsed_col = F.from_csv(line, ddl, opts)
     parsed = q.select(
         "raw_line",
         "src_file",
-        F.from_json(line, parse_schema, opts).alias("_p"),
+        parsed_col.alias("_p"),
     )
     bad = F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
     clean = parsed.filter(~bad).select(
