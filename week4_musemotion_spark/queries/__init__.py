@@ -59,6 +59,16 @@ from week4_musemotion_spark.queries import staged_r10  # noqa: E402,F401
 from week4_musemotion_spark.queries import staged_r11  # noqa: E402,F401
 from week4_musemotion_spark.queries import staged_r12  # noqa: E402,F401
 
+# Round-12 activation: the staged r13 + r14 waves together — the PQ
+# lifecycle (code histogram, ADC top-k, distortion audit, in-batch
+# collision audit), the quantile-strategy triple (streaming qsketch
+# store, exact per-source quantiles, per-nation price quantiles),
+# the functional-dependency profiler, and nDCG@20 ranking eval.
+# Pre-built with 3-SF differential evidence in rounds 9-10 and
+# re-validated every round since (STAGED_BENCH_r11.json).
+from week4_musemotion_spark.queries import staged_r13  # noqa: E402,F401
+from week4_musemotion_spark.queries import staged_r14  # noqa: E402,F401
+
 
 def import_staged() -> None:
     """Import every ``staged_*.py`` wave (idempotent), registering its
