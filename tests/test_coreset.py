@@ -105,3 +105,61 @@ def test_small_and_degenerate_inputs(spark):
     assert len(k_center_select(df, 9)) == 3
     with pytest.raises(ValueError, match="k must be"):
         k_center_select(df, 0)
+
+
+def test_null_and_ragged_embeddings_fail_loudly(spark):
+    """Round-12 advice: a null vec used to raise a raw TypeError on
+    the seed row and be SILENTLY never-selected elsewhere; both must
+    now produce a curated error naming the column."""
+    # null on the seed (min-id) row -> driver-side curated ValueError
+    df_seed_null = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="null 'embedding'.*seed"):
+        k_center_select(df_seed_null, 2)
+    # null on a non-seed row -> distributed assert, not silence
+    df_mid_null = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="null or ragged"):
+        k_center_select(df_mid_null, 2)
+    # ragged row -> same guard (zip_with pads with null)
+    df_ragged = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="null or ragged"):
+        k_center_select(df_ragged, 2)
+
+
+def test_assignment_null_embedding_fails_loudly(spark):
+    """A null/ragged vector nulls d2; Spark's NULLS-FIRST asc sort
+    would silently 'assign' the row to an arbitrary center."""
+    centers = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "center_id long, embedding array<float>"
+    )
+    rows = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="null or ragged"):
+        assign_to_centers(rows, centers).collect()
+
+
+def test_dist2_exact_beyond_long_component_square(spark):
+    """Round-12 advice: dec((a-b)*(a-b)) squared in LONG first, so a
+    quantized component diff past ~3.0e9 (raw |x| over ~3037) wrapped
+    silently.  4000 raw units quantize to 4e9; the squared distance
+    per dim is 1.6e19 > 2^63 — must come out exact, not wrapped."""
+    df = spark.createDataFrame(
+        [(1, [-2000.0, 0.0]), (2, [2000.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = k_center_select(df, 2)
+    assert got[1]["radius_num"] == (4000 * 10**6) ** 2
+    centers = spark.createDataFrame(
+        [(1, [-2000.0, 0.0])], "center_id long, embedding array<float>"
+    )
+    asg = {r.vec_id: r.dist2_num for r in assign_to_centers(df, centers).collect()}
+    assert int(asg[2]) == (4000 * 10**6) ** 2

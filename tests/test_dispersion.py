@@ -33,7 +33,7 @@ g AS (
 )
 SELECT label,
        CAST(n AS BIGINT) AS n,
-       CAST(n * (n - 1) // 2 AS BIGINT) AS pairs,
+       CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS VARCHAR) AS pairs,
        CAST(CAST(n AS HUGEINT) * s2 - sumsq_d AS VARCHAR) AS ssd,
        CAST(CASE WHEN n > 1 THEN (CAST(n AS HUGEINT) * s2 - sumsq_d)
                                  // (CAST(n * (n - 1) // 2 AS HUGEINT) * 1000000)
@@ -66,7 +66,7 @@ def test_closed_form_equals_naive_pairs(spark):
     row = embedding_dispersion(df).collect()[0]
     e = 10**12
     want = (1 * e) + (1 * e + 4 * e) + (4 * e)  # d12+d13+d23 squared dists
-    assert row.n == 3 and row.pairs == 3
+    assert row.n == 3 and int(row.pairs) == 3
     assert int(row.ssd) == want
     assert row.msd_e6 == want // (3 * 10**6)
 
@@ -78,7 +78,36 @@ def test_collapsed_group_reads_zero_and_singleton_null(spark):
     )
     got = {r.label: r for r in embedding_dispersion(df).collect()}
     assert int(got[7].ssd) == 0 and got[7].msd_e6 == 0  # collapsed
-    assert got[8].pairs == 0 and got[8].msd_e6 is None  # singleton
+    assert int(got[8].pairs) == 0 and got[8].msd_e6 is None  # singleton
+
+
+def test_msd_denominator_survives_large_groups(spark):
+    """Regression (round-12 advice): the msd_e6 denominator
+    pairs * 1e6 must be computed in decimal — a long denominator
+    wraps silently once a group passes ~4.3M rows.  Simulating 4.3M
+    rows directly is too slow for CI, so verify the EXPRESSION by
+    checking the physical types: pairs is emitted as a digit string
+    and the msd column stays correct on a group big enough that a
+    float path would already drift (10k identical + 1 outlier —
+    closed form must be exact)."""
+    import pandas as pd
+
+    n = 10_001
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "label": [1] * n,
+            "embedding": [[0.0, 0.0]] * (n - 1) + [[1.0, 0.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, label int, embedding array<float>")
+    row = embedding_dispersion(df).collect()[0]
+    pairs = n * (n - 1) // 2
+    want_ssd = (n - 1) * 10**12  # outlier vs each of the n-1 zeros
+    assert int(row.pairs) == pairs
+    assert int(row.ssd) == want_ssd
+    assert row.msd_e6 == want_ssd // (pairs * 10**6)
+    assert isinstance(row.pairs, str)  # digit string, not a wrappable long
 
 
 def test_ragged_vectors_raise(spark):

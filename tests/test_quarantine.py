@@ -156,3 +156,43 @@ def test_csv_replay_after_fix(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="fmt must be"):
         replay_quarantined(spark, qdir, _SCHEMA, fmt="xml")
+
+
+def test_zero_row_cleanup_rechecks_footers_before_removal(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 advice: quarantine_to sampled `preexisting` BEFORE
+    the write, so a concurrent ingest landing rows into the same
+    fresh path just after ours could be rmtree'd away.  The removal
+    now re-checks the parquet footers on disk."""
+    import week4_musemotion_spark.sources.quarantine as q
+
+    p = str(tmp_path / "in.jsonl")
+    _write(p, ['{"doc_id": 1, "text": "ok", "score": 2}'])
+    _, bad = read_jsonl_quarantined(spark, p, _SCHEMA)
+    none_bad = bad.filter("raw_line = 'no-match'")
+
+    qdir = str(tmp_path / "dl_fresh")
+    # simulate the racing writer: footers report rows at check time
+    monkeypatch.setattr(q, "_parquet_dir_rows", lambda _path: 5)
+    assert q.quarantine_to(none_bad, qdir) == 0
+    assert os.path.isdir(qdir)  # NOT removed: someone else's rows
+    monkeypatch.undo()
+
+    # and without a racer the schema-only debris still gets cleaned
+    qdir2 = str(tmp_path / "dl_fresh2")
+    assert q.quarantine_to(none_bad, qdir2) == 0
+    assert not os.path.isdir(qdir2)
+
+
+def test_parquet_dir_rows_footer_check(spark, tmp_path):
+    import week4_musemotion_spark.sources.quarantine as q
+
+    d = str(tmp_path / "dirq")
+    assert q._parquet_dir_rows(d) == 0  # absent dir
+    spark.createDataFrame([(1,), (2,)], "x long").coalesce(1).write.parquet(d)
+    assert q._parquet_dir_rows(d) == 2
+    # torn/foreign part file counts as occupied
+    with open(os.path.join(d, "part-torn.parquet"), "w") as fh:
+        fh.write("not a parquet file")
+    assert q._parquet_dir_rows(d) >= 1

@@ -202,3 +202,30 @@ def test_concurrent_appends_keep_both_added_columns(spark, path):
     assert {"id", "left_col", "right_col"} <= {f.name for f in got.schema.fields}
     rows = {r.id: (r.left_col, r.right_col) for r in got.collect()}
     assert rows == {0: (None, None), 1: ("x1", None), 2: (None, "x2")}
+
+
+def test_stale_lock_raises_immediately_naming_holder(spark, path):
+    """Round-12 advice: a crashed holder's leftover lock used to make
+    every appender sit out the FULL timeout; a lock whose mtime is
+    older than the timeout must now raise at once, naming the pid."""
+    import time
+
+    from week4_musemotion_spark.sources.evolution import _publish_union
+
+    evolve_append(spark.createDataFrame([(1,)], "id long"), path)
+    lock = os.path.join(path, "_evolution_schema.json.lock")
+    with open(lock, "w") as fh:
+        fh.write("424242")
+    old = time.time() - 1000
+    os.utime(lock, (old, old))
+    t0 = time.monotonic()
+    try:
+        with pytest.raises(TimeoutError, match=r"stale lock.*pid 424242"):
+            _publish_union(
+                spark, path, spark.createDataFrame([(2,)], "id long").schema,
+                timeout=300.0,
+            )
+    finally:
+        os.remove(lock)
+    # the point of the check: no 300s wait happened
+    assert time.monotonic() - t0 < 30

@@ -148,8 +148,17 @@ def int_div_trunc(p: Column, q: Column) -> Column:
     for non-negative operands.  Prefer this over hand-rolled
     ``((p - pmod(p,q)) / q).cast("long")`` on raw longs: that double
     quotient is exact only for p < 2^53."""
+    return int_div_trunc_dec(p, q).cast("long")
+
+
+def int_div_trunc_dec(p: Column, q: Column) -> Column:
+    """:func:`int_div_trunc` that STAYS in decimal(38,0) — for
+    quotients that feed further exact arithmetic or can themselves
+    exceed long (e.g. a pair count n(n−1)/2 past ~4.3e9 rows).  The
+    long-casting variant would wrap silently under ansi-off exactly
+    where the decimal pipeline was supposed to be exact."""
     pd_, qd = dec(p), dec(q)
-    return ((pd_ - F.pmod(pd_, qd)) / qd).cast("long")
+    return ((pd_ - F.pmod(pd_, qd)) / qd).cast("decimal(38,0)")
 
 
 def int_div_round_dec(p: Column, q: Column) -> Column:

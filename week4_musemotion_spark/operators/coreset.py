@@ -44,7 +44,9 @@ def _dist2(vec_col, center: list[int]):
     column and a Python-literal center: Σ_d (q_d − c_d)², accumulated
     in decimal(38,0) so dimension count and magnitude cannot wrap."""
     c = F.array(*[F.lit(int(v)).cast("long") for v in center])
-    terms = F.zip_with(vec_col, c, lambda a, b: dec((a - b) * (a - b)))
+    # widen BEFORE squaring: a long (a-b)^2 wraps silently past
+    # component diffs of ~3.0e9 (raw |x| ≳ 3037 at the e6 scale)
+    terms = F.zip_with(vec_col, c, lambda a, b: dec(a - b) * (a - b))
     return F.aggregate(terms, F.lit(0).cast("decimal(38,0)"), lambda acc, t: acc + t)
 
 
@@ -78,11 +80,29 @@ def k_center_select(
     seed = state.orderBy("_id").limit(1).first()
     if seed is None:
         raise ValueError("k_center_select: empty input")
+    if seed._q is None or any(v is None for v in seed._q):
+        raise ValueError(
+            f"k_center_select: null {vec_col!r} embedding on seed row "
+            f"{id_col}={seed._id} — filter null/partial vectors upstream"
+        )
     selected = [{"round": 0, "id": seed._id, "radius_num": None}]
     center = list(seed._q)
     state = state.withColumn("_mind", F.lit(None).cast("decimal(38,0)"))
     for rnd in range(1, k):
         nd = _dist2(F.col("_q"), center)
+        # fail-loudly posture (matches embedding_dispersion's ragged
+        # guard): a null/ragged vector yields null distance, which
+        # would otherwise leave the row silently never-selected
+        nd = F.when(
+            F.assert_true(
+                nd.isNotNull(),
+                F.lit(
+                    f"k_center_select: null or ragged {vec_col!r} embedding "
+                    "— every row must carry a complete vector"
+                ),
+            ).isNull(),
+            nd,
+        )
         state = state.withColumn(
             "_mind", F.least(F.coalesce(F.col("_mind"), nd), nd)
         ).localCheckpoint(eager=True)  # k rounds: cut the lineage per round
@@ -126,9 +146,23 @@ def assign_to_centers(
     c = centers.select(
         F.col(center_id_col).alias("_cid"), F.col(vec_col).alias(f"c_{vec_col}")
     )
-    terms = F.zip_with(q, cq, lambda a, b: dec((a - b) * (a - b)))
+    # dec BEFORE the square — same wrap guard as _dist2
+    terms = F.zip_with(q, cq, lambda a, b: dec(a - b) * (a - b))
     d2 = F.aggregate(terms, F.lit(0).cast("decimal(38,0)"), lambda acc, t: acc + t)
     joined = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(c))
+    # same fail-loudly guard as k_center_select: a null/ragged vector
+    # on either side nulls d2, and Spark's NULLS-FIRST asc sort would
+    # then "assign" the row to an arbitrary center silently
+    d2 = F.when(
+        F.assert_true(
+            d2.isNotNull(),
+            F.lit(
+                f"assign_to_centers: null or ragged {vec_col!r} embedding "
+                "(row or center) — every vector must be complete"
+            ),
+        ).isNull(),
+        d2,
+    )
     ranked = joined.select(
         id_col,
         F.col("_cid"),

@@ -433,11 +433,13 @@ def embedding_dispersion(
     comparable across snapshots because the arithmetic is exact.
 
     Returns one row per group: ``(group, n, pairs, ssd, msd_e6)``
-    where ``ssd`` is the exact integer sum of squared distances in
-    e12 units (EMITTED as a digit string — wider than int64 at corpus
-    scale, and decimal output columns are driver-hash hostile) and
-    ``msd_e6 = ssd // (pairs * 1e6)`` is the mean squared distance in
-    raw^2 * 1e6 units (NULL for singleton groups).
+    where ``pairs`` and ``ssd`` are exact integers EMITTED as digit
+    strings (both outgrow int64 at corpus scale — pairs = n(n−1)/2
+    passes 2^63 near 4.3e9 rows/group — and decimal output columns
+    are driver-hash hostile) and ``msd_e6 = ssd // (pairs * 1e6)`` is
+    the mean squared distance in raw^2 * 1e6 units (NULL for
+    singleton groups; always long-safe — it is bounded by the max
+    squared distance, not the corpus size).
 
     100 TB story: the naive form is O(n^2) pairs per group; this is
     ONE scan + two aggregates whose state is O(groups * dims) rows —
@@ -470,7 +472,7 @@ def embedding_dispersion(
         ).isNull(),
         F.col("n"),
     )
-    from week4_musemotion_spark.functions.exact import int_div_trunc
+    from week4_musemotion_spark.functions.exact import int_div_trunc, int_div_trunc_dec
 
     g = g.select(
         F.col("grp").alias(group_col),
@@ -478,14 +480,17 @@ def embedding_dispersion(
         "s2",
         "sumsq_d",
     )
-    pairs = int_div_trunc(dec(F.col("n")) * (F.col("n") - 1), F.lit(2))
+    # pairs stays decimal end-to-end: a long pairs wraps past ~4.3e9
+    # rows/group, and a long pairs*1e6 denominator wraps at ~4.3e6 —
+    # widen BEFORE the multiply (the s2p dec-before-product rule).
+    pairs = int_div_trunc_dec(dec(F.col("n")) * (F.col("n") - 1), F.lit(2))
     ssd = dec(F.col("n")) * F.col("s2") - F.col("sumsq_d")
     return g.select(
         group_col,
         "n",
-        pairs.cast("long").alias("pairs"),
+        pairs.cast("decimal(38,0)").cast("string").alias("pairs"),
         ssd.cast("decimal(38,0)").cast("string").alias("ssd"),
         F.when(
-            F.col("n") > 1, int_div_trunc(ssd, pairs * F.lit(1_000_000))
+            F.col("n") > 1, int_div_trunc(ssd, pairs * dec(F.lit(1_000_000)))
         ).alias("msd_e6"),
     )

@@ -260,6 +260,26 @@ def _acquire_lock(path: str, timeout: float) -> str:
             os.close(fd)
             return lock
         except FileExistsError:
+            # staleness check (the docstring's contract): a lock whose
+            # mtime is older than the full timeout cannot belong to a
+            # live append — raise NOW naming the holder instead of
+            # making every future appender sit out the whole wait
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:
+                continue  # holder released between open and stat
+            if age > timeout:
+                try:
+                    with open(lock) as fh:
+                        holder = fh.read().strip() or "?"
+                except OSError:
+                    holder = "?"
+                raise TimeoutError(
+                    f"evolve_append: stale lock {lock} (age {age:.0f}s > "
+                    f"timeout {timeout:.0f}s, holder pid {holder}) — a "
+                    "crashed writer likely left it behind; remove the lock "
+                    f"after confirming pid {holder} is not a live writer"
+                )
             if time.monotonic() >= deadline:
                 raise TimeoutError(
                     f"evolve_append: could not acquire {lock} within "

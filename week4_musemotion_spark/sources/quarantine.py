@@ -180,9 +180,11 @@ def quarantine_to(quarantined: DataFrame, path: str) -> int:
     if input files changed between the two).  When the single pass
     lands zero rows into a directory this call created, the empty
     directory is removed so ops tooling globbing quarantine dirs
-    never alerts on schema-only debris (assumes one ingest report
-    per quarantine path at a time, which the lineage already
-    implies)."""
+    never alerts on schema-only debris — but only after re-checking
+    the parquet footers on disk actually hold zero rows, so a
+    concurrent ingest that landed rows into the same fresh path just
+    after ours can never be rmtree'd away (the single-report-per-path
+    assumption is now enforced, not just stated)."""
     import os
     import shutil
 
@@ -195,9 +197,31 @@ def quarantine_to(quarantined: DataFrame, path: str) -> int:
         "append"
     ).parquet(path)
     n = int(obs.get["n"])
-    if n == 0 and not preexisting:
+    if n == 0 and not preexisting and _parquet_dir_rows(path) == 0:
         shutil.rmtree(path, ignore_errors=True)
     return n
+
+
+def _parquet_dir_rows(path: str) -> int:
+    """Total rows across every parquet footer directly under ``path``
+    — the cheap (footer-only) emptiness re-check quarantine_to runs
+    before removing a zero-row directory.  An unreadable part file
+    counts as data: when in doubt, keep the directory."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return 0
+    total = 0
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        try:
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+        except Exception:
+            return 1  # torn/foreign file: treat as occupied
+    return total
 
 
 def replay_quarantined(
