@@ -34,3 +34,22 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     na, nb = l2_norm(a), l2_norm(b)
     denom = na * nb
     return F.when(denom > 0, d / denom)
+
+
+def double_array_lit(values) -> Column:
+    """``array<double>`` literal (nested sequences →
+    ``array<array<double>>``) rendered as ONE parsed SQL expression.
+
+    The element-wise ``F.array(*[F.lit(v) for v in ...])`` build
+    costs a py4j round-trip PER ELEMENT — measured ~6 s of pure
+    driver time for a 32×64 sign matrix (q_rp_distortion's warm
+    floor) and the same pathology for PQ codebook tables.  The
+    parsed literal is bit-identical after analysis (repr() is the
+    shortest round-trip double rendering) and costs ~6 ms."""
+
+    def _render(v) -> str:
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "array(" + ", ".join(_render(x) for x in v) + ")"
+        return f"{float(v)!r}D"
+
+    return F.expr(_render(list(values)))

@@ -389,10 +389,18 @@ def rp_project(vec, signs: list[list[int]]):
     Per row this is ``out_dim × in_dim`` fused multiply-adds inside
     whole-stage codegen — a pure map, no shuffle, no Python: the
     cheapest possible shape for the 100 TB "project then dedup/ANN in
-    t ≪ d dims" pipeline stage."""
-    mat = F.array(
-        *[F.array(*[F.lit(float(s)) for s in row]) for row in signs]
-    )
+    t ≪ d dims" pipeline stage.
+
+    The matrix literal is rendered as ONE SQL string and parsed
+    JVM-side (``functions/vector.double_array_lit``): the
+    element-wise ``F.array(*[F.lit(...)])`` build costs a py4j
+    round-trip per entry — measured ~6 s of pure DRIVER time for a
+    32×64 matrix (the dominant cost of q_rp_distortion's warm
+    floor), vs ~6 ms for the parsed literal, with a bit-identical
+    expression after analysis."""
+    from week4_musemotion_spark.functions.vector import double_array_lit
+
+    mat = double_array_lit(signs)
     vec = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(
         mat,

@@ -42,6 +42,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from week4_musemotion_spark.functions.vector import double_array_lit
+
 
 @dataclass(frozen=True)
 class PQModel:
@@ -358,7 +360,7 @@ def pq_encode_expr(
     m, k, dsub = model.m, model.k, model.dsub
 
     def dist(j: int, c: int):
-        cent = F.array(*[F.lit(float(v)) for v in model.codebooks[j, c]])
+        cent = double_array_lit(model.codebooks[j, c])
         sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
         return F.aggregate(
             F.zip_with(sub, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
@@ -394,7 +396,7 @@ def pq_distortion_expr(
     m, k, dsub = model.m, model.k, model.dsub
 
     def dist(j: int, c: int):
-        cent = F.array(*[F.lit(float(v)) for v in model.codebooks[j, c]])
+        cent = double_array_lit(model.codebooks[j, c])
         sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
         return F.aggregate(
             F.zip_with(sub, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
