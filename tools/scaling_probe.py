@@ -738,6 +738,101 @@ def main() -> int:
             )
         )
 
+        # round-12 staged r21 shapes: the Poissonized-bootstrap resample
+        # (row-local 64-way hash fan-out collapsed map-side to
+        # sources×64 before the only shuffle — cost must scale with
+        # the SCAN, never the shuffle) and the KS drift grid (all
+        # window work on the distinct-values × sources grid, which
+        # key-shift amplification does NOT grow — flat-ish timings
+        # here are the values-bounded-state claim, measured)
+        from week4_musemotion_spark.queries.staged_r21 import _POIS_T as _BT
+        from week4_musemotion_spark.queries.staged_r21 import _pois_w_sql as _bw
+
+        _bu = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        (F.col("r") + F.lit(9100)).cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        boot = (
+            docs.select("doc_id", "source", "n_chars")
+            .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(63))))
+            .select("source", "n_chars", "r", _bu.alias("u"))
+            .select("source", "n_chars", "r", F.expr(_bw("u")).alias("w"))
+            .groupBy("source", "r")
+            .agg(
+                F.sum("w").cast("long").alias("n_r"),
+                F.sum(_dec(F.col("w") * F.col("n_chars"))).alias("s_r"),
+            )
+            .filter(F.col("n_r") > 0)
+            .select("source", _idt(F.col("s_r") * 1_000_000, F.col("n_r")).alias("m"))
+            .groupBy("source")
+            .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        )
+        _kc = (
+            docs.groupBy("source", F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
+        _kn = _kc.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_s"))
+        _ktot = _kn.agg(F.sum("n_s").cast("long").alias("nn"))
+        _kcva = (
+            _kc.groupBy("v")
+            .agg(F.sum("cnt").cast("long").alias("ca"))
+            .select(
+                "v",
+                F.sum("ca")
+                .over(_W.orderBy("v").rowsBetween(_W.unboundedPreceding, _W.currentRow))
+                .cast("long")
+                .alias("cum_all"),
+            )
+        )
+        ksd = (
+            _kn.crossJoin(F.broadcast(_kcva))
+            .join(_kc.select("source", "v", "cnt"), ["source", "v"], "left")
+            .select(
+                "source",
+                "n_s",
+                "v",
+                "cum_all",
+                F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+                .over(
+                    _W.partitionBy("source")
+                    .orderBy("v")
+                    .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+                )
+                .cast("long")
+                .alias("cum_s"),
+            )
+            .crossJoin(F.broadcast(_ktot))
+            .select(
+                "source",
+                "n_s",
+                (F.col("nn") - F.col("n_s")).alias("n_rest"),
+                F.abs(
+                    _dec(F.col("cum_s")) * (F.col("nn") - F.col("n_s"))
+                    - _dec(F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                ).alias("d_num"),
+            )
+            .groupBy("source", "n_s", "n_rest")
+            .agg(F.max("d_num").alias("d"))
+            .select(
+                "source",
+                _idt(F.col("d") * 1_000_000, _dec(F.col("n_s")) * F.col("n_rest")).alias(
+                    "ks_e6"
+                ),
+            )
+        )
+
         for shape, df in [
             ("flagship_topk_join", flagship),
             ("group_agg", agg),
@@ -768,6 +863,8 @@ def main() -> int:
             ("weighted_jaccard_dfcap", wjac),
             ("dsir_two_model_gain", dsir),
             ("inbatch_collision_audit", inbatch),
+            ("bootstrap_poisson_resample", boot),
+            ("ks_drift_grid_windows", ksd),
         ]:
             if only is not None and shape not in only:
                 continue
