@@ -1,0 +1,104 @@
+"""operators/probe.py — exact-integer batch perceptron: sequential
+pure-Python replay (the determinism contract), partition invariance,
+scoring consistency, and the fail-loudly input guard."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+_POS = 0
+_ITERS = 3
+
+
+def _reference(rows, iters=_ITERS):
+    """Sequential big-int replay of the batch perceptron."""
+    data = [
+        (1 if label == _POS else -1, [math.floor(x * 1_000_000 + 0.5) for x in vec])
+        for label, vec in rows
+    ]
+    d = len(data[0][1])
+    w = [0] * d
+    out = []
+    for t in range(1, iters + 1):
+        n_err = 0
+        delta = [0] * d
+        for y, q in data:
+            if y * sum(wi * qi for wi, qi in zip(w, q)) <= 0:
+                n_err += 1
+                for i, qi in enumerate(q):
+                    delta[i] += y * qi
+        w = [wi + di for wi, di in zip(w, delta)]
+        out.append({"iter": t, "n_err": n_err, "w": list(w)})
+        if n_err == 0:
+            break
+    return out
+
+
+def _emb_rows():
+    return duckdb.sql(
+        f"SELECT label, embedding FROM '{SF_SMOKE}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+
+
+def test_perceptron_matches_sequential_reference(spark):
+    from week4_musemotion_spark.operators.probe import perceptron_fit
+    from week4_musemotion_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = perceptron_fit(emb, positive_label=_POS, iters=_ITERS)
+    want = _reference(_emb_rows())
+    assert got == want
+    # the zero-weight seed round updates on every row by convention
+    assert got[0]["n_err"] == 500
+
+
+def test_perceptron_partition_invariant(spark):
+    from week4_musemotion_spark.operators.probe import perceptron_fit
+    from week4_musemotion_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = perceptron_fit(emb, positive_label=_POS, iters=2)
+    b = perceptron_fit(emb.repartition(7), positive_label=_POS, iters=2)
+    assert a == b
+
+
+def test_score_probe_consistent_with_training_errors(spark):
+    from week4_musemotion_spark.operators.probe import perceptron_fit, score_probe
+    from week4_musemotion_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    fit = perceptron_fit(emb, positive_label=_POS, iters=_ITERS)
+    w = fit[-1]["w"]
+    scored = score_probe(emb, w).select("label", "margin", "pred").collect()
+    # errors under the FINAL weights == the n_err the next iteration
+    # would report (margin == 0 counts as an error, training convention)
+    n_err = sum(
+        1
+        for r in scored
+        if (1 if r.label == _POS else -1) * int(r.margin) <= 0
+    )
+    ref = _reference(_emb_rows(), iters=_ITERS + 1)
+    if len(ref) > _ITERS:  # did not converge within _ITERS
+        assert n_err == ref[_ITERS]["n_err"]
+    # pred matches the sign convention
+    for r in scored:
+        assert r.pred == (1 if int(r.margin) > 0 else -1)
+
+
+def test_perceptron_rejects_null_embeddings(spark):
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.operators.probe import perceptron_fit
+    from week4_musemotion_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 3, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="null or ragged"):
+        perceptron_fit(emb, positive_label=_POS, iters=1)

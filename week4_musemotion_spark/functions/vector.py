@@ -53,3 +53,18 @@ def double_array_lit(values) -> Column:
         return f"{float(v)!r}D"
 
     return F.expr(_render(list(values)))
+
+
+def long_array_lit(values) -> Column:
+    """``array<bigint>`` literal rendered as ONE parsed SQL
+    expression — the integer twin of :func:`double_array_lit`, for
+    operators whose broadcast state is exact (perceptron weights,
+    quantized centers).  Same rationale: per-element ``F.lit`` pays a
+    py4j round-trip each, re-paid on every expression rebuild."""
+
+    def _render(v) -> str:
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "array(" + ", ".join(_render(x) for x in v) + ")"
+        return f"{int(v)}L"
+
+    return F.expr(_render(list(values)))
