@@ -102,3 +102,28 @@ def test_perceptron_rejects_null_embeddings(spark):
     )
     with pytest.raises(ValueError, match="null or ragged"):
         perceptron_fit(emb, positive_label=_POS, iters=1)
+
+
+def test_perceptron_rejects_null_components_and_empty_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from week4_musemotion_spark.operators.probe import perceptron_fit
+    from week4_musemotion_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # one NaN component: the row would otherwise be silently dropped
+    # from every update sum (null dot → null misclassification test)
+    poisoned = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 3,
+            F.expr("transform(embedding, (x, i) -> IF(i = 0, float('nan'), x))"),
+        ).otherwise(F.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="null/NaN"):
+        perceptron_fit(poisoned, positive_label=_POS, iters=1)
+    # all-empty vectors: posexplode would emit no update rows and
+    # fake convergence at n_err=0
+    empty = emb.withColumn("embedding", F.expr("array()").cast("array<float>"))
+    with pytest.raises(ValueError, match="min dim"):
+        perceptron_fit(empty, positive_label=_POS, iters=1)

@@ -745,27 +745,20 @@ def main() -> int:
         # window work on the distinct-values × sources grid, which
         # key-shift amplification does NOT grow — flat-ish timings
         # here are the values-bounded-state claim, measured)
-        from week4_musemotion_spark.queries.staged_r21 import _POIS_T as _BT
+        from week4_musemotion_spark.queries.staged_r21 import _R as _BR
+        from week4_musemotion_spark.queries.staged_r21 import _SEED_BASE as _BSEED
         from week4_musemotion_spark.queries.staged_r21 import _pois_w_sql as _bw
 
-        _bu = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        (F.col("r") + F.lit(9100)).cast("string"),
-                        F.lit(":"),
-                        F.col("doc_id").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        _bu = _sh64(
+            F.concat(
+                (F.col("r") + F.lit(_BSEED)).cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
         boot = (
             docs.select("doc_id", "source", "n_chars")
-            .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(63))))
+            .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(_BR - 1))))
             .select("source", "n_chars", "r", _bu.alias("u"))
             .select("source", "n_chars", "r", F.expr(_bw("u")).alias("w"))
             .groupBy("source", "r")

@@ -52,7 +52,10 @@ _Q = 1_000_000
 #: The IEEE-pinned quantizer (Spark SQL side) — identical text to the
 #: DuckDB oracle's list_transform lambda, so the integers agree
 #: bit-for-bit (linalg._quantize is the numpy third form).
-_QUANT_SQL = "transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+_QUANT_SQL = (
+    "transform({col}, x -> "
+    f"CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT))"
+)
 
 
 def quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -93,6 +96,13 @@ def perceptron_fit(
             .cast("long")
             .alias("y"),
             "qv",
+            # checked on the RAW components: a NaN input casts to 0
+            # under ansi-off quantization (a silently-poisoned
+            # feature), and a null element nulls the whole dot (a
+            # silently-dropped row) — both are refused loudly
+            F.exists(
+                F.col(vec_col), lambda x: x.isNull() | F.isnan(x.cast("double"))
+            ).alias("bad"),
         )
         .localCheckpoint(eager=False)  # iters aggregates share one scan
     )
@@ -101,13 +111,15 @@ def perceptron_fit(
             F.countDistinct(F.size("qv")).alias("n_sizes"),
             F.min(F.size("qv")).alias("d"),
             F.sum(F.when(F.col("qv").isNull(), 1).otherwise(0)).alias("n_null"),
+            F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("n_bad_elem"),
         ).first()
     )
-    if dims.n_null or dims.n_sizes != 1:
+    if dims.n_null or dims.n_bad_elem or dims.n_sizes != 1 or not dims.d:
         raise ValueError(
             f"perceptron_fit: null or ragged {vec_col!r} rows "
-            f"({dims.n_null} null, {dims.n_sizes} distinct lengths) — "
-            "filter upstream (see q_embedding_hygiene)"
+            f"({dims.n_null} null, {dims.n_bad_elem} with null/NaN "
+            f"components, {dims.n_sizes} distinct lengths, min dim "
+            f"{dims.d}) — filter upstream (see q_embedding_hygiene)"
         )
     d = dims.d
     w = [0] * d
