@@ -90,6 +90,72 @@ def test_score_probe_consistent_with_training_errors(spark):
         assert r.pred == (1 if int(r.margin) > 0 else -1)
 
 
+def _perceptron_sql(iters: int = _ITERS, pos=_POS, d: int = 64) -> str:
+    """Unrolled per-iteration DuckDB oracle for the batch perceptron
+    (the coreset-oracle pattern: every chained CTE MATERIALIZED so
+    the prefix is not re-evaluated per reference).  Returns one row
+    per iteration: (iter, n_err, w) with w a pos-ordered list —
+    ready to lift into a staged r23 registry query."""
+    parts = [
+        f"WITH q AS MATERIALIZED (SELECT vec_id,"
+        f" CASE WHEN label = {pos} THEN 1 ELSE -1 END AS y,"
+        " list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1000000 + 0.5) AS BIGINT)) AS qv FROM embeddings)",
+        f"idx AS (SELECT unnest(range(1, {d + 1})) AS pos)",
+    ]
+    prev = None
+    for t in range(1, iters + 1):
+        if prev is None:
+            parts.append(f"m{t} AS MATERIALIZED (SELECT y, qv FROM q)")
+        else:
+            parts.append(
+                f"s{t} AS MATERIALIZED (SELECT q.vec_id,"
+                f" sum(CAST({prev}.w AS HUGEINT) * q.qv[{prev}.pos]) AS score"
+                f" FROM q CROSS JOIN {prev} GROUP BY q.vec_id)"
+            )
+            parts.append(
+                f"m{t} AS MATERIALIZED (SELECT q.y, q.qv FROM q"
+                f" JOIN s{t} USING (vec_id) WHERE q.y * s{t}.score <= 0)"
+            )
+        delta = (
+            f"(SELECT i.pos, sum(m.y * m.qv[i.pos]) AS delta"
+            f" FROM m{t} m CROSS JOIN idx i GROUP BY i.pos)"
+        )
+        carry = f"COALESCE({prev}.w, 0) + " if prev else ""
+        join_prev = f" LEFT JOIN {prev} ON {prev}.pos = i.pos" if prev else ""
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT i.pos,"
+            f" {carry}COALESCE(d.delta, 0) AS w FROM idx i{join_prev}"
+            f" LEFT JOIN {delta} d ON d.pos = i.pos)"
+        )
+        prev = f"w{t}"
+    finals = [
+        f"SELECT {t} AS iter, (SELECT count(*) FROM m{t}) AS n_err,"
+        f" (SELECT list(w ORDER BY pos) FROM w{t}) AS w"
+        for t in range(1, iters + 1)
+    ]
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(finals) + " ORDER BY iter"
+
+
+def test_perceptron_matches_unrolled_duckdb_oracle(spark):
+    """Fourth-engine check (Spark == pure-Python == DuckDB): the
+    unrolled per-iteration SQL re-derives the full trajectory."""
+    from week4_musemotion_spark.operators.probe import perceptron_fit
+    from week4_musemotion_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = perceptron_fit(emb, positive_label=_POS, iters=_ITERS)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMOKE}/embeddings.parquet'"
+    )
+    want = con.execute(_perceptron_sql()).fetchall()
+    for g, (it, n_err, w) in zip(got, want):
+        assert g["iter"] == it
+        assert g["n_err"] == n_err
+        assert g["w"] == [int(x) for x in w]
+
+
 def test_perceptron_rejects_null_embeddings(spark):
     from pyspark.sql import functions as F
 
