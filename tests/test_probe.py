@@ -193,3 +193,27 @@ def test_perceptron_rejects_null_components_and_empty_vectors(spark):
     empty = emb.withColumn("embedding", F.expr("array()").cast("array<float>"))
     with pytest.raises(ValueError, match="min dim"):
         perceptron_fit(empty, positive_label=_POS, iters=1)
+    # an Inf component saturates to Long.MaxValue under ansi-off
+    # quantization (and DuckDB would error outright)
+    inf = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 3,
+            F.expr("transform(embedding, (x, i) -> IF(i = 0, float('inf'), x))"),
+        ).otherwise(F.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="null/NaN"):
+        perceptron_fit(inf, positive_label=_POS, iters=1)
+
+
+def test_score_probe_fails_loudly_on_dimension_mismatch(spark):
+    from week4_musemotion_spark.operators.probe import score_probe
+    from week4_musemotion_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    bad = score_probe(emb, [1, 2, 3])  # w shorter than dim 64
+    with pytest.raises(Exception, match="score_probe"):
+        bad.collect()
+    # and the internal qv column does not leak into the output
+    ok = score_probe(emb, [0] * 64)
+    assert "qv" not in ok.columns

@@ -36,6 +36,18 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, d / denom)
 
 
+def _array_lit(values, scalar) -> Column:
+    """Shared renderer for the *_array_lit pair: ONE parsed SQL
+    expression instead of a py4j round-trip per element."""
+
+    def _render(v) -> str:
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "array(" + ", ".join(_render(x) for x in v) + ")"
+        return scalar(v)
+
+    return F.expr(_render(list(values)))
+
+
 def double_array_lit(values) -> Column:
     """``array<double>`` literal (nested sequences →
     ``array<array<double>>``) rendered as ONE parsed SQL expression.
@@ -46,25 +58,12 @@ def double_array_lit(values) -> Column:
     floor) and the same pathology for PQ codebook tables.  The
     parsed literal is bit-identical after analysis (repr() is the
     shortest round-trip double rendering) and costs ~6 ms."""
-
-    def _render(v) -> str:
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return "array(" + ", ".join(_render(x) for x in v) + ")"
-        return f"{float(v)!r}D"
-
-    return F.expr(_render(list(values)))
+    return _array_lit(values, lambda v: f"{float(v)!r}D")
 
 
 def long_array_lit(values) -> Column:
     """``array<bigint>`` literal rendered as ONE parsed SQL
     expression — the integer twin of :func:`double_array_lit`, for
     operators whose broadcast state is exact (perceptron weights,
-    quantized centers).  Same rationale: per-element ``F.lit`` pays a
-    py4j round-trip each, re-paid on every expression rebuild."""
-
-    def _render(v) -> str:
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return "array(" + ", ".join(_render(x) for x in v) + ")"
-        return f"{int(v)}L"
-
-    return F.expr(_render(list(values)))
+    quantized centers)."""
+    return _array_lit(values, lambda v: f"{int(v)}L")

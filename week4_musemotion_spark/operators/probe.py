@@ -40,7 +40,7 @@ corpus-fitted model.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from week4_musemotion_spark.functions.exact import dec
@@ -61,6 +61,19 @@ _QUANT_SQL = (
 def quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Add ``qv`` — the e6-quantized integer feature vector."""
     return df.withColumn("qv", F.expr(_QUANT_SQL.format(col=vec_col)))
+
+
+def _bad_components(vec_col: str) -> Column:
+    """True when any RAW component is null, NaN, or ±Inf — the three
+    inputs ansi-off quantization silently mangles (null dot, 0,
+    Long.MaxValue respectively).  DuckDB additionally ERRORS casting
+    NaN/Inf to BIGINT, so an unguarded oracle would diverge outright."""
+    return F.exists(
+        F.col(vec_col),
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
 
 
 def _score(w: list[int]):
@@ -97,12 +110,11 @@ def perceptron_fit(
             .alias("y"),
             "qv",
             # checked on the RAW components: a NaN input casts to 0
-            # under ansi-off quantization (a silently-poisoned
-            # feature), and a null element nulls the whole dot (a
-            # silently-dropped row) — both are refused loudly
-            F.exists(
-                F.col(vec_col), lambda x: x.isNull() | F.isnan(x.cast("double"))
-            ).alias("bad"),
+            # and ±Inf saturates to Long.MaxValue under ansi-off
+            # quantization (silently-poisoned features), and a null
+            # element nulls the whole dot (a silently-dropped row) —
+            # all refused loudly
+            _bad_components(vec_col).alias("bad"),
         )
         .localCheckpoint(eager=False)  # iters aggregates share one scan
     )
@@ -150,11 +162,28 @@ def score_probe(df: DataFrame, w: list[int], vec_col: str = "embedding") -> Data
     """Score every row with a fitted weight vector: adds ``margin``
     (the exact integer score, decimal(38,0) — emit as a digit string
     if it leaves the engine) and ``pred`` (+1/-1, zero scoring
-    negative, matching the training convention)."""
-    return quantized(df, vec_col).select(
-        "*",
-        _score(w).alias("margin"),
-    ).withColumn(
-        "pred",
-        F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+    negative, matching the training convention).
+
+    Fails at execution (not silently) on a weight/embedding dimension
+    mismatch or null/NaN/Inf components — without the guard, zip_with
+    null-pads the shorter side, margin goes NULL, and every such row
+    would come out pred=-1."""
+    ok = F.assert_true(
+        (F.size("qv") == F.lit(len(w))) & ~_bad_components(vec_col),
+        F.lit(
+            f"score_probe: {vec_col!r} row with wrong dimension (want "
+            f"{len(w)}) or null/NaN/Inf components — filter upstream"
+        ),
+    )
+    # the assert rides the USED margin expression (Catalyst prunes a
+    # bare assert_true column); NULL-on-success per F.when pattern
+    margin = F.when(ok.isNull(), _score(w))
+    return (
+        quantized(df, vec_col)
+        .select("*", margin.alias("margin"))
+        .withColumn(
+            "pred",
+            F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+        )
+        .drop("qv")
     )

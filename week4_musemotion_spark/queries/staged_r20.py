@@ -83,7 +83,8 @@ def _compact_fixture(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-_compact_fixture.__doc__ = _compact_fixture.__doc__.format(n=_N_SMALL)
+if _compact_fixture.__doc__:  # None under python -OO
+    _compact_fixture.__doc__ = _compact_fixture.__doc__.format(n=_N_SMALL)
 
 
 @query(

@@ -106,7 +106,10 @@ def _vacuum_fixture(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-_vacuum_fixture.__doc__ = _vacuum_fixture.__doc__.format(n=_N_VERSIONS, k=_KEEP_LAST)
+if _vacuum_fixture.__doc__:  # None under python -OO
+    _vacuum_fixture.__doc__ = _vacuum_fixture.__doc__.format(
+        n=_N_VERSIONS, k=_KEEP_LAST
+    )
 
 
 _VACUUM_ORACLE = f"""
@@ -156,12 +159,18 @@ def q_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(fixture, "retention.json")) as fh:
         ret = json.load(fh)
     base = os.path.join(fixture, "versions")
+    from week4_musemotion_spark.functions.exact import dec
+
     parts = [
         read_version(spark, base, k)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("chars_sum"),
+            # widen INSIDE the aggregation: a raw long sum wraps
+            # silently past 2^63 while the oracle's DuckDB sum
+            # promotes to HUGEINT (then errors loudly on the BIGINT
+            # cast) — decimal keeps the two engines failure-parallel
+            F.sum(dec(F.col("n_chars"))).cast("long").alias("chars_sum"),
         )
         .select(F.lit(k).cast("long").alias("version"), "lang", "n_docs", "chars_sum")
         for k in ret["kept"]
