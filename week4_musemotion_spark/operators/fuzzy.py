@@ -146,6 +146,14 @@ def fuzzy_join(
     by the distance bound) cheaply discards cross-length bucket
     collisions before the levenshtein verify.
     """
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: the deletion-neighborhood explode (~1+L+L²/2 variants
+    # per row at k=2) and the levenshtein verify otherwise run inside
+    # the single scan task of a one-row-group file (no-op on wide
+    # scans / already-shuffled frames)
+    clean = spread(clean)
+    dirty = spread(dirty)
     ck = _exploded_keys(clean.withColumn("_lc", F.length(clean_col)), clean_col, k)
     dk = _exploded_keys(dirty.withColumn("_ld", F.length(dirty_col)), dirty_col, k)
     keys = list(dedup_on) if dedup_on else list(dirty.columns) + list(clean.columns)
@@ -200,6 +208,11 @@ def fuzzy_join_edit1(
     given, candidate dedup shuffles only those narrow columns instead
     of every column of both inputs.  Defaults to all columns.
     """
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: same single-scan-task guard as fuzzy_join
+    clean = spread(clean)
+    dirty = spread(dirty)
     ck = _exploded_keys(clean, clean_col, 1)
     dk = _exploded_keys(dirty, dirty_col, 1)
     keys = list(dedup_on) if dedup_on else list(dirty.columns) + list(clean.columns)

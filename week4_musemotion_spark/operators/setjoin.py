@@ -61,7 +61,13 @@ def jaccard_self_join(
     (operators/dedup.py), which trades exactness for sub-quadratic
     candidates precisely where exact prefix joins degenerate.
     """
+    from week4_musemotion_spark.sources.tables import spread
+
     within = list(within or [])
+    # spread: the token build + explode + prefix emission otherwise
+    # run inside the single scan task of a one-row-group file
+    # (no-op on already-wide scans / shuffled frames)
+    records = spread(records)
     toks = records.select(
         F.col(id_col).alias("_id"), *within, F.explode(tokens_col).alias("_t")
     )
@@ -84,6 +90,12 @@ def jaccard_self_join(
             - F.floor((F.lit(tau_e4) * F.col("_s") + 9999) / 10000).cast("int")
             + 1,
         )
+        # persisted: the sorted-array table feeds four plan branches
+        # (both self-join prefix sides + both verify array joins) —
+        # without it the explode+df-join+sort-aggregate lineage is
+        # recomputed per branch (same contract as dedup.jaccard_pairs'
+        # persisted shingle table; LRU-evictable)
+        .persist()
     )
     # prefix rows stay NARROW (id, stratum, size, token): shipping the
     # full token array through the candidate explosion would copy it
@@ -168,7 +180,11 @@ def containment_join(
 
     Output: id_a, id_b, common, size_a, cont_e4.
     """
+    from week4_musemotion_spark.sources.tables import spread
+
     within = list(within or [])
+    # spread: same single-scan-task guard as jaccard_self_join
+    records = spread(records)
     toks = records.select(
         F.col(id_col).alias("_id"), *within, F.explode(tokens_col).alias("_t")
     )
@@ -188,6 +204,9 @@ def containment_join(
             - F.floor((F.lit(tau_e4) * F.col("_s") + 9999) / 10000).cast("int")
             + 1,
         )
+        # persisted: four consumers (prefix side, full side, both
+        # verify array joins) — same contract as jaccard_self_join
+        .persist()
     )
     pre_a = ordered.select(
         "_id", *within, "_s", F.explode(F.slice("_arr", 1, F.col("_p"))).alias("_t")

@@ -520,11 +520,20 @@ def q_phrase_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs map-side-combined before the top-k (TakeOrderedAndProject).
     """
     from week4_musemotion_spark.functions.text import shingles, tokens
+    from week4_musemotion_spark.sources.tables import spread
 
     d = load_table(spark, sf_dir, "documents")
-    phrases = d.select(
-        "doc_id",
-        F.explode(shingles(tokens(F.col("text")), _BOILER_N)).alias("phrase"),
+    # spread: the shingle explode + partial aggregate otherwise run
+    # inside the single scan task of a one-row-group file; projecting
+    # tokens() first also evaluates the split once per row instead of
+    # once per shingle-expression reference
+    phrases = (
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", tokens(F.col("text")).alias("_ts"))
+        .select(
+            "doc_id",
+            F.explode(shingles(F.col("_ts"), _BOILER_N)).alias("phrase"),
+        )
     )
     return (
         phrases.groupBy("phrase")
