@@ -105,7 +105,9 @@ def k_center_select(
         )
         state = state.withColumn(
             "_mind", F.least(F.coalesce(F.col("_mind"), nd), nd)
-        ).localCheckpoint(eager=True)  # k rounds: cut the lineage per round
+        ).localCheckpoint(eager=False)  # k rounds: cut the lineage per
+        # round; lazy — the pick action below materializes it in the
+        # same job (eager paid a second blocking job per round)
         chosen_ids = [s["id"] for s in selected]
         pick = (
             state.filter(~F.col("_id").isin(chosen_ids))
