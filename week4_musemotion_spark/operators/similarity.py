@@ -349,6 +349,14 @@ def cosine_pairs(
     (min_blk, max_blk) group, same-block pairs in the diagonal group
     only.
     """
+    if n_rows is None:
+        from week4_musemotion_spark.sources.tables import exact_scan_rows
+
+        # pure-scan frames size from cached parquet footers (~ms,
+        # driver-side) instead of a sizing count() job; B only shifts
+        # the block-size/task-count trade-off, but the footer count is
+        # exact anyway (no-Filter rule inside exact_scan_rows)
+        n_rows = exact_scan_rows(emb)
     n = emb.count() if n_rows is None else int(n_rows)
     if n == 0:
         return _empty_result(emb.sparkSession, "pairs")
@@ -871,10 +879,19 @@ def semantic_dedup(
         raise ValueError(f'k must be an int, None, or "balanced"; got {k!r}')
     if assign not in ("exact", "ivf"):
         raise ValueError(f'assign must be "exact" or "ivf"; got {assign!r}')
+    if k is None or k == "balanced":
+        from week4_musemotion_spark.sources.tables import exact_scan_rows
+
+        # k derives from n, so the count must be EXACT: footer counts
+        # qualify only for pure scan+project frames (no Filter), else
+        # fall back to the distributed count
+        n_emb = exact_scan_rows(emb)
+        if n_emb is None:
+            n_emb = emb.count()
     if k is None:
-        k = max(1, math.ceil(emb.count() / target_cluster_size))
+        k = max(1, math.ceil(n_emb / target_cluster_size))
     elif k == "balanced":
-        k = max(1, math.ceil(math.sqrt(emb.count())))
+        k = max(1, math.ceil(math.sqrt(n_emb)))
     cent = kmeans_fit(
         emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, fit_fraction=fit_fraction
     )

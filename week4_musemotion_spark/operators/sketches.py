@@ -65,7 +65,11 @@ def frequent_values(
     swap a space-saving sketch behind the same signature at scale)."""
     import math
 
-    total = df.count()
+    from week4_musemotion_spark.sources.tables import exact_scan_rows
+
+    total = exact_scan_rows(df)
+    if total is None:
+        total = df.count()
     # 'at least' contract: ceil, but guard the float product landing a
     # hair ABOVE the exact integer (300*0.07 = 21.000000000000004
     # would wrongly exclude a value at exactly 7% support)

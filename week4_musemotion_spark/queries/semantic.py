@@ -233,8 +233,13 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side scalar is n itself (a count, not data)."""
     import math
 
+    from week4_musemotion_spark.sources.tables import exact_scan_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
-    k = max(1, math.ceil(emb.count() / _SEM_TARGET))
+    n = exact_scan_rows(emb)
+    if n is None:
+        n = emb.count()
+    k = max(1, math.ceil(n / _SEM_TARGET))
     return _sem_dedup_plan(emb, k)
 
 

@@ -1014,51 +1014,61 @@ def q_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cosine_e6", "ya", "yb")
         .localCheckpoint(eager=False)
     )
-    blocks = []
+    # FUSED grid (optimization r12): the per-t formulation ran one
+    # aggregation job over pj AND one over proj per grid dim — at 100
+    # TB that is |grid| extra scans of the corpus-sized projection
+    # checkpoint (and 2·|grid| AQE stages locally).  Every per-t
+    # statistic is computed in ONE pass over each frame instead (same
+    # expressions per t, byte-identical arithmetic), then the single
+    # (1 x 8·|grid|)-column row is unpivoted driver-free via a
+    # struct explode.  Oracle unchanged.
+    perr_aggs, nr_aggs = [], []
     for t in _RP_GRID:
         aerr = F.abs(
             cosine_e6(cosine_similarity(F.slice("ya", 1, t), F.slice("yb", 1, t)))
             - F.col("cosine_e6")
         )
-        perr = pj.select(aerr.alias("aerr")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        perr_aggs += [
             int_div_trunc(
-                F.coalesce(F.sum("aerr"), F.lit(0)),
+                F.coalesce(F.sum(aerr), F.lit(0)),
                 F.greatest(F.count(F.lit(1)), F.lit(1)),
-            ).alias("mean_abs_err_e6"),
-            F.coalesce(F.max("aerr"), F.lit(0)).cast("long").alias("max_abs_err_e6"),
-        )
+            ).alias(f"mean_abs_err_e6_{t}"),
+            F.coalesce(F.max(aerr), F.lit(0)).cast("long").alias(f"max_abs_err_e6_{t}"),
+        ]
         nyt = F.aggregate(
             F.transform(F.slice("y", 1, t), lambda v: v * v),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         ratio_e6 = cosine_e6(nyt / (F.lit(float(t)) * F.col("nx2")))
-        nr = (
-            proj.filter(F.col("nx2") > 0)
-            .select(ratio_e6.alias("ratio_e6"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_vecs"),
-                int_div_trunc(F.sum("ratio_e6"), F.count(F.lit(1))).alias(
-                    "mean_norm_ratio_e6"
-                ),
-                F.min("ratio_e6").cast("long").alias("min_norm_ratio_e6"),
-                F.max("ratio_e6").cast("long").alias("max_norm_ratio_e6"),
-            )
-        )
-        blocks.append(
-            perr.crossJoin(nr).select(
+        nr_aggs += [
+            int_div_trunc(F.sum(ratio_e6), F.count(F.lit(1))).alias(
+                f"mean_norm_ratio_e6_{t}"
+            ),
+            F.min(ratio_e6).cast("long").alias(f"min_norm_ratio_e6_{t}"),
+            F.max(ratio_e6).cast("long").alias(f"max_norm_ratio_e6_{t}"),
+        ]
+    perr = pj.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"), *perr_aggs)
+    nr = proj.filter(F.col("nx2") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"), *nr_aggs
+    )
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(t).cast("long").alias("t"),
-                "n_pairs",
-                "mean_abs_err_e6",
-                "max_abs_err_e6",
-                "n_vecs",
-                "mean_norm_ratio_e6",
-                "min_norm_ratio_e6",
-                "max_norm_ratio_e6",
+                F.col("n_pairs"),
+                F.col(f"mean_abs_err_e6_{t}").alias("mean_abs_err_e6"),
+                F.col(f"max_abs_err_e6_{t}").alias("max_abs_err_e6"),
+                F.col("n_vecs"),
+                F.col(f"mean_norm_ratio_e6_{t}").alias("mean_norm_ratio_e6"),
+                F.col(f"min_norm_ratio_e6_{t}").alias("min_norm_ratio_e6"),
+                F.col(f"max_norm_ratio_e6_{t}").alias("max_norm_ratio_e6"),
             )
-        )
-    res = blocks[0]
-    for b in blocks[1:]:
-        res = res.unionByName(b)
-    return res
+            for t in _RP_GRID
+        ]
+    )
+    return (
+        perr.crossJoin(nr)
+        .select(F.explode(rows).alias("_r"))
+        .select("_r.*")
+    )

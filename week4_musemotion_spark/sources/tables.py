@@ -136,6 +136,68 @@ def scan_width(df: DataFrame, probe_cap: int = 64) -> int | None:
     return sum(_row_groups(p, max_split) for p in paths)
 
 
+@functools.lru_cache(maxsize=4096)
+def _file_rows(local: str, mtime_ns: int, size: int) -> int | None:
+    """Footer num_rows for ONE parquet file, stat-keyed like
+    :func:`_file_width` so an in-place regeneration (the driver
+    rewrites testdata between rounds) cannot serve stale counts."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(local).metadata.num_rows
+    except Exception:
+        return None
+
+
+def exact_scan_rows(df: DataFrame) -> int | None:
+    """EXACT row count of a pure scan+project frame from parquet
+    footer metadata (cached), or None when it cannot be proven exact
+    — any Filter/join/aggregate/etc. in the analyzed plan, a
+    non-file source, or an unreadable footer.
+
+    Replaces a sizing ``df.count()`` job (a full cluster round-trip:
+    schedule, scan footers executor-side, aggregate) with a ~ms
+    driver-side metadata read.  Callers MUST fall back to
+    ``df.count()`` on None.  Exactness matters: several operators
+    derive k ∝ n from the count, so an estimate would change
+    results — footer num_rows is exact only when no row can be
+    dropped, hence the no-Filter rule."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        for line in plan.splitlines():
+            node = line.lstrip(" :+-")
+            if not node:
+                continue
+            if not (node.startswith("Project") or node.startswith("Relation")):
+                return None
+        paths = df.inputFiles()
+    except Exception:
+        return None
+    if not paths:
+        return None
+    if len(paths) > 256:
+        # at many-file scale the driver-side footer loop IS the
+        # file-listing bottleneck (guide §7.3) — let the distributed
+        # count read footers executor-side instead
+        return None
+    total = 0
+    for p in paths:
+        local = p
+        for prefix in ("file://", "file:"):
+            if local.startswith(prefix):
+                local = local[len(prefix):]
+                break
+        try:
+            st = os.stat(local)
+        except OSError:
+            return None
+        n = _file_rows(local, st.st_mtime_ns, st.st_size)
+        if n is None:
+            return None
+        total += n
+    return total
+
+
 def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism`` when the
     input is a genuinely narrow file scan feeding CPU-heavy work
