@@ -43,6 +43,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from week4_musemotion_spark.functions.vector import cosine_similarity
+
+#: Below this many input rows a vectorized numpy kernel (O(k*dim) or
+#: O(planes*dim) flops/row) computes in single-digit ms on one core,
+#: so the spread() repartition exchange costs more than it buys — on
+#: any deployment.  Footer-derived row bounds gate it (see
+#: sources.tables.spread); production corpora blow past the floor
+#: and spread behaves exactly as before.
+_NUMPY_SPREAD_MIN_ROWS = 65536
 from week4_musemotion_spark.sources.tables import spread
 
 _PAIR_SCHEMA = T.StructType(
@@ -162,7 +170,9 @@ def knn_brute_force(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    scored = spread(emb.select(id_col, vec_col)).mapInPandas(_score, schema=_PAIR_SCHEMA)
+    scored = spread(
+        emb.select(id_col, vec_col), min_rows=_NUMPY_SPREAD_MIN_ROWS
+    ).mapInPandas(_score, schema=_PAIR_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -242,7 +252,9 @@ def hard_negatives(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    scored = spread(emb.select(id_col, vec_col, label_col)).mapInPandas(_score, schema=_PAIR_SCHEMA)
+    scored = spread(
+        emb.select(id_col, vec_col, label_col), min_rows=_NUMPY_SPREAD_MIN_ROWS
+    ).mapInPandas(_score, schema=_PAIR_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -539,7 +551,9 @@ def _with_sketch(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    return spread(df.select(id_col, vec_col)).mapInPandas(_sketch, schema=schema)
+    return spread(
+        df.select(id_col, vec_col), min_rows=_NUMPY_SPREAD_MIN_ROWS
+    ).mapInPandas(_sketch, schema=schema)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -669,7 +683,9 @@ def _assign_clusters(
                 }
             )
 
-    return spread(df.select(id_col, vec_col)).mapInPandas(_assign, schema=schema)
+    return spread(
+        df.select(id_col, vec_col), min_rows=_NUMPY_SPREAD_MIN_ROWS
+    ).mapInPandas(_assign, schema=schema)
 
 
 def kmeans_fit(
@@ -818,7 +834,9 @@ def _assign_clusters_ivf(
                 }
             )
 
-    return spread(df.select(id_col, vec_col)).mapInPandas(_assign, schema=schema)
+    return spread(
+        df.select(id_col, vec_col), min_rows=_NUMPY_SPREAD_MIN_ROWS
+    ).mapInPandas(_assign, schema=schema)
 
 
 def semantic_dedup(
@@ -994,7 +1012,8 @@ def _ivf_probe_assigned(
     scored = spread(
         assigned.filter(F.col("cluster").isin(probed)).select(
             "neighbor_id", F.col("cluster").cast("long").alias("cluster"), vec_col
-        )
+        ),
+        min_rows=_NUMPY_SPREAD_MIN_ROWS,
     ).mapInPandas(_score, schema=_PAIR_SCHEMA)
     return _rank_topk(scored, k)
 
@@ -1152,4 +1171,6 @@ def quantize_stats(
                 }
             )
 
-    return spread(emb.select(id_col, vec_col)).mapInPandas(_quant, schema=schema)
+    return spread(
+        emb.select(id_col, vec_col), min_rows=_NUMPY_SPREAD_MIN_ROWS
+    ).mapInPandas(_quant, schema=schema)

@@ -198,7 +198,37 @@ def exact_scan_rows(df: DataFrame) -> int | None:
     return total
 
 
-def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+def _scan_rows_upper(df: DataFrame) -> int | None:
+    """UPPER BOUND on a narrow frame's row count from parquet footers
+    (filters may drop rows, never add them), or None when unknowable.
+    Only meaningful for frames :func:`scan_width` already judged
+    narrow — callers use it as a cheap work heuristic, never for
+    results."""
+    try:
+        paths = df.inputFiles()
+    except Exception:
+        return None
+    if not paths or len(paths) > 256:
+        return None
+    total = 0
+    for p in paths:
+        local = p
+        for prefix in ("file://", "file:"):
+            if local.startswith(prefix):
+                local = local[len(prefix):]
+                break
+        try:
+            st = os.stat(local)
+        except OSError:
+            return None
+        n = _file_rows(local, st.st_mtime_ns, st.st_size)
+        if n is None:
+            return None
+        total += n
+    return total
+
+
+def spread(df: DataFrame, min_factor: int = 2, min_rows: int | None = None) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism`` when the
     input is a genuinely narrow file scan feeding CPU-heavy work
     (shingling, hashing, Arrow kernels).
@@ -231,5 +261,17 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     target = sc.defaultParallelism
     width = scan_width(df)
     if width is not None and width * min_factor <= target:
+        if min_rows is not None:
+            # caller-declared work floor for CHEAP per-row kernels
+            # (vectorized numpy maps): below it a single scan task
+            # computes faster than the repartition exchange costs —
+            # on any deployment, not just local mode.  Footer counts
+            # are an upper bound (filters only drop rows), so staying
+            # un-spread is only ever chosen when provably tiny; at
+            # production scale the bound blows past the floor and
+            # spread fires exactly as before.
+            ub = _scan_rows_upper(df)
+            if ub is not None and ub < min_rows:
+                return df
         return df.repartition(target)
     return df
