@@ -19,8 +19,15 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     Exact distinct counts; swap in operators.sketches.approx_distinct_by
     per column when cardinality itself is the scaling problem.
     """
+    from week4_musemotion_spark.sources.tables import spread
+
     cols = columns or df.columns
     schema = dict(df.dtypes)
+    # spread: the multi-distinct aggregate expands rows map-side
+    # (one duplicate per countDistinct column) — over a single-task
+    # scan ALL of that work is single-threaded; no-op on wide scans
+    # and on frames below the cheap-kernel floor
+    df = spread(df.select(*cols), min_rows=65536)
     aggs = []
     for c in cols:
         aggs.append(F.count(F.lit(1)).alias(f"{c}__rows"))

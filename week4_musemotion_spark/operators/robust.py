@@ -48,7 +48,12 @@ def mad_outliers(
 
     Output: ``(<group_col>, n, median, mad, n_outliers, max_dev)``.
     """
-    c = df.select(group_col, F.col(value_col).alias("_v"))
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: both exact-median aggregates otherwise sort/accumulate
+    # the whole stream inside the single scan task of a one-row-group
+    # file (no-op on wide scans; floor skips provably tiny frames)
+    c = spread(df.select(group_col, F.col(value_col).alias("_v")), min_rows=65536)
     med = c.groupBy(group_col).agg(_median("_v", exact, accuracy).alias("_med"))
     dev = c.join(F.broadcast(med), group_col).select(
         group_col, F.abs(F.col("_v") - F.col("_med")).alias("_dev"), "_med"

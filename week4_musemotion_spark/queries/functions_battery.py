@@ -358,7 +358,16 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output straight from the base columns, so it checks the map ops
     against ground truth rather than mirroring them.  All per-row
     expression work — scan speed, no shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: the interpreted map-HOF pipeline over every lineitem row
+    # otherwise runs inside the single scan task of a one-row-group
+    # file (no-op on wide scans)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+    )
     qty = F.round(F.col("l_quantity")).cast("long")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     m = F.create_map(F.lit("qty"), qty, F.lit("cents"), cents)

@@ -131,6 +131,13 @@ def _sem_dedup_plan(emb: DataFrame, k: int) -> DataFrame:
     """The deterministic (lowest-id-seeded, sequential-fold cosine)
     SemDeDup plan for a given centroid count — shared by the fixed-k
     oracle form and the k ∝ n scaled form."""
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: the k-centroid scoring fan-out below runs interpreted
+    # array-lambda folds (k x dim steps per row) ABOVE the scan and
+    # below the first exchange — single-task on a one-row-group file
+    # (no-op on wide scans)
+    emb = spread(emb)
     norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
     # norms are computed ONCE per vector (and once per centroid), not
     # inside the pair join: the array-lambda fold is interpreted (not
@@ -156,8 +163,15 @@ def _sem_dedup_plan(emb: DataFrame, k: int) -> DataFrame:
         (_dot(F.col("embedding"), F.col("cvec")) / (F.col("_nrm") * F.col("_cnrm"))).alias("cos"),
     )
     rk = F.row_number().over(Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cidx").asc()))
-    assigned = scored.withColumn("rk", rk).filter(F.col("rk") == 1).select(
-        "vec_id", "embedding", "_nrm", F.col("cidx").cast("long").alias("cluster")
+    assigned = (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id", "embedding", "_nrm", F.col("cidx").cast("long").alias("cluster")
+        )
+        # pinned: feeds both pair-join sides AND the final left join —
+        # unpinned, the k-fold scoring + window rerun per branch
+        .localCheckpoint(eager=False)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pair_cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
