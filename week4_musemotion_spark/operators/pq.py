@@ -377,7 +377,12 @@ def pq_encode_expr(
                 (F.array_position(dl, F.array_min(dl)) - 1).cast("int").alias("code"),
             )
         )
-    return emb.select(
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: m*k interpreted fold distances per row is expensive
+    # per-row work — parallelize above a single-task scan (no-op on
+    # wide scans / shuffled frames)
+    return spread(emb.select(id_col, vec_col)).select(
         id_col, F.explode(F.array(*rows)).alias("jc")
     ).select(id_col, F.col("jc.j").alias("j"), F.col("jc.code").alias("code"))
 
@@ -413,6 +418,9 @@ def pq_distortion_expr(
                 F.floor(best * 1_000_000 + F.lit(0.5)).cast("long").alias("err_e6"),
             )
         )
-    return emb.select(
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: same heavy-expression rationale as pq_encode_expr
+    return spread(emb.select(id_col, vec_col)).select(
         id_col, F.explode(F.array(*rows)).alias("je")
     ).select(id_col, F.col("je.j").alias("j"), F.col("je.err_e6").alias("err_e6"))

@@ -374,7 +374,13 @@ def cosine_pairs(
         return _empty_result(emb.sparkSession, "pairs")
     n_blocks = max(1, -(-n // rows_per_block))
 
-    blocked = emb.select(
+    from week4_musemotion_spark.sources.tables import spread
+
+    # spread: the B-way replication explode below multiplies the
+    # shuffle-write volume; above a single-task scan that entire
+    # write runs single-threaded (no-op on wide scans; floor skips
+    # provably tiny corpora where B is 1 anyway)
+    blocked = spread(emb, min_rows=_NUMPY_SPREAD_MIN_ROWS).select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
