@@ -131,13 +131,12 @@ def _sem_dedup_plan(emb: DataFrame, k: int) -> DataFrame:
     """The deterministic (lowest-id-seeded, sequential-fold cosine)
     SemDeDup plan for a given centroid count — shared by the fixed-k
     oracle form and the k ∝ n scaled form."""
-    from week4_musemotion_spark.sources.tables import spread
-
-    # spread: the k-centroid scoring fan-out below runs interpreted
-    # array-lambda folds (k x dim steps per row) ABOVE the scan and
-    # below the first exchange — single-task on a one-row-group file
-    # (no-op on wide scans)
-    emb = spread(emb)
+    # NOTE(optimization r12): spread(emb) was A/B'd here 4-ways
+    # (pin/spread cross) and measured neutral-to-slightly-negative —
+    # the broadcast crossJoin's scoring cost is already dominated by
+    # the post-window self-join, so the extra exchange buys nothing.
+    # Reverted per the round-11 "don't keep a shuffle that doesn't
+    # win" discipline; the 3-consumer pin below is kept.
     norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
     # norms are computed ONCE per vector (and once per centroid), not
     # inside the pair join: the array-lambda fold is interpreted (not
