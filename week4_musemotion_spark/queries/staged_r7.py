@@ -193,7 +193,9 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         jaccard_pairs(d, _FIDELITY_MIN_JACCARD)
         .select("doc_a", "doc_b", "jaccard_e4")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy: the grid fan-out's
+        # final job materializes it once; both aggregate branches
+        # share the same checkpointed RDD (one job saved per run)
     )
     grid = spark.createDataFrame(
         [(t,) for t in _SWEEP_THRESHOLDS], "thr_e4 long"

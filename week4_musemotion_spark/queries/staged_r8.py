@@ -458,10 +458,11 @@ def q_cms_point_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_cnt").desc(), F.col("s").asc())
         .limit(_CMS_TOPK)
         .withColumnRenamed("s", "term")
-        .localCheckpoint(eager=True)  # feeds every lookup AND the final join
+        .localCheckpoint(eager=False)  # lazy: every lookup and the
+        # final join share one checkpointed RDD inside the final job
     )
     wide = cms_sketch(s, [], "s", width=max(_CMS_W_GRID), depth=_CMS_D).localCheckpoint(
-        eager=True  # ≤ depth × max-width rows; feeds every fold
+        eager=False  # ≤ depth × max-width rows; feeds every fold (lazy)
     )
     outs = []
     for w in _CMS_W_GRID:
@@ -666,7 +667,10 @@ def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from week4_musemotion_spark.queries.extensions import EMBED_DUP_THRESHOLD
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, EMBED_DUP_THRESHOLD).localCheckpoint(eager=True)
+    pairs = cosine_pairs(emb, EMBED_DUP_THRESHOLD).localCheckpoint(eager=False)
+    # lazy: both grid aggregate branches share the checkpointed RDD
+    # inside the one final job — the eager form paid a separate
+    # blocking pair-build job first
     grid = spark.createDataFrame([(t,) for t in _SEM_SWEEP], "thr_e6 long")
     # broadcast-grid crossJoin, NOT a grid⋈pairs theta join (Catalyst
     # plans that as a task-exploding CartesianProduct — see
@@ -1001,7 +1005,8 @@ def q_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     # the near-dup pair set is tiny relative to the corpus — eager
     # pin, then hash-join the projected sides in
-    pairs = cosine_pairs(emb, EMBED_DUP_THRESHOLD).localCheckpoint(eager=True)
+    # lazy: single consumer (pj) — materialized by the final job
+    pairs = cosine_pairs(emb, EMBED_DUP_THRESHOLD).localCheckpoint(eager=False)
     pj = (
         pairs.join(
             proj.select(F.col("vec_id").alias("vec_id_a"), F.col("y").alias("ya")),
