@@ -209,10 +209,12 @@ def test_bloom_membership_is_scan_side_predicate(spark):
     ).groupBy("p_brand").count()
     plan = plan_string(joined, "simple")
     # with the broadcast path disabled via merge hint, the fact side
-    # is Exchange(...Filter(...md5...Scan)) — filter below exchange
+    # is Exchange(...Filter(...xxhash64...Scan)) — filter below
+    # exchange (bloom_prune probes with the native xxhash64 family;
+    # the md5 family stays on the oracle-replayed audit path)
     fact_side = plan[plan.index("Exchange") :]
-    assert "md5" in fact_side, plan
-    filt = plan.index("md5")
+    assert "xxhash64" in fact_side, plan
+    filt = plan.index("xxhash64")
     assert "Exchange" in plan[:filt], "membership filter not below an exchange"
     scan = plan.index("Scan parquet", filt)
     assert "Exchange" not in plan[filt:scan], "exchange between filter and fact scan"
