@@ -46,62 +46,88 @@ def connected_components(
     sym = sym.persist()
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
 
+    def one_round(lbl: DataFrame) -> DataFrame:
+        """One propagate + pointer-jump round, lazily checkpointed.
+
+        Pointer jumping: comp ← comp(comp).  Labels only ever
+        decrease toward the component min, so shortcutting is always
+        sound; it collapses long chains exponentially faster than
+        propagation alone (chain of length L: O(log L)-ish rounds
+        instead of O(L)).  The LAZY localCheckpoint truncates lineage
+        (the round references its own intermediate twice via the
+        pointer-jump self-join, so carrying logical plans across
+        rounds would grow the tree 2^rounds) without its own blocking
+        job — the batched convergence aggregate below materializes it.
+        Superseded rounds' checkpoint storage is released by the
+        ContextCleaner once the rebind drops the last reference."""
+        neighbor_min = (
+            sym.join(lbl, sym.v == lbl.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        propagated = lbl.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        hop = propagated.select(
+            F.col("node").alias("_hn"), F.col("comp").alias("_hc")
+        )
+        out = propagated.join(
+            hop, propagated.comp == hop._hn, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("_hc"), F.col("comp"))
+            ).alias("comp"),
+        )
+        return out.localCheckpoint(eager=False)
+
+    def comp_sum(lbl: DataFrame, tag: int) -> DataFrame:
+        # convergence via the monotone invariant: every comp only ever
+        # decreases, so sum(comp) is unchanged exactly at the fixed
+        # point.  decimal(38,0) so planet-scale id sums cannot
+        # overflow long.
+        return lbl.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).select(F.lit(tag).alias("r"), "s")
+
     prev_sum = None
+    rounds = 0
     try:
-        for rounds in range(1, max_iterations + 1):
+        while rounds < max_iterations:
+            # TWO rounds per driver barrier: both rounds' checkpoints
+            # and both convergence sums ride ONE blocking job (the
+            # second round's lineage reads the first's cached
+            # checkpoint), halving the per-iteration cluster
+            # round-trips vs the one-job-per-round form.  Detection is
+            # never late — round a's sum is compared against the
+            # previous batch, so a fixed point reached at an odd round
+            # costs at most the one wasted round b.
+            la = one_round(labels)
+            rounds += 1
             if stats is not None:
                 stats["rounds"] = rounds
-            neighbor_min = (
-                sym.join(labels, sym.v == labels.node)
-                .groupBy(F.col("u").alias("node"))
-                .agg(F.min("comp").alias("nbr_comp"))
-            )
-            propagated = labels.join(neighbor_min, "node", "left").select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            # pointer jumping: comp ← comp(comp).  Labels only ever
-            # decrease toward the component min, so shortcutting is
-            # always sound; it collapses long chains exponentially
-            # faster than propagation alone (chain of length L:
-            # O(log L)-ish rounds instead of O(L)).
-            hop = propagated.select(
-                F.col("node").alias("_hn"), F.col("comp").alias("_hc")
-            )
-            labels = propagated.join(
-                hop, propagated.comp == hop._hn, "left"
-            ).select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("_hc"), F.col("comp"))
-                ).alias("comp"),
-            )
-            # truncate lineage each round: the round references its own
-            # intermediate twice (the pointer-jump self-join), so carrying
-            # logical plans across rounds would grow the tree 2^rounds.
-            # LAZY localCheckpoint + the convergence aggregate below fuse
-            # materialization and check into ONE blocking job per round
-            # (the eager form ran a separate checkpoint job first —
-            # 2 cluster round-trips per round instead of 1, measured
-            # ~0.3 s/round of pure scheduling at toy scale and one
-            # driver-blocking barrier per round at any scale).
-            # Superseded rounds' checkpoint storage is released by the
-            # ContextCleaner once the rebind drops the last reference.
-            labels = labels.localCheckpoint(eager=False)
-            # convergence via the monotone invariant: every comp only
-            # ever decreases, so sum(comp) strictly decreases until the
-            # fixed point — one tiny aggregate, no extra join against
-            # the previous round; its job also materializes the round's
-            # checkpoint.  decimal(38,0) so planet-scale id sums cannot
-            # overflow long.
-            cur_sum = labels.agg(
-                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-            ).first().s
-            if cur_sum == prev_sum:
-                return labels
-            prev_sum = cur_sum
+            if rounds >= max_iterations:
+                s_a = comp_sum(la, 1).collect()[0].s
+                if s_a == prev_sum:
+                    return la
+                break
+            lb = one_round(la)
+            rounds += 1
+            if stats is not None:
+                stats["rounds"] = rounds
+            sums = {
+                r.r: r.s
+                for r in comp_sum(la, 1).unionByName(comp_sum(lb, 2)).collect()
+            }
+            if sums[1] == prev_sum:
+                return la
+            if sums[2] == sums[1]:
+                return lb
+            prev_sum = sums[2]
+            labels = lb
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
     finally:
         sym.unpersist()
@@ -164,28 +190,54 @@ def connected_components_star(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    # isolated self-pair inputs contribute no edges; callers pass pair
-    # lists, so every node has ≥1 real edge
-    prev = None
-    for rounds in range(1, max_iterations + 1):
-        if stats is not None:
-            stats["rounds"] = rounds
-        e = _small_star(_large_star(e))
-        # the round's plan references e several times — truncate
-        # lineage like the propagation variant; LAZY checkpoint so the
-        # signature aggregate below materializes it in the same job
-        e = e.localCheckpoint(eager=False)
-        sig = e.agg(
+
+    def sig_of(ed: DataFrame, tag: int) -> DataFrame:
+        return ed.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
+        ).select(F.lit(tag).alias("r"), "n", "h")
+
+    # isolated self-pair inputs contribute no edges; callers pass pair
+    # lists, so every node has ≥1 real edge.  Like the propagation
+    # variant: TWO contraction rounds per driver barrier — each round
+    # is lazily checkpointed (the round's plan references e several
+    # times) and one blocking job materializes both rounds plus both
+    # convergence signatures; detection of a fixed point reached at an
+    # odd round costs at most the one wasted even round.
+    prev = None
+    rounds = 0
+    converged = False
+    while rounds < max_iterations and not converged:
+        ea = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        rounds += 1
         if stats is not None:
-            stats.setdefault("edges", []).append(sig.n)
-        cur = (sig.n, sig.h)
-        if cur == prev:
+            stats["rounds"] = rounds
+        if rounds >= max_iterations:
+            sig = {r.r: r for r in sig_of(ea, 1).collect()}
+            if stats is not None:
+                stats.setdefault("edges", []).append(sig[1].n)
+            converged = (sig[1].n, sig[1].h) == prev
+            e = ea
             break
-        prev = cur
-    else:
+        eb = _small_star(_large_star(ea)).localCheckpoint(eager=False)
+        rounds += 1
+        if stats is not None:
+            stats["rounds"] = rounds
+        sig = {r.r: r for r in sig_of(ea, 1).unionByName(sig_of(eb, 2)).collect()}
+        cur_a = (sig[1].n, sig[1].h)
+        cur_b = (sig[2].n, sig[2].h)
+        if stats is not None:
+            stats.setdefault("edges", []).extend([sig[1].n, sig[2].n])
+        if cur_a == prev:
+            e = ea
+            converged = True
+        elif cur_b == cur_a:
+            e = eb
+            converged = True
+        else:
+            prev = cur_b
+            e = eb
+    if not converged:
         raise RuntimeError(f"connected_components_star did not converge in {max_iterations} iterations")
     # fixed point = one star per component, centered on the min id
     star = e.select(F.greatest("u", "v").alias("node"), F.least("u", "v").alias("comp")).distinct()
