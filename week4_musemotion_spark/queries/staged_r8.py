@@ -813,10 +813,11 @@ def q_hll_fold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     register rows per source; the direct builds exist only as the
     audit's truth side (drop them in production — that is the point).
     """
+    from week4_musemotion_spark.functions.exact import dec, int_div_trunc
     from week4_musemotion_spark.functions.text import shingles, tokens
     from week4_musemotion_spark.operators.sketches import (
-        hll_estimate,
-        hll_fold,
+        _HASH_BITS,
+        hll_alpha_e7,
         hll_registers_grid,
     )
     from week4_musemotion_spark.sources.tables import spread
@@ -833,42 +834,84 @@ def q_hll_fold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, ["source"], "s", (_FOLD_P_HI, *_FOLD_GRID)
     ).localCheckpoint(eager=False)
     hi = regs.filter(F.col("p") == _FOLD_P_HI)
-    outs = []
+    # FUSED grid (was: per-q fold aggregate + 2 estimate aggregates +
+    # full join + 3 result joins, × 3 grid points, unioned — 14 joins/
+    # aggregates).  All three folds ride ONE explode+aggregate (the
+    # per-q mapped registers derive from the same p=11 row — identical
+    # integer arithmetic to operators/sketches.hll_fold), the direct
+    # builds are already keyed (source, p, bucket) in the grid table,
+    # and ONE full join + ONE aggregate compute register mismatches
+    # and both estimates' harmonic sums per (source, p).  The estimate
+    # formula inlines hll_estimate's exact-integer arithmetic with the
+    # same pinned α·m²·2^(W+1) literals, so every output integer is
+    # bit-identical to the branched form (oracle unchanged).
+    old_sent = F.lit(_HASH_BITS + 1) - F.col("p")  # W_11 + 1, from the row
+    fold_structs = []
     for q in _FOLD_GRID:
-        fold = hll_fold(hi, q, ["source"]).localCheckpoint(eager=False)
-        direct = regs.filter(F.col("p") == q)
-        ef = hll_estimate(fold, ["source"], p=q).select(
-            "source", F.col("hll_e2").alias("hll_e2_fold")
-        )
-        ed = hll_estimate(direct, ["source"], p=q).select(
-            "source", F.col("hll_e2").alias("hll_e2_direct")
-        )
-        mm = (
-            fold.select("source", "bucket", F.col("reg").alias("rf"))
-            .join(
-                direct.select("source", "bucket", F.col("reg").alias("rd")),
-                ["source", "bucket"],
-                "full",
-            )
-            .groupBy("source")
-            .agg(
-                F.sum(
-                    F.when(~F.col("rf").eqNullSafe(F.col("rd")), 1).otherwise(0)
-                )
-                .cast("long")
-                .alias("reg_mismatch")
+        new_w1 = _HASH_BITS - q + 1
+        dd = F.shiftright(F.col("bucket"), q)
+        mapped = F.when(F.col("reg") < old_sent, F.col("reg")).otherwise(
+            F.when(dd == 0, F.lit(new_w1)).otherwise(
+                F.lit(new_w1) - F.length(F.bin(dd))
             )
         )
-        outs.append(
-            ef.join(ed, "source")
-            .join(mm, "source")
-            .withColumn("p", F.lit(q).cast("long"))
-            .select("source", "p", "hll_e2_fold", "hll_e2_direct", "reg_mismatch")
+        fold_structs.append(
+            F.struct(
+                F.lit(q).cast("int").alias("p"),
+                F.col("bucket").bitwiseAND((1 << q) - 1).alias("bucket"),
+                mapped.cast("int").alias("rho"),
+            )
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    fold = (
+        hi.select("source", F.explode(F.array(*fold_structs)).alias("f"))
+        .groupBy("source", F.col("f.p").alias("p"), F.col("f.bucket").alias("bucket"))
+        .agg(F.max("f.rho").cast("int").alias("reg"))
+    )
+    direct = regs.filter(F.col("p") != _FOLD_P_HI)
+    j = fold.select("source", "p", "bucket", F.col("reg").alias("rf")).join(
+        direct.select("source", "p", "bucket", F.col("reg").alias("rd")),
+        ["source", "p", "bucket"],
+        "full",
+    )
+    # per-(source, p) harmonic sums: each register contributes
+    # 2^(W_p+1 − reg) with W_p+1 = 61 − p a per-row column expression
+    w1 = (F.lit(_HASH_BITS + 1) - F.col("p")).cast("int")
+
+    def _dp(reg_col: str) -> Column:
+        term = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (w1 - F.col(reg_col)).cast("int")
+        )
+        return F.sum(F.when(F.col(reg_col).isNotNull(), term).otherwise(F.lit(0)))
+
+    agg = j.groupBy("source", "p").agg(
+        F.count("rf").alias("present_f"),
+        _dp("rf").alias("dp_f"),
+        F.count("rd").alias("present_d"),
+        _dp("rd").alias("dp_d"),
+        F.sum(F.when(~F.col("rf").eqNullSafe(F.col("rd")), 1).otherwise(0))
+        .cast("long")
+        .alias("reg_mismatch"),
+    )
+    num_dec = None
+    for q in _FOLD_GRID:
+        m = 1 << q
+        numq = hll_alpha_e7(m) * m * m * (1 << (_HASH_BITS - q + 1))
+        lit = F.lit(str(numq)).cast("decimal(38,0)")
+        num_dec = lit if num_dec is None else F.when(F.col("p") == q, lit).otherwise(num_dec)
+    m_col = F.call_function("shiftleft", F.lit(1).cast("long"), F.col("p").cast("int"))
+    top = F.call_function("shiftleft", F.lit(1).cast("long"), w1)
+
+    def _e2(dp: str, present: str) -> Column:
+        d_col = F.col(dp) + (m_col - F.col(present)) * top
+        return int_div_trunc(num_dec, dec(d_col) * 100_000)
+
+    return agg.select(
+        "source",
+        F.col("p").cast("long").alias("p"),
+        _e2("dp_f", "present_f").alias("hll_e2_fold"),
+        _e2("dp_d", "present_d").alias("hll_e2_direct"),
+        "reg_mismatch",
+    )
 
 
 # ---------------------------------------------------------------------------
