@@ -207,17 +207,17 @@ def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL of its seeded hash positions appear in the union of dim-key
     positions — exactly the OR-ed bitmap the Spark side broadcasts,
     so both engines agree on every label at every size."""
+    from week4_musemotion_spark.functions.hashing import stable_hash64
     from week4_musemotion_spark.operators.sketches import (
-        bloom_might_contain,
         bloom_positions,
         bloom_words,
     )
     from week4_musemotion_spark.queries.staged_r7 import _bloom_part_pred
 
     part = load_table(spark, sf_dir, "part").filter(_bloom_part_pred())
-    # pinned: dimk feeds the position build (eager collect) plus one
-    # join branch per grid size — unpinned, the part scan + distinct
-    # shuffle would re-execute five times
+    # pinned: dimk feeds the position build (eager collect) plus the
+    # fused label join — unpinned, the part scan + distinct shuffle
+    # would re-execute per consumer
     dimk = (
         part.select(F.col("p_partkey").alias("k"))
         .distinct()
@@ -231,27 +231,54 @@ def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # power-of-two size below it is a driver-side mask (positions are
     # hash & (bits-1)), so the grid costs ONE Spark job, not four
     pos = bloom_positions(dimk, "k", num_bits=max(_FP_BITS_GRID))
-    outs = []
-    for bits in _FP_BITS_GRID:
-        words = bloom_words(pos, bits)
-        outs.append(
-            factk.withColumn(
-                "passed", bloom_might_contain(F.col("k"), words, _FP_HASHES)
+    # FUSED grid (was: one bloom_might_contain filter + one dim join
+    # per size, unioned — 4 joins, 4 passes over factk, 12 md5s/key).
+    # The three seeded portable hashes are computed ONCE per fact key
+    # at the grid maximum (pmod at a power of two is a bit mask, so
+    # pmod(h, max) & (b-1) == pmod(h, b) — the same fold-down identity
+    # the position build uses), ONE left join labels dim membership,
+    # and one struct explode emits each size's verdict from its own
+    # bitmap literal.  Outcome labels are bit-identical; the oracle is
+    # unchanged.
+    max_bits = max(_FP_BITS_GRID)
+    hashed = factk.join(dimk.withColumn("in_dim", F.lit(True)), "k", "left").select(
+        "cnt",
+        "in_dim",
+        *[
+            F.pmod(stable_hash64(F.col("k").cast("string"), seed=s), max_bits).alias(
+                f"_h{s}"
             )
-            .join(dimk.withColumn("in_dim", F.lit(True)), "k", "left")
-            .select(
-                F.lit(bits).cast("long").alias("num_bits"),
-                "cnt",
-                F.when(F.col("passed") & F.col("in_dim").isNotNull(), "hit")
-                .when(F.col("passed"), "false_positive")
-                .when(F.col("in_dim").isNotNull(), "lost_true_key")
-                .otherwise("pruned")
-                .alias("outcome"),
+            for s in range(_FP_HASHES)
+        ],
+    )
+    structs = []
+    for bits in _FP_BITS_GRID:
+        arr = F.array(*[F.lit(w).cast("long") for w in bloom_words(pos, bits)])
+        passed = None
+        for s in range(_FP_HASHES):
+            p = F.col(f"_h{s}").bitwiseAND(bits - 1)
+            word = F.element_at(arr, F.shiftright(p, 6).cast("int") + 1)
+            bit = F.call_function(
+                "shiftright", word, p.bitwiseAND(63).cast("int")
+            ).bitwiseAND(1)
+            cond = bit == 1
+            passed = cond if passed is None else passed & cond
+        structs.append(
+            F.struct(
+                F.lit(bits).cast("long").alias("num_bits"), passed.alias("passed")
             )
         )
-    labeled = outs[0]
-    for o in outs[1:]:
-        labeled = labeled.unionByName(o)
+    labeled = hashed.select(
+        "cnt", "in_dim", F.explode(F.array(*structs)).alias("g")
+    ).select(
+        F.col("g.num_bits").alias("num_bits"),
+        "cnt",
+        F.when(F.col("g.passed") & F.col("in_dim").isNotNull(), "hit")
+        .when(F.col("g.passed"), "false_positive")
+        .when(F.col("in_dim").isNotNull(), "lost_true_key")
+        .otherwise("pruned")
+        .alias("outcome"),
+    )
     return labeled.groupBy("num_bits", "outcome").agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),
