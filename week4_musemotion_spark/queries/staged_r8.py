@@ -466,53 +466,106 @@ def q_cms_point_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same portable primitives as the HLL/bloom family, so the oracle
     replays every cell at every width."""
     from week4_musemotion_spark.functions.text import shingles, tokens
-    from week4_musemotion_spark.operators.sketches import (
-        cms_fold,
-        cms_lookup,
-        cms_sketch,
-    )
 
-    # spread: parallelize explode+md5 above a single-row-group scan;
-    # the top-k truth side re-explodes from the spread frame, the
-    # grid side explodes ONCE into the widest cell table
+    # spread: parallelize explode+md5 above a single-row-group scan
     from week4_musemotion_spark.sources.tables import spread
 
     d = spread(load_table(spark, sf_dir, "documents").select("text"))
     s = d.select(F.explode(shingles(tokens("text"), 3)).alias("s"))
-    top = (
+    # ONE corpus pass (was two: the top-k truth aggregate AND a
+    # cms_sketch build each exploded+hashed the full shingle stream).
+    # The audit already needs the exact per-term counts for its truth
+    # side, and a CMS cell is by definition the sum of the counts of
+    # the terms hashing into it — so the whole sketch GRID derives
+    # from the exact term-frequency table: 4 md5s per DISTINCT term
+    # (hashed once at the grid max, masked down per width — pmod at a
+    # power of two is a bit mask), not 4 per occurrence.  Replaces
+    # the previous shape (3 cms_fold aggregates + 3 cms_lookup
+    # joins + union + a join back to the truth side) with one
+    # explode+aggregate for all widths' cells and one broadcast left
+    # join + min aggregate.  Cell counts and estimates are
+    # bit-identical to building at each width directly; the oracle is
+    # unchanged.
+    exact = (
         s.groupBy("s")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), F.col("s").asc())
+        .localCheckpoint(eager=False)  # lazy: feeds cells, top-k and
+        # the probe side inside the one final job
+    )
+    hashed = exact.select(
+        "s",
+        "exact_cnt",
+        *[
+            stable_hash64(F.col("s").cast("string"), seed=j).alias(f"_h{j}")
+            for j in range(_CMS_D)
+        ],
+    )
+    cells = (
+        hashed.select(
+            "exact_cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).cast("long").alias("width"),
+                            F.lit(j).cast("int").alias("j"),
+                            F.col(f"_h{j}").bitwiseAND(w - 1).alias("pos"),
+                        )
+                        for w in _CMS_W_GRID
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("g"),
+        )
+        .groupBy(
+            F.col("g.width").alias("width"),
+            F.col("g.j").alias("j"),
+            F.col("g.pos").alias("pos"),
+        )
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
+    top = (
+        hashed.orderBy(F.col("exact_cnt").desc(), F.col("s").asc())
         .limit(_CMS_TOPK)
         .withColumnRenamed("s", "term")
-        .localCheckpoint(eager=False)  # lazy: every lookup and the
-        # final join share one checkpointed RDD inside the final job
     )
-    wide = cms_sketch(s, [], "s", width=max(_CMS_W_GRID), depth=_CMS_D).localCheckpoint(
-        eager=False  # ≤ depth × max-width rows; feeds every fold (lazy)
+    tpos = top.select(
+        "term",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).cast("long").alias("width"),
+                        F.lit(j).cast("int").alias("j"),
+                        F.col(f"_h{j}").bitwiseAND(w - 1).alias("pos"),
+                    )
+                    for w in _CMS_W_GRID
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("g"),
+    ).select(
+        "term",
+        "exact_cnt",
+        F.col("g.width").alias("width"),
+        F.col("g.j").alias("j"),
+        F.col("g.pos").alias("pos"),
     )
-    outs = []
-    for w in _CMS_W_GRID:
-        sk = wide if w == max(_CMS_W_GRID) else cms_fold(wide, w)
-        outs.append(
-            cms_lookup(sk, top.select("term"), "term", width=w, depth=_CMS_D)
-            .withColumn("width", F.lit(w).cast("long"))
-        )
-    est = outs[0]
-    for o in outs[1:]:
-        est = est.unionByName(o)
-    return (
-        top.join(est, "term")
-        .select(
-            "width",
-            "term",
-            F.col("exact_cnt").cast("long").alias("exact_cnt"),
-            "cms_est",
-            int_div_trunc(
-                (dec(F.col("cms_est")) - dec(F.col("exact_cnt"))) * 1_000_000,
-                dec(F.col("exact_cnt")),
-            ).alias("over_ppm"),
-        )
+    est = (
+        tpos.join(F.broadcast(cells), ["width", "j", "pos"], "left")
+        .groupBy("width", "term", "exact_cnt")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "width",
+        "term",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        "cms_est",
+        int_div_trunc(
+            (dec(F.col("cms_est")) - dec(F.col("exact_cnt"))) * 1_000_000,
+            dec(F.col("exact_cnt")),
+        ).alias("over_ppm"),
     )
 
 
