@@ -52,7 +52,13 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Distinct (id, shingle-hash) pairs.
 
     Shingles are carried as 64-bit ``xxhash64`` keys, not strings:
@@ -67,12 +73,19 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     lambdas per shingle — measured ~4× slower; the window runs in
     codegen and its doc-keyed shuffle is the exploded token table,
     which the subsequent aggregates reuse.
+
+    ``shingles``, when given, is a prebuilt ``(_id, s)`` shingle
+    STRING frame (:func:`shingle_strings` output, repeats allowed —
+    the hash distinct collapses them) shared with another detector so
+    one tokenize+shingle pass feeds both (see
+    q_detector_agreement_ngram); ``df``/``text_col`` are then unused.
     """
-    return (
-        shingle_strings(df, text_col, id_col, n)
-        .select("_id", F.xxhash64("s").alias("shingle"))
-        .distinct()
+    base = (
+        shingles
+        if shingles is not None
+        else shingle_strings(df, text_col, id_col, n)
     )
+    return base.select("_id", F.xxhash64("s").alias("shingle")).distinct()
 
 
 def shingle_strings(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -142,15 +155,18 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (≥ threshold).
 
     The shingle table is persisted (it feeds three plan branches) and
     stays cached until Spark's LRU evicts it — callers running many
     dedup passes in one long session can reclaim eagerly with
-    ``spark.catalog.clearCache()``.
+    ``spark.catalog.clearCache()``.  ``shingles`` (optional prebuilt
+    ``(_id, s)`` string frame) lets a paired detector share one
+    shingle pass — see :func:`shingle_sets`.
     """
-    sh = shingle_sets(df, text_col, id_col, n).persist()
+    sh = shingle_sets(df, text_col, id_col, n, shingles=shingles).persist()
     pairs = _intersections(None, sh)
     return pairs.filter(F.col("jac") >= threshold).select("doc_a", "doc_b", _jaccard_e4())
 
@@ -280,6 +296,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     bits: int = 16,
     ngram: int = 1,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document SimHash: sign of per-bit vote sums over distinct
     feature hashes; near-dup docs land at small Hamming distance.
@@ -303,6 +320,9 @@ def simhash_signatures(
     measured ~4× faster than the interpreted transform/slice lambda
     form, see shingle_sets) and dedups on the 60-bit portable hash so
     the vote multiset is defined identically in both engines.
+    ``shingles`` (optional prebuilt ``(_id, s)`` string frame,
+    n-gram path only) lets a paired detector share one shingle pass —
+    see :func:`shingle_sets`.
     """
     from week4_musemotion_spark.sources.tables import spread
 
@@ -314,11 +334,12 @@ def simhash_signatures(
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
         ).withColumn("h", stable_hash64(F.col("tok")))
     else:
-        tok = (
-            shingle_strings(df, text_col, id_col, ngram)
-            .select("_id", stable_hash64(F.col("s")).alias("h"))
-            .distinct()
+        base = (
+            shingles
+            if shingles is not None
+            else shingle_strings(df, text_col, id_col, ngram)
         )
+        tok = base.select("_id", stable_hash64(F.col("s")).alias("h")).distinct()
     votes = tok.groupBy("_id").agg(
         *[
             F.sum(
@@ -341,6 +362,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bits: int = 16,
     ngram: int = 1,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``max_hamming`` over
     SimHash signatures — EXACT output through a bucketed (never
@@ -362,7 +384,9 @@ def simhash_pairs(
     # BOTH sides of the band self-join — pin the tiny (id, simhash)
     # table so it is computed once, the same discipline as
     # minhash_lsh_pairs' persisted shingle table
-    sig = simhash_signatures(df, text_col, id_col, bits, ngram=ngram).persist()
+    sig = simhash_signatures(
+        df, text_col, id_col, bits, ngram=ngram, shingles=shingles
+    ).persist()
     mask = (1 << band_bits) - 1
     bands = sig.select(
         F.col(id_col).alias("_id"),

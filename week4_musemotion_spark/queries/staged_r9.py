@@ -641,14 +641,28 @@ def q_detector_agreement_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor: a detector change that re-opens the gap is a
     regression).  Same exact-integer algebra, same shared
     _KAPPA_TAIL_SQL — the two agreement queries cannot drift apart on
-    the statistic."""
+    the statistic.
+
+    Plan: both detectors measure the SAME word-3-gram feature space,
+    so one tokenize+shingle pass feeds both — the distinct (_id, s)
+    shingle table is built once and persisted; SimHash hashes it with
+    the portable md5 family, Jaccard with xxhash64 (each detector's
+    own dedup/distinct is unchanged, so both pair sets are
+    bit-identical to their standalone queries)."""
     docs = load_table(spark, sf_dir, "documents")
+    from week4_musemotion_spark.operators.dedup import shingle_strings
+
+    shd = shingle_strings(docs).distinct().persist()
     return _kappa_report(
         docs,
         simhash_pairs(
-            docs, _NG_SIMHASH_HAM, bits=_SIMHASH_PAIR_BITS, ngram=_NG_SIMHASH_N
+            docs,
+            _NG_SIMHASH_HAM,
+            bits=_SIMHASH_PAIR_BITS,
+            ngram=_NG_SIMHASH_N,
+            shingles=shd,
         ),
-        jaccard_pairs(docs, JACCARD_THRESHOLD),
+        jaccard_pairs(docs, JACCARD_THRESHOLD, shingles=shd),
     )
 
 
