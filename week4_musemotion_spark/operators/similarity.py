@@ -704,10 +704,11 @@ def kmeans_fit(
     seed: int = 42,
 ) -> np.ndarray:
     """Lloyd's k-means with deterministic seeding (the ``k`` smallest
-    ids), expressed Spark-first: assignment is an Arrow-batched map
-    over the corpus, the centroid update is ``posexplode`` → one hash
-    aggregate on (cluster, dim) — both linear scans, no all-pairs.
-    Only the (k × dim) centroid matrix ever reaches the driver.
+    ids), expressed Spark-first: each iteration is ONE Arrow-batched
+    map over the corpus that assigns and emits per-batch partial sums
+    (map-side reduction), finished by a tiny (cluster, dim) hash
+    aggregate — one linear scan per iteration, no all-pairs.  Only
+    the (k × dim) centroid matrix ever reaches the driver.
 
     ``fit_fraction`` fits the quantizer on a seeded Bernoulli sample
     of the corpus: each Lloyd iteration's assignment pass costs
@@ -734,17 +735,51 @@ def kmeans_fit(
         _, cent = _collect_matrix(seeds, id_col, vec_col)
     if cent.shape[0] == 0:
         raise ValueError("empty embedding corpus")
+    # FUSED Lloyd iteration (the pq_fit pattern): ONE Arrow-batched
+    # pass per iteration assigns AND emits per-batch partial-sum rows
+    # (map-side reduction — ≤ partitions × k × dim tiny rows reach
+    # the shuffle), then one small aggregate finishes the means.  The
+    # previous shape shipped every (id, vec, cluster) row back to the
+    # JVM and posexploded the full n × dim value stream through a
+    # hash aggregate — n·dim rows through an exchange per iteration
+    # at any scale.  Assignments are identical (same expand-identity
+    # argmin, first-min tie rule, float64 matrices); centroid means
+    # differ from the old avg() only by float-sum reassociation
+    # (batch partials vs Spark's accumulation order), the same
+    # documented tolerance as pq_fit.  Empty clusters keep their
+    # centroid.
+    spark = emb.sparkSession
+    scan = spread(fit_df.select(vec_col), min_rows=_NUMPY_SPREAD_MIN_ROWS)
     for _ in range(iters):
-        assigned = _assign_clusters(fit_df, cent, id_col, vec_col, "_id")
+        bc = spark.sparkContext.broadcast(cent)
+
+        def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cb = bc.value  # (k, dim)
+            cent_sq = (cb * cb).sum(axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _to_matrix(pdf[vec_col])
+                a = np.argmin(cent_sq[None, :] - 2.0 * (mat @ cb.T), axis=1)
+                cs, ps, ss, ns = [], [], [], []
+                for c in np.unique(a):
+                    rows = mat[a == c]
+                    d = rows.shape[1]
+                    cs.extend([int(c)] * d)
+                    ps.extend(range(d))
+                    ss.extend(rows.sum(axis=0).tolist())
+                    ns.extend([len(rows)] * d)
+                yield pd.DataFrame({"cluster": cs, "pos": ps, "s": ss, "n": ns})
+
         means = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            scan.mapInPandas(_partials, "cluster int, pos int, s double, n long")
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new_cent = cent.copy()  # empty clusters keep their centroid
         for row in means:
-            new_cent[row["cluster"], row["pos"]] = row["m"]
+            new_cent[row["cluster"], row["pos"]] = row["s"] / row["n"]
         cent = new_cent
     return cent
 
