@@ -295,15 +295,26 @@ def hard_negatives_lsh(
     enforced the same way — without the check, a NULL label would
     make ``_nlab != _qlab`` evaluate to NULL and SILENTLY drop the
     row, the exact-vs-scale-path inconsistency a pipeline escalating
-    to LSH at scale must not hit.  Each side's check is one
-    column-pruned count aggregate (count(*) − count(label) — a single
-    columnar scan, no filter job) — negligible next to the LSH join,
-    which re-scans the same inputs with the full vector column."""
-    for side, frame in (("query side", queries), ("corpus", emb)):
-        n_null = frame.agg(
-            (F.count(F.lit(1)) - F.count(label_col)).alias("n")
-        ).first()["n"]
-        if n_null:
+    to LSH at scale must not hit.  Both sides' checks are
+    column-pruned count aggregates (count(*) − count(label) — a
+    single columnar scan each, no filter job) unioned into ONE
+    blocking job — negligible next to the LSH join, which re-scans
+    the same inputs with the full vector column."""
+    nulls = {
+        r["side"]: r["n"]
+        for r in (
+            queries.agg((F.count(F.lit(1)) - F.count(label_col)).alias("n"))
+            .select(F.lit("query side").alias("side"), "n")
+            .unionByName(
+                emb.agg((F.count(F.lit(1)) - F.count(label_col)).alias("n")).select(
+                    F.lit("corpus").alias("side"), "n"
+                )
+            )
+            .collect()
+        )
+    }
+    for side in ("query side", "corpus"):
+        if nulls[side]:
             raise ValueError(
                 f"hard_negatives_lsh requires non-null integer labels; {side} has null {label_col!r}"
             )
@@ -478,7 +489,15 @@ def cosine_pairs_lsh(
         if dim is None:
             dim = row.d
     planes = _hyperplanes(n_tables * n_planes, dim)
-    sk = _with_sketch(emb, planes, id_col, vec_col, ("_id", "_vec"), n_tables).drop("_vec")
+    # the sketch (an Arrow pass over the whole corpus) feeds BOTH
+    # sides of the bucket self-join — pin the tiny (id, table, bucket)
+    # table so the kernel runs once, the same discipline as
+    # simhash_pairs' persisted signature table (LRU-evictable)
+    sk = (
+        _with_sketch(emb, planes, id_col, vec_col, ("_id", "_vec"), n_tables)
+        .drop("_vec")
+        .persist()
+    )
     a = sk.select("table", "bucket", F.col("_id").alias("vec_id_a"))
     b = sk.select("table", "bucket", F.col("_id").alias("vec_id_b"))
     cands = (
