@@ -220,8 +220,14 @@ def minhash_lsh_pairs(
         )
         for b in range(BANDS)
     ]
-    exploded = sigs.select("_id", F.explode(F.array(*bands)).alias("k")).select(
-        "_id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
+    exploded = (
+        sigs.select("_id", F.explode(F.array(*bands)).alias("k"))
+        .select("_id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+        # pinned: the band table feeds BOTH sides of the candidate
+        # self-join — unpinned, the 32-min signature aggregate and the
+        # band explode re-run per side (the shared-build-side rule;
+        # LRU-evictable like the shingle table above)
+        .persist()
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (
@@ -276,8 +282,15 @@ def minhash_lsh_join(
         )
         for b in range(BANDS)
     ]
-    exploded = sigs.select("_id", "_is_batch", F.explode(F.array(*bands)).alias("k")).select(
-        "_id", "_is_batch", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
+    exploded = (
+        sigs.select("_id", "_is_batch", F.explode(F.array(*bands)).alias("k"))
+        .select(
+            "_id", "_is_batch", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
+        )
+        # pinned: both band-join sides filter this one table —
+        # unpinned, the signature aggregate and its sides join re-run
+        # per side (the shared-build-side rule; LRU-evictable)
+        .persist()
     )
     a = exploded.filter(F.col("_is_batch") == 1).alias("a")
     b = exploded.filter(F.col("_is_batch") == 0).alias("b")
