@@ -32,8 +32,12 @@ def main() -> int:
     spark = get_spark("dump-plans")
     todo = names or list(REGISTRY)
     for name in todo:
-        spec = REGISTRY[name]
+        spec = REGISTRY.get(name)
         try:
+            if spec is None:
+                # an unknown name (typo) must not abort a full-registry
+                # dump — record it per-file like builder errors
+                raise KeyError(f"unknown query name {name!r}")
             df = spec.builder(spark, sf_dir)
             txt = plan_string(df, "formatted")
         except Exception as e:  # noqa: BLE001

@@ -28,8 +28,18 @@ def main() -> int:
         i = args.index("--reps")
         reps = int(args[i + 1])
         del args[i : i + 2]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
-    names = [a for a in args if a.startswith("q_")]
+    sf_dir = "/root/testdata/sf0.1"
+    names: list[str] = []
+    for a in args:
+        if a.startswith("q_"):
+            names.append(a)
+        elif os.path.isdir(a):
+            sf_dir = a
+        else:
+            # a mistyped sf_dir silently falling back to the default
+            # would time the WRONG dataset — fail loudly instead
+            print(f"error: {a!r} is neither an existing directory nor a q_ name", file=sys.stderr)
+            return 2
     if not names:
         print(__doc__)
         return 2

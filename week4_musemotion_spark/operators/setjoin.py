@@ -29,6 +29,16 @@ stage is quadratic in the corpus.
 Reference parity: /root/reference has no similarity join; this
 extends the dedup family (SURVEY.md §2 X-DEDUP-*) with the exact
 threshold variant the curation pipeline needs.
+
+Cache contract: both joins ``persist()`` their sorted-array table
+(four plan branches each) WITHOUT an unpersist — the same contract
+as ``dedup.jaccard_pairs``' shingle table.  In a long multi-query
+session these operator-internal caches accumulate and rely on
+Spark's LRU storage eviction under memory pressure (storage entries
+are evictable by execution demand, so they degrade to recompute, not
+OOM); the engine's long-session harnesses size the local driver heap
+accordingly (16 g — bench.py / check_correctness).  Callers running
+many passes can reclaim eagerly with ``spark.catalog.clearCache()``.
 """
 
 from __future__ import annotations

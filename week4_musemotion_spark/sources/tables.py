@@ -149,61 +149,15 @@ def _file_rows(local: str, mtime_ns: int, size: int) -> int | None:
         return None
 
 
-def exact_scan_rows(df: DataFrame) -> int | None:
-    """EXACT row count of a pure scan+project frame from parquet
-    footer metadata (cached), or None when it cannot be proven exact
-    — any Filter/join/aggregate/etc. in the analyzed plan, a
-    non-file source, or an unreadable footer.
-
-    Replaces a sizing ``df.count()`` job (a full cluster round-trip:
-    schedule, scan footers executor-side, aggregate) with a ~ms
-    driver-side metadata read.  Callers MUST fall back to
-    ``df.count()`` on None.  Exactness matters: several operators
-    derive k ∝ n from the count, so an estimate would change
-    results — footer num_rows is exact only when no row can be
-    dropped, hence the no-Filter rule."""
-    try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        for line in plan.splitlines():
-            node = line.lstrip(" :+-")
-            if not node:
-                continue
-            if not (node.startswith("Project") or node.startswith("Relation")):
-                return None
-        paths = df.inputFiles()
-    except Exception:
-        return None
-    if not paths:
-        return None
-    if len(paths) > 256:
-        # at many-file scale the driver-side footer loop IS the
-        # file-listing bottleneck (guide §7.3) — let the distributed
-        # count read footers executor-side instead
-        return None
-    total = 0
-    for p in paths:
-        local = p
-        for prefix in ("file://", "file:"):
-            if local.startswith(prefix):
-                local = local[len(prefix):]
-                break
-        try:
-            st = os.stat(local)
-        except OSError:
-            return None
-        n = _file_rows(local, st.st_mtime_ns, st.st_size)
-        if n is None:
-            return None
-        total += n
-    return total
-
-
-def _scan_rows_upper(df: DataFrame) -> int | None:
-    """UPPER BOUND on a narrow frame's row count from parquet footers
-    (filters may drop rows, never add them), or None when unknowable.
-    Only meaningful for frames :func:`scan_width` already judged
-    narrow — callers use it as a cheap work heuristic, never for
-    results."""
+def _footer_rows_sum(df: DataFrame) -> int | None:
+    """Sum of parquet footer ``num_rows`` over a frame's input files
+    (stat-keyed cache), or None when unknowable: no/too many files
+    (past 256 the driver-side footer loop IS the guide §7.3
+    file-listing bottleneck — let a distributed count read footers
+    executor-side), a non-local path, or an unreadable footer.  The
+    ONE shared footer loop behind :func:`exact_scan_rows` (which adds
+    the plan-shape exactness gate) and :func:`_scan_rows_upper` — the
+    two copies used to duplicate it verbatim and could drift."""
     try:
         paths = df.inputFiles()
     except Exception:
@@ -226,6 +180,49 @@ def _scan_rows_upper(df: DataFrame) -> int | None:
             return None
         total += n
     return total
+
+
+def exact_scan_rows(df: DataFrame) -> int | None:
+    """EXACT row count of a pure scan+project frame from parquet
+    footer metadata (cached), or None when it cannot be proven exact
+    — any Filter/join/aggregate/etc. in the analyzed plan, a
+    non-file source, or an unreadable footer.
+
+    Replaces a sizing ``df.count()`` job (a full cluster round-trip:
+    schedule, scan footers executor-side, aggregate) with a ~ms
+    driver-side metadata read.  Callers MUST fall back to
+    ``df.count()`` on None.  Exactness matters: several operators
+    derive k ∝ n from the count, so an estimate would change
+    results — footer num_rows is exact only when no row can be
+    dropped, hence the no-Filter rule.  The Relation line must also
+    name a parquet HadoopFsRelation: ``DataFrame.inputFiles`` is
+    documented best-effort, and for parquet file relations it
+    enumerates the file index exhaustively — other source types
+    (for which completeness is not established) fall back to
+    ``count()`` instead of risking a silently short listing."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        for line in plan.splitlines():
+            node = line.lstrip(" :+-")
+            if not node:
+                continue
+            if node.startswith("Relation"):
+                if "parquet" not in line:
+                    return None
+            elif not node.startswith("Project"):
+                return None
+    except Exception:
+        return None
+    return _footer_rows_sum(df)
+
+
+def _scan_rows_upper(df: DataFrame) -> int | None:
+    """UPPER BOUND on a narrow frame's row count from parquet footers
+    (filters may drop rows, never add them), or None when unknowable.
+    Only meaningful for frames :func:`scan_width` already judged
+    narrow — callers use it as a cheap work heuristic, never for
+    results."""
+    return _footer_rows_sum(df)
 
 
 def spread(df: DataFrame, min_factor: int = 2, min_rows: int | None = None) -> DataFrame:
