@@ -107,20 +107,42 @@ def jaccard_self_join(
         # persisted shingle table; LRU-evictable)
         .persist()
     )
-    # prefix rows stay NARROW (id, stratum, size, token): shipping the
-    # full token array through the candidate explosion would copy it
-    # once per prefix token and again through the pair dedup shuffle —
-    # arrays are joined back per UNIQUE pair instead, after dedup
+    # prefix rows stay NARROW (id, stratum, size, position, token):
+    # shipping the full token array through the candidate explosion
+    # would copy it once per prefix token and again through the pair
+    # dedup shuffle — arrays are joined back per UNIQUE pair instead,
+    # after dedup
     pre = ordered.select(
-        "_id", *within, "_s", F.explode(F.slice("_arr", 1, F.col("_p"))).alias("_t")
+        "_id",
+        *within,
+        "_s",
+        F.posexplode(F.slice("_arr", 1, F.col("_p"))).alias("_pos", "_t"),
     )
     a, b = pre.alias("a"), pre.alias("b")
+    # POSITIONAL filter (the second "P" of PPJoin, Xiao et al. §3.2):
+    # both arrays share one global token order, so every common token
+    # of a qualifying pair lies at-or-after its FIRST common token,
+    # whose (0-based) positions ix, iy bound the overlap by
+    # 1 + min(sx − ix − 1, sy − iy − 1).  Jaccard ≥ τ needs overlap
+    # ≥ α = ⌈τ·(sx+sy)/(1+τ)⌉; requiring the bound per matched row
+    # (cross-multiplied, all-integer) prunes candidates whose match
+    # sits too deep in the prefix — the first-common-token row of any
+    # TRUE pair always passes (it is in both prefixes by the prefix
+    # principle), so recall stays exact and the verify unchanged.
+    ubound = F.lit(1) + F.least(
+        F.col("a._s") - F.col("a._pos") - 1, F.col("b._s") - F.col("b._pos") - 1
+    )
     cond = (
         (F.col("a._t") == F.col("b._t"))
         & (F.col("a._id") < F.col("b._id"))
         # length filter: Jaccard >= tau implies tau*|x| <= |y| both ways
         & (F.col("a._s") * tau_e4 <= F.col("b._s") * 10000)
         & (F.col("b._s") * tau_e4 <= F.col("a._s") * 10000)
+        # positional filter: ubound*(1+tau) >= tau*(sx+sy), in e4
+        & (
+            ubound * (10000 + tau_e4)
+            >= F.lit(tau_e4) * (F.col("a._s") + F.col("b._s"))
+        )
     )
     for c in within:
         cond = cond & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
@@ -219,11 +241,31 @@ def containment_join(
         .persist()
     )
     pre_a = ordered.select(
-        "_id", *within, "_s", F.explode(F.slice("_arr", 1, F.col("_p"))).alias("_t")
+        "_id",
+        *within,
+        "_s",
+        F.posexplode(F.slice("_arr", 1, F.col("_p"))).alias("_pos", "_t"),
     )
-    full_b = ordered.select("_id", *within, F.explode("_arr").alias("_t"))
+    full_b = ordered.select(
+        "_id", *within, F.size("_arr").alias("_sb"),
+        F.posexplode("_arr").alias("_pos", "_t"),
+    )
     a, b = pre_a.alias("a"), full_b.alias("b")
-    cond = (F.col("a._t") == F.col("b._t")) & (F.col("a._id") != F.col("b._id"))
+    # positional filter, asymmetric form: containment needs overlap
+    # ≥ ⌈τ·|A|⌉, and every common token lies at-or-after the first
+    # one (shared global token order), so a matched row at 0-based
+    # positions (ia, ib) bounds the overlap by 1 + min(sa−ia−1,
+    # sb−ib−1); the first-common-token row of a true pair is inside
+    # A's prefix by the prefix principle, so recall stays exact
+    ubound = F.lit(1) + F.least(
+        F.col("a._s") - F.col("a._pos") - 1, F.col("b._sb") - F.col("b._pos") - 1
+    )
+    cond = (
+        (F.col("a._t") == F.col("b._t"))
+        & (F.col("a._id") != F.col("b._id"))
+        # ubound >= ceil(tau*sa): cross-multiplied, all-integer
+        & (ubound * 10000 >= F.lit(tau_e4) * F.col("a._s"))
+    )
     for c in within:
         cond = cond & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
     pairs = (
