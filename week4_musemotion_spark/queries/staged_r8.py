@@ -346,49 +346,112 @@ def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitives as q_distinct_sketch); ``overlap_e2`` is clamped at 0
     because inclusion-exclusion of three ±6.5 % estimates can land
     slightly negative for disjoint pairs."""
+    from week4_musemotion_spark.functions.exact import dec, int_div_trunc
     from week4_musemotion_spark.functions.text import shingles, tokens
     from week4_musemotion_spark.operators.sketches import (
-        hll_estimate,
-        hll_merge,
+        hll_alpha_e7,
         hll_registers,
     )
-    from week4_musemotion_spark.queries.staged_r7 import _HLL_P
+    from week4_musemotion_spark.queries.staged_r7 import _HLL_M, _HLL_P, _HLL_W1
 
     from week4_musemotion_spark.sources.tables import spread
 
     d = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
     s = d.select("source", F.explode(shingles(tokens("text"), 3)).alias("s"))
     # the register table is m rows/source — pin it: it feeds the
-    # per-source estimates AND both sides of the pairwise merge
+    # per-source aggregate AND both sides of the pairwise bucket join
     reg = hll_registers(s, ["source"], "s", p=_HLL_P).localCheckpoint(eager=False)
-    per_src = hll_estimate(reg, ["source"], p=_HLL_P).select(
-        "source", F.col("hll_e2").alias("e2")
+    top = 1 << _HLL_W1
+    num_dec = F.lit(str(hll_alpha_e7(_HLL_M) * _HLL_M * _HLL_M * top)).cast(
+        "decimal(38,0)"
+    )
+    term = lambda reg_col: F.call_function(  # noqa: E731 — 2^(W+1−reg)
+        "shiftleft", F.lit(1).cast("long"), (F.lit(_HLL_W1) - F.col(reg_col)).cast("int")
+    )
+
+    def e2_of(dp, present):
+        d_col = dp + (F.lit(_HLL_M) - present) * F.lit(top)
+        return int_div_trunc(num_dec, dec(d_col) * 100_000)
+
+    # per-source harmonic sums once (present, dp) — the per-source
+    # estimate AND the pairwise-union correction both read them
+    sagg = reg.groupBy("source").agg(
+        F.count(F.lit(1)).alias("present"), F.sum(term("reg")).alias("dp")
+    )
+    # FUSED pairwise union (was: pair table ⋈ registers twice →
+    # union → merge groupBy → estimate groupBy — two pair-replicated
+    # register copies through two aggregates).  Inclusion-exclusion
+    # on the harmonic denominator instead: for buckets present in
+    # BOTH sources the merged register is max(ra, rb), so
+    #   dp_union = dp_a + dp_b − Σ_both (2^(W+1−ra) + 2^(W+1−rb)
+    #                                    − 2^(W+1−max(ra, rb)))
+    #   present_union = present_a + present_b − present_both
+    # — one bucket-keyed self-join + one aggregate produce the exact
+    # same integers as the explicit merge (all terms are order-free
+    # long sums), and pairs with no common bucket fall out of the
+    # inner join (their correction is 0 via the left join below).
+    r1 = reg.select(F.col("source").alias("sa"), "bucket", F.col("reg").alias("ra"))
+    r2 = reg.select(F.col("source").alias("sb"), "bucket", F.col("reg").alias("rb"))
+    corr = (
+        r1.join(r2, (r1.bucket == r2.bucket) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("present_both"),
+            F.sum(
+                term("ra")
+                + term("rb")
+                - F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.lit(_HLL_W1) - F.greatest(F.col("ra"), F.col("rb"))).cast(
+                        "int"
+                    ),
+                )
+            ).alias("corr"),
+        )
     )
     srcs = reg.select("source").distinct()
-    prs = (
-        srcs.select(F.col("source").alias("sa"))
-        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    prs = srcs.select(F.col("source").alias("sa")).join(
+        srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
     )
-    ra = prs.join(reg, reg.source == F.col("sa")).select("sa", "sb", "bucket", "reg", "p")
-    rb = prs.join(reg, reg.source == F.col("sb")).select("sa", "sb", "bucket", "reg", "p")
-    ureg = hll_merge(ra, rb, ["sa", "sb"])
-    union = hll_estimate(ureg, ["sa", "sb"], p=_HLL_P).select(
-        "sa", "sb", F.col("hll_e2").alias("union_e2")
+    ea = sagg.select(
+        F.col("source").alias("sa"),
+        F.col("present").alias("pa"),
+        F.col("dp").alias("dpa"),
     )
-    ea, eb = per_src.alias("ea"), per_src.alias("eb")
-    return (
-        union.join(F.broadcast(ea), F.col("sa") == F.col("ea.source"))
-        .join(F.broadcast(eb), F.col("sb") == F.col("eb.source"))
+    eb = sagg.select(
+        F.col("source").alias("sb"),
+        F.col("present").alias("pb"),
+        F.col("dp").alias("dpb"),
+    )
+    joined = (
+        prs.join(F.broadcast(ea), "sa")
+        .join(F.broadcast(eb), "sb")
+        .join(corr, ["sa", "sb"], "left")
         .select(
-            F.col("sa").alias("source_a"),
-            F.col("sb").alias("source_b"),
-            F.col("ea.e2").alias("a_e2"),
-            F.col("eb.e2").alias("b_e2"),
-            "union_e2",
-            F.greatest(
-                F.col("ea.e2") + F.col("eb.e2") - F.col("union_e2"), F.lit(0)
-            ).alias("overlap_e2"),
+            "sa",
+            "sb",
+            "pa",
+            "dpa",
+            "pb",
+            "dpb",
+            F.coalesce("present_both", F.lit(0)).alias("present_both"),
+            F.coalesce("corr", F.lit(0)).alias("corr"),
         )
+    )
+    a_e2 = e2_of(F.col("dpa"), F.col("pa"))
+    b_e2 = e2_of(F.col("dpb"), F.col("pb"))
+    u_e2 = e2_of(
+        F.col("dpa") + F.col("dpb") - F.col("corr"),
+        F.col("pa") + F.col("pb") - F.col("present_both"),
+    )
+    return joined.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        a_e2.alias("a_e2"),
+        b_e2.alias("b_e2"),
+        u_e2.alias("union_e2"),
+        F.greatest(a_e2 + b_e2 - u_e2, F.lit(0)).alias("overlap_e2"),
     )
 
 
